@@ -1,0 +1,4 @@
+"""Operator modules. Importing this package registers every query/oracle
+pair with cc_mapreducer_spark.registry (side-effect imports below)."""
+
+import cc_mapreducer_spark.operators.anagram  # noqa: F401

@@ -1,0 +1,261 @@
+"""The reference's entire query surface, Spark-first (SURVEY.md §2.1–2.6).
+
+The reference (gustavo-bertoldi/CC-MapReducer) computes anagram groups over
+a text corpus as a 6-stage Cloud-Function MapReduce: read/tokenize
+(src/index.js:48-55) -> signature map (64-69) -> djb2 hash shuffle (82-91)
+-> group/distinct/having reduce (101-116) -> concat sink (368-377). Here the
+whole dataflow is ONE declarative DataFrame plan: Catalyst pipelines
+read->tokenize->signature inside a single stage, plans exactly one Exchange
+for the groupBy (where the reference's shuffler+barrier sit), and
+ObjectHashAggregate gives the map-side partial aggregation the reference
+lacks. Zero UDFs; every expression is whole-stage-codegen'd.
+
+Scale notes (100 TB): the only shuffle key is `signature`, whose cardinality
+is huge (≈ distinct words) and near-uniform — no skew salting needed. The
+stop-word table is tiny and broadcast (left anti-join), mirroring the
+reference's stop-word broadcast (src/index.js:152) without copying it into
+every task message. AQE coalesces post-shuffle partitions at low SF and
+splits skewed ones at high SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cc_mapreducer_spark.functions.text import (
+    STOP_WORDS,
+    anagram_signature,
+    stop_words_sql_list,
+    tokens,
+)
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Composable operators (DataFrame -> DataFrame), SURVEY §2 names
+# ---------------------------------------------------------------------------
+
+
+def op_tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """proj_lowercase + proj_tokenize (reference _read, src/index.js:48-52)."""
+    return docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+
+
+def op_filter_minlen(words: DataFrame) -> DataFrame:
+    """filter_minlen (src/index.js:53, word.length > 1)."""
+    return words.filter(F.length("word") > 1)
+
+
+def op_filter_stopwords(words: DataFrame) -> DataFrame:
+    """filter_stopwords (src/index.js:53) as a broadcast LEFT ANTI join.
+
+    The reference ships the stop-word set inside every Pub/Sub message
+    (src/index.js:152) — a manual broadcast. Spark broadcasts the tiny
+    dim table once per executor; the anti-join stays in the scan stage.
+    """
+    spark = words.sparkSession
+    stop = spark.createDataFrame([(w,) for w in STOP_WORDS], "word string")
+    return words.join(F.broadcast(stop), "word", "left_anti")
+
+
+def op_map_signature(words: DataFrame) -> DataFrame:
+    """map_signature (reference _map, src/index.js:64-69): emit (sig, word)."""
+    return words.select(anagram_signature(F.col("word")).alias("signature"), "word")
+
+
+def op_group_anagrams(pairs: DataFrame, min_group_size: int = 2) -> DataFrame:
+    """group_collect_distinct + having_size + sort_members
+    (reference _reduce, src/index.js:101-116).
+
+    groupBy(signature) is the plan's single Exchange — the reference's
+    djb2 shuffler + file-count barrier (src/index.js:82-91,280-295)
+    collapse into this stage boundary, minus its listing race and
+    negative-hash data-loss bugs (SURVEY §2.4). min_group_size=2 is the
+    reference's HAVING (src/index.js:111); 1 keeps singleton groups."""
+    return (
+        pairs.groupBy("signature")
+        .agg(F.array_sort(F.collect_set("word")).alias("words"))
+        .filter(F.size("words") >= min_group_size)
+    )
+
+
+def word_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text -> filtered word stream (the reference reader output,
+    D2 in SURVEY §1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return op_filter_stopwords(op_filter_minlen(op_tokenize(docs)))
+
+
+def anagram_pipeline(spark: SparkSession, sf_dir: str, min_group_size: int = 2) -> DataFrame:
+    """Full D1->D4 dataflow; returns [signature, group_size, anagrams_csv]."""
+    groups = op_group_anagrams(op_map_signature(word_stream(spark, sf_dir)), min_group_size)
+    return groups.select(
+        "signature",
+        F.size("words").cast("int").alias("group_size"),
+        F.array_join("words", ", ").alias("anagrams_csv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# Shared oracle prefix: the tokenizer+filters over `documents`.
+WORDS_CTE = f"""
+WITH toks AS (
+    SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
+    FROM documents
+), words AS (
+    SELECT word FROM toks
+    WHERE length(word) > 1 AND word NOT IN {stop_words_sql_list()}
+)
+"""
+
+_ANAGRAM_GROUPS_SQL = (
+    WORDS_CTE
+    + """
+, pairs AS (
+    SELECT array_to_string(list_sort(string_split(word, '')), '') AS signature, word
+    FROM words
+), groups AS (
+    SELECT signature, list_sort(list(DISTINCT word)) AS ws
+    FROM pairs GROUP BY signature
+)
+SELECT signature,
+       CAST(len(ws) AS INT) AS group_size,
+       array_to_string(ws, ', ') AS anagrams_csv
+FROM groups WHERE len(ws) > 1
+"""
+)
+
+
+@register("anagram_groups", oracle=_ANAGRAM_GROUPS_SQL)
+def q_anagram_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one end-to-end query, HAVING included.
+
+    Note: the driver's synthetic `documents` corpus has a ~31-word
+    vocabulary with no anagram pairs, so this is legitimately empty there
+    (the DuckDB oracle agrees); tests/test_anagram.py proves the non-empty
+    path on a planted corpus."""
+    return anagram_pipeline(spark, sf_dir)
+
+
+_ANAGRAM_GROUPS_ALL_SQL = (
+    WORDS_CTE
+    + """
+, pairs AS (
+    SELECT array_to_string(list_sort(string_split(word, '')), '') AS signature, word
+    FROM words
+), groups AS (
+    SELECT signature, list_sort(list(DISTINCT word)) AS ws
+    FROM pairs GROUP BY signature
+)
+SELECT signature,
+       CAST(len(ws) AS INT) AS group_size,
+       array_to_string(ws, ', ') AS anagrams_csv
+FROM groups
+"""
+)
+
+
+@register("anagram_groups_all", oracle=_ANAGRAM_GROUPS_ALL_SQL)
+def q_anagram_groups_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce stage without the HAVING (min_group_size=1): every signature
+    group with its distinct sorted members. Non-empty on the driver corpus,
+    so this is the smoke flagship `entry()` returns."""
+    return anagram_pipeline(spark, sf_dir, min_group_size=1)
+
+
+_TOKENIZE_SQL = (
+    WORDS_CTE
+    + """
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM words GROUP BY word
+"""
+)
+
+
+@register("tokenize_wordcount", oracle=_TOKENIZE_SQL)
+def q_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader stage in isolation (source_read + §2.2 projections/filters),
+    aggregated to word counts so the result is small and stable."""
+    return word_stream(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+_SIGNATURES_SQL = (
+    WORDS_CTE
+    + """
+SELECT DISTINCT word,
+       array_to_string(list_sort(string_split(word, '')), '') AS signature
+FROM words
+"""
+)
+
+
+@register("word_signatures", oracle=_SIGNATURES_SQL)
+def q_word_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_signature (§2.3) in isolation: distinct word -> signature."""
+    return op_map_signature(word_stream(spark, sf_dir)).select("word", "signature").distinct()
+
+
+# Portable stand-in for the djb2 bucket routing (§2.4): both engines derive
+# the bucket from the first 8 hex chars of md5(signature). Spark's real
+# shuffle partitioner needs no porting (groupBy plans hashpartitioning);
+# this query only demonstrates/validates explicit bucket routing.
+_HASH_PARTITION_SQL = (
+    WORDS_CTE
+    + """
+, pairs AS (
+    SELECT array_to_string(list_sort(string_split(word, '')), '') AS signature, word
+    FROM words
+)
+SELECT CAST(('0x' || substr(md5(signature), 1, 8))::BIGINT % 10 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT signature) AS BIGINT) AS n_signatures
+FROM pairs GROUP BY 1
+"""
+)
+
+
+@register("hash_partition_stats", oracle=_HASH_PARTITION_SQL)
+def q_hash_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash_partition (§2.4): per-bucket pair/signature counts under a
+    10-way content hash, mirroring SHUFFLER_HASH_MODULO=10
+    (reference src/.env.gc.yaml:12) without its signed-hash data loss."""
+    pairs = op_map_signature(word_stream(spark, sf_dir))
+    bucket = (
+        F.conv(F.substring(F.md5("signature"), 1, 8), 16, 10).cast("bigint") % 10
+    ).alias("bucket")
+    return pairs.groupBy(bucket).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("signature").alias("n_signatures"),
+    )
+
+
+_OUTPUT_LINES_SQL = (
+    WORDS_CTE
+    + """
+, pairs AS (
+    SELECT array_to_string(list_sort(string_split(word, '')), '') AS signature, word
+    FROM words
+), groups AS (
+    SELECT signature, list_sort(list(DISTINCT word)) AS ws
+    FROM pairs GROUP BY signature
+)
+SELECT signature || ': { ' || array_to_string(ws, ', ') || ' }' AS line
+FROM groups WHERE len(ws) > 1
+"""
+)
+
+
+@register("anagram_output_lines", oracle=_OUTPUT_LINES_SQL)
+def q_anagram_output_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_group + sink_concat (§2.5/§2.1): the exact output line format
+    `sig: { w1, w2 }` the reference writes (src/index.js:112,368-377).
+    Cross-group order is unspecified there (JS object iteration), so rows
+    here are an unordered set of lines; a single-file sink would be
+    `.coalesce(1).write.text(...)`."""
+    groups = op_group_anagrams(op_map_signature(word_stream(spark, sf_dir)))
+    return groups.select(
+        F.format_string("%s: { %s }", "signature", F.array_join("words", ", ")).alias("line")
+    )

@@ -1,0 +1,23 @@
+"""Plan-inspection helpers used by tests and the bench lane to assert the
+physical plan is the one we want (pushdown reached the scan, the join
+broadcast, no surplus Exchange) — not just that results are correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchanges in the physical plan (broadcasts excluded)."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line and "Reused" not in line
+    )

@@ -1,0 +1,60 @@
+"""Central query/oracle registry backing ``__spark_entry__``.
+
+Every operator module registers its public queries here:
+
+    @register("anagram_groups", oracle=ANAGRAM_SQL)
+    def anagram_groups(spark, sf_dir) -> DataFrame: ...
+
+``oracle`` is the equivalent DuckDB SQL (ANSI where possible) over the
+driver-registered views. Column names/aliases MUST match the Spark result —
+the driver sorts columns by name before value-hashing. Queries whose
+semantics DuckDB cannot express (streaming state, iterative) register with
+oracle=None and get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return dict(_ORACLES)
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    """Import operator modules for their registration side effects."""
+    global _loaded
+    if _loaded:
+        return
+    import cc_mapreducer_spark.operators  # noqa: F401
+
+    _loaded = True
