@@ -14,10 +14,20 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle Exchanges in the physical plan (broadcasts excluded)."""
+    """Number of shuffle Exchanges in the physical plan (broadcasts excluded).
+
+    Counts only the formatted plan's detail headers ("(n) Exchange") so the
+    tree rendering doesn't double-count each node."""
     plan = formatted_plan(df)
     return sum(
         1
         for line in plan.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line and "Reused" not in line
+        if line.strip().split(" ", 1)[-1] == "Exchange" and line.strip().startswith("(")
     )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final (post-AQE) physical plan; runs the query. Codegen spans show
+    up as '*(n)' markers only once AQE has finalized the plan."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]

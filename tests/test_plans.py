@@ -1,0 +1,60 @@
+"""Physical-plan assertions — scale-readiness, not just correctness.
+
+These pin the plan shapes that matter at 100 TB: dim joins must broadcast
+(no fact-side shuffle), filters must reach the parquet scan, global top-k
+must avoid a global sort, and the anagram pipeline must shuffle exactly
+once (its one semantic barrier)."""
+
+from __future__ import annotations
+
+from cc_mapreducer_spark import registry
+from cc_mapreducer_spark.plans.inspect import count_exchanges, executed_plan, formatted_plan
+from tests.conftest import SF_ORACLE
+
+Q = registry.all_queries()
+
+
+def test_dim_joins_broadcast(spark):
+    plan = formatted_plan(Q["join_broadcast_dims"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no dim join should shuffle the fact side
+
+
+def test_q1_filter_pushdown(spark):
+    plan = formatted_plan(Q["q1_pricing_summary"](spark, SF_ORACLE))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark):
+    plan = formatted_plan(Q["q1_pricing_summary"](spark, SF_ORACLE))
+    # scan must not read join keys/partkeys it doesn't need
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and "l_orderkey" not in scan_lines[0]
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = formatted_plan(Q["order_limit_topk"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anagram_single_shuffle(spark):
+    # tokenize -> filters -> signature -> groupBy: exactly ONE Exchange
+    # (the reference's shuffler stage); stop-word anti-join must broadcast.
+    df = Q["anagram_groups"](spark, SF_ORACLE)
+    assert count_exchanges(df) == 1
+    assert "BroadcastHashJoin" in formatted_plan(df)
+
+
+def test_q1_partial_aggregation(spark):
+    # map-side combine the reference lacks (SURVEY §2.5): HashAggregate
+    # appears both before and after the exchange
+    plan = formatted_plan(Q["q1_pricing_summary"](spark, SF_ORACLE))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_wholestage_codegen_hot_path(spark):
+    # '*(n)' markers = whole-stage-codegen spans in the final AQE plan;
+    # and no Python evaluation node may appear in the hot path.
+    plan = executed_plan(Q["q1_pricing_summary"](spark, SF_ORACLE))
+    assert "*(" in plan
+    assert "EvalPython" not in plan
