@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Benchmark lane: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:  {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is fully materialized through the noop sink (no driver
+collect — executor-side evaluation only, like a real write job).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from cc_mapreducer_spark import registry  # noqa: E402
+from cc_mapreducer_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# One representative per operator family (SURVEY §2 + §2.8).
+HEADLINE = [
+    "anagram_groups",            # the reference's entire pipeline
+    "tokenize_wordcount",        # reader/tokenizer stage
+    "q1_pricing_summary",        # wide hash agg
+    "q3_shipping_priority",      # fact⋈fact⋈dim join + top-k
+    "q5_local_supplier_volume",  # snowflake join
+    "window_rank_topn",          # window functions
+    "order_limit_topk",          # global top-k
+    "exact_dedup",               # content-hash dedup
+    "near_dedup_minhash",        # MinHash-LSH
+    "simhash_near_pairs",        # SimHash blocking
+    "similarity_topk_bruteforce",# embedding search
+    "text_stats",                # per-doc text measures
+    "event_sessionize",          # windows + sessionization
+]
+
+
+def main() -> None:
+    spark = get_spark("cc-mapreducer-spark-bench")
+    queries = registry.all_queries()
+    # warm the JVM + parquet footers so query 1 doesn't pay session startup
+    queries["q1_pricing_summary"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

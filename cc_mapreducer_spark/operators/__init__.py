@@ -2,4 +2,10 @@
 pair with cc_mapreducer_spark.registry (side-effect imports below)."""
 
 import cc_mapreducer_spark.operators.anagram  # noqa: F401
+import cc_mapreducer_spark.operators.dedup  # noqa: F401
+import cc_mapreducer_spark.operators.multimodal  # noqa: F401
 import cc_mapreducer_spark.operators.relational  # noqa: F401
+import cc_mapreducer_spark.operators.sessionize  # noqa: F401
+import cc_mapreducer_spark.operators.similarity  # noqa: F401
+import cc_mapreducer_spark.operators.text_analysis  # noqa: F401
+import cc_mapreducer_spark.streaming.events  # noqa: F401

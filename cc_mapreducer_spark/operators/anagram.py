@@ -29,7 +29,7 @@ from cc_mapreducer_spark.functions.text import (
     tokens,
 )
 from cc_mapreducer_spark.registry import register
-from cc_mapreducer_spark.tables import load_table
+from cc_mapreducer_spark.tables import load_table, spread
 
 # ---------------------------------------------------------------------------
 # Composable operators (DataFrame -> DataFrame), SURVEY §2 names
@@ -82,7 +82,7 @@ def op_group_anagrams(pairs: DataFrame, min_group_size: int = 2) -> DataFrame:
 def word_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text -> filtered word stream (the reference reader output,
     D2 in SURVEY §1)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return op_filter_stopwords(op_filter_minlen(op_tokenize(docs)))
 
 

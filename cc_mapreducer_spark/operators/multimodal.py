@@ -1,0 +1,153 @@
+"""Multimodal (binary) column plumbing (SURVEY.md §2.8; driver north-star).
+
+Images/audio/video are opaque `binary` payloads with typed metadata; the
+Spark-side machinery that matters at 100 TB is real here — schemas,
+Arrow-batched Pandas UDFs over `mapInPandas`, per-batch shaping — while the
+actual media decode is STUBBED (this container has no image/audio libs):
+`decode_stub_features` derives deterministic fake features from the bytes,
+and `decode_with_library` raises NotImplementedError at the exact seam
+where Pillow/librosa/ffmpeg would plug in.
+
+The driver tables carry no binary columns, so payloads are materialized
+from `documents.text` (utf-8 encode) — the plumbing is identical for real
+media bytes.
+
+Scale notes: binary payloads ride the scan, never the driver; mapInPandas
+streams Arrow batches so peak memory is one batch per task, and feature
+extraction parallelizes per input split. Keep payloads out of shuffle keys;
+aggregate on the extracted metadata instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("byte_len", LongType()),
+        StructField("content_sha", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+        StructField("fake_channels", IntegerType()),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text -> opaque binary payload + typed metadata, the schema
+    a real multimodal table would have (payload column stays lazy/columnar
+    in parquet; metadata is queryable without touching bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("bigint").alias("byte_len"),
+        F.sha2(payload, 256).alias("content_sha"),
+    )
+
+
+def decode_stub_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stub for the media decode stage: deterministic fake
+    dimensions derived from payload bytes (REAL decode would call
+    Pillow/librosa here — see decode_with_library)."""
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        byte_len = pdf["payload"].map(len).astype("int64")
+        first = pdf["payload"].map(lambda b: b[0] if len(b) else 0).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "byte_len": byte_len,
+                "fake_width": (1 + (first * 7 + byte_len) % 1024).astype("int32"),
+                "fake_height": (1 + (first * 13 + byte_len) % 768).astype("int32"),
+                "fake_channels": (1 + first % 4).astype("int32"),
+            }
+        )
+
+
+def decode_with_library(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The real-decoder seam. Signature and schema match
+    decode_stub_features; a deployment with media libs installed swaps this
+    in (Pillow for image/*, librosa/soundfile for audio/*, pyav for
+    video/*)."""
+    raise NotImplementedError(
+        "media decode libraries are not installed in this environment; "
+        "use decode_stub_features for the plumbing-verified fake path"
+    )
+
+
+# --------------------------------------------------------------------------
+# registered queries
+# --------------------------------------------------------------------------
+
+_BINARY_STATS_SQL = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       count(*) AS n_items,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+       -- DuckDB sha256 takes VARCHAR, not BLOB; hashing the string hashes
+       -- its UTF-8 bytes, which is exactly sha2(encode(text,'UTF-8')) in Spark
+       count(DISTINCT sha256(text)) AS n_distinct_payloads
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("multimodal_binary_stats", oracle=_BINARY_STATS_SQL)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan over the media table: per media type, payload
+    counts/sizes and distinct-content counts — the query pattern that must
+    NOT deserialize payloads (verify: ReadSchema would exclude `payload`
+    if this ran over a materialized parquet media table)."""
+    m = media_table(spark, sf_dir)
+    return m.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum("byte_len").cast("bigint").alias("total_bytes"),
+        F.max("byte_len").cast("bigint").alias("max_bytes"),
+        F.countDistinct("content_sha").alias("n_distinct_payloads"),
+    )
+
+
+@register("multimodal_decode_features")  # rows-only: mapInPandas stub, not SQL-expressible
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode stage over the payload column (stub features;
+    real decoder plugs into decode_with_library). Registered rows-only —
+    the point under test is the mapInPandas plumbing: schema, batch
+    iteration, payload bytes arriving intact."""
+    m = media_table(spark, sf_dir)
+    return m.mapInPandas(decode_stub_features, FEATURE_SCHEMA)

@@ -1,0 +1,220 @@
+"""Event-time windowing and sessionization over `events` (SURVEY.md §2.8).
+
+The reference's only notion of time is its completion barrier (SURVEY
+§2.6); these operators supply the event-time surface a pipeline needs:
+tumbling windows, gap-based sessions, and per-user ordering — batch here,
+with the streaming variants (same semantics, watermark + state store) in
+cc_mapreducer_spark/streaming/events.py.
+
+Determinism: window boundaries via date_trunc (not engine-specific window
+structs), timestamps leave as formatted strings, gaps in exact integer
+microseconds, value sums decimal-cast. Session derivation is the standard
+lag -> new-session flag -> running count composition, identical SQL shape
+in both engines.
+
+Scale notes: everything partitions by user_id (or the window key) —
+hash-uniform; a celebrity-user skew would be handled by AQE skew-join /
+salting, noted per operator. State never lives on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+# --------------------------------------------------------------------------
+# tumbling / hourly windows
+# --------------------------------------------------------------------------
+
+_TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("event_tumbling_hourly", oracle=_TUMBLING_SQL)
+def event_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    `window(ts, '1 hour')` aggregation — see streaming/events.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# gap-based sessionization (lag -> flag -> cumulative session index)
+# --------------------------------------------------------------------------
+
+_SESSIONIZE_SQL = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *,
+           CASE WHEN prev_ts IS NULL
+                  OR date_diff('microsecond', prev_ts, ts) > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), numbered AS (
+    SELECT user_id, event_id, ts, value,
+           sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       date_diff('microsecond', min(ts), max(ts)) AS duration_us,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+@register("event_sessionize", oracle=_SESSIONIZE_SQL)
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min inactivity): lag over (user, time) marks
+    session starts; a running sum numbers them; then per-session aggregates.
+    Two window passes + one groupBy, all partitioned by user_id."""
+    e = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_running = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            F.lag("ts").over(w_order).isNull()
+            | (
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_order)))
+                > SESSION_GAP_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum("new_session").over(w_running).cast("bigint").alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# native session_window cross-check
+# --------------------------------------------------------------------------
+
+_SESSION_WINDOW_SQL = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *,
+           CASE WHEN prev_ts IS NULL
+                  OR date_diff('microsecond', prev_ts, ts) > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), numbered AS (
+    SELECT user_id, event_id, ts,
+           sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+@register("event_session_window_native", oracle=_SESSION_WINDOW_SQL)
+def event_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in `session_window(ts, gap)` — the state-store-backed
+    operator the streaming path uses — cross-checked against the DuckDB
+    lag/cumsum derivation. session_window's start is the first event's ts;
+    gap semantics: a new session iff the gap STRICTLY exceeds 30 min is
+    matched by the oracle's `> gap` (session_window merges events within
+    [ts, ts+gap])."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# per-user event ordering / funnel shape
+# --------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
+    FROM events
+)
+SELECT user_id,
+       array_to_string(list(event_type ORDER BY step), '>') AS first5_path
+FROM seq WHERE step <= 5
+GROUP BY user_id
+"""
+
+
+@register("event_first5_path", oracle=_FUNNEL_SQL)
+def event_first5_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's first-5-event path as a '>'-joined string (funnel
+    analysis primitive): ordered collect via sort on (step) inside the
+    group — array_sort on (step, event_type) structs keeps it
+    deterministic without relying on collect order."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.row_number().over(w).alias("step")).filter(
+        F.col("step") <= 5
+    )
+    return seq.groupBy("user_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(step, event_type))), s -> s.event_type)"),
+            ">",
+        ).alias("first5_path")
+    )

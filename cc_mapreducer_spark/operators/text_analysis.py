@@ -1,0 +1,264 @@
+"""Text-analysis operators for training-data curation (SURVEY.md §2.8).
+
+Per-document statistics, language-ID heuristic, quality scoring, token
+counting, and content fingerprinting over the `documents` table — the
+generalization of the reference's `_read` tokenizer stage (src/index.js:48-55)
+into the measures an LLM-data pipeline computes per document.
+
+Everything is built-in expressions over one scan of `documents` — these
+operators are embarrassingly parallel (no shuffle except final aggregates),
+so at 100 TB they run at scan speed. Ratios are integer-count divisions
+(exact parity with the DuckDB oracle); no engine `avg` over doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cc_mapreducer_spark.functions.text import STOP_WORDS, stop_words_sql_list
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table, spread
+
+_SPARK_WORDS = "filter(split(regexp_replace(lower(text), '[^a-z]+', ' '), ' '), w -> w != '')"
+_DUCK_WORDS = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),"
+    " w -> w != '')"
+)
+
+# --------------------------------------------------------------------------
+# per-document statistics
+# --------------------------------------------------------------------------
+
+_TEXT_STATS_SQL = f"""
+WITH w AS (
+    SELECT doc_id, lang, length(text) AS n_chars_actual, {_DUCK_WORDS} AS ws
+    FROM documents
+)
+SELECT doc_id, lang, n_chars_actual,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique_words,
+       CAST(list_sum([length(x) for x in ws]) AS DOUBLE) / len(ws) AS avg_word_len,
+       CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS type_token_ratio
+FROM w WHERE len(ws) > 0
+"""
+
+
+@register("text_stats", oracle=_TEXT_STATS_SQL)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = docs.select(
+        "doc_id", "lang", F.length("text").alias("n_chars_actual"), F.expr(_SPARK_WORDS).alias("ws")
+    ).filter(F.size("ws") > 0)
+    return w.select(
+        "doc_id",
+        "lang",
+        "n_chars_actual",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("n_unique_words"),
+        (
+            F.expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))").cast("double")
+            / F.size("ws")
+        ).alias("avg_word_len"),
+        (F.size(F.array_distinct("ws")).cast("double") / F.size("ws")).alias("type_token_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID (stop-word-hit-rate heuristic)
+# --------------------------------------------------------------------------
+
+_LANG_ID_SQL = f"""
+WITH w AS (
+    SELECT doc_id, lang, {_DUCK_WORDS} AS ws FROM documents
+), scored AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(ws, x -> x IN {stop_words_sql_list()})) AS DOUBLE)
+             / len(ws) AS en_stopword_rate
+    FROM w WHERE len(ws) > 0
+)
+SELECT doc_id, lang AS lang_actual, en_stopword_rate,
+       CASE WHEN en_stopword_rate >= 0.05 THEN 'en' ELSE 'other' END AS lang_predicted
+FROM scored
+"""
+
+
+@register("lang_id_stopword", oracle=_LANG_ID_SQL)
+def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: fraction of tokens that are English stop
+    words. (A real n-gram model would score per-language profiles; the
+    plan shape — per-doc map, zero shuffle — is identical. The driver's
+    synthetic corpus shares one vocabulary across langs, so this measures
+    the heuristic's mechanics, not its accuracy.)"""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    stop_array = "array(" + ", ".join(f"'{w}'" for w in STOP_WORDS) + ")"
+    w = docs.select("doc_id", "lang", F.expr(_SPARK_WORDS).alias("ws")).filter(F.size("ws") > 0)
+    scored = w.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        (
+            F.expr(f"size(filter(ws, x -> array_contains({stop_array}, x)))").cast("double")
+            / F.size("ws")
+        ).alias("en_stopword_rate"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang_actual",
+        "en_stopword_rate",
+        F.when(F.col("en_stopword_rate") >= 0.05, "en").otherwise("other").alias("lang_predicted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+_QUALITY_SQL = f"""
+WITH w AS (
+    SELECT doc_id, text, length(text) AS n_chars, {_DUCK_WORDS} AS ws
+    FROM documents
+), m AS (
+    SELECT doc_id, n_chars,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / n_chars AS punct_ratio,
+           CAST(len(list_filter(ws, x -> x IN {stop_words_sql_list()})) AS DOUBLE)
+             / len(ws) AS stopword_ratio,
+           CAST(len(list_filter(ws, x -> length(x) > 2)) AS DOUBLE)
+             / len(ws) AS long_word_ratio
+    FROM w WHERE len(ws) > 0 AND n_chars > 0
+)
+SELECT doc_id, n_words, punct_ratio, stopword_ratio, long_word_ratio,
+       -- literals cast to DOUBLE: DuckDB parses 0.4 as DECIMAL and would
+       -- fold 0.4+0.2 exactly, diverging from Spark's double arithmetic
+       (CASE WHEN n_words BETWEEN 20 AND 5000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        + CASE WHEN punct_ratio < 0.1 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        + CAST(0.2 AS DOUBLE) * stopword_ratio + CAST(0.2 AS DOUBLE) * long_word_ratio) AS quality_score
+FROM m
+"""
+
+
+@register("quality_score", oracle=_QUALITY_SQL)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length band, punctuation ratio, stop-word
+    ratio, long-word ratio, combined into a [0,1]-ish score (the classic
+    C4/Gopher-style rule family, minus the ones needing a model)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    stop_array = "array(" + ", ".join(f"'{w}'" for w in STOP_WORDS) + ")"
+    w = docs.select(
+        "doc_id", "text", F.length("text").alias("n_chars"), F.expr(_SPARK_WORDS).alias("ws")
+    ).filter((F.size("ws") > 0) & (F.col("n_chars") > 0))
+    m = w.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        (
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+            / F.col("n_chars")
+        ).alias("punct_ratio"),
+        (
+            F.expr(f"size(filter(ws, x -> array_contains({stop_array}, x)))").cast("double")
+            / F.size("ws")
+        ).alias("stopword_ratio"),
+        (
+            F.expr("size(filter(ws, x -> length(x) > 2))").cast("double") / F.size("ws")
+        ).alias("long_word_ratio"),
+    )
+    score = (
+        F.when(F.col("n_words").between(20, 5000), 0.4).otherwise(0.0)
+        + F.when(F.col("punct_ratio") < 0.1, 0.2).otherwise(0.0)
+        + 0.2 * F.col("stopword_ratio")
+        + 0.2 * F.col("long_word_ratio")
+    ).alias("quality_score")
+    return m.select(
+        "doc_id", "n_words", "punct_ratio", "stopword_ratio", "long_word_ratio", score
+    )
+
+
+# --------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex + chars-per-token estimate)
+# --------------------------------------------------------------------------
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_est_tokens
+FROM documents
+"""
+
+
+@register("token_count", oracle=_TOKEN_COUNT_SQL)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three token-count estimators per document: whitespace split, a
+    BPE-ish lexical regex (letter runs / digit runs / single punctuation),
+    and the chars/4 byte heuristic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))").cast("bigint").alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)"))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_est_tokens"),
+    )
+
+
+_CORPUS_TOKENS_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+@register("corpus_token_totals", oracle=_CORPUS_TOKENS_SQL)
+def corpus_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("size(filter(split(text, ' '), x -> x != ''))"))
+        .cast("bigint")
+        .alias("total_ws_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting (content hash + min-k-gram winnow-lite)
+# --------------------------------------------------------------------------
+
+_FINGERPRINT_SQL = """
+WITH norm AS (
+    SELECT doc_id, regexp_replace(lower(text), '[^a-z]+', ' ', 'g') AS nt
+    FROM documents
+)
+SELECT doc_id,
+       md5(nt) AS content_md5,
+       CASE WHEN length(nt) >= 16
+            THEN list_min([md5(substr(nt, i, 16)) for i in range(1, length(nt) - 14)])
+            ELSE md5(nt) END AS min_kgram_hash
+FROM norm
+"""
+
+
+@register("doc_fingerprint", oracle=_FINGERPRINT_SQL)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite fingerprint: md5 of the normalized text plus the
+    minimum md5 over all 16-char k-grams (a 1-hash sketch of the rolling
+    window family; robust to content reordering at the edges)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = docs.select(
+        "doc_id", F.regexp_replace(F.lower("text"), "[^a-z]+", " ").alias("nt")
+    )
+    return norm.select(
+        "doc_id",
+        F.md5("nt").alias("content_md5"),
+        F.when(
+            F.length("nt") >= 16,
+            F.array_min(
+                F.expr("transform(sequence(1, length(nt) - 15), i -> md5(substring(nt, i, 16)))")
+            ),
+        )
+        .otherwise(F.md5("nt"))
+        .alias("min_kgram_hash"),
+    )

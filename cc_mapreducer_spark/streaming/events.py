@@ -1,0 +1,116 @@
+"""Structured Streaming variants of the event operators (SURVEY.md §2.8).
+
+The reference uses Pub/Sub purely as a control-plane trigger bus (messages
+carry file pointers, never rows — SURVEY §2.7 "Streaming: none"); the
+streaming surface a real pipeline needs is event-time processing over a
+data stream. Here the driver's events parquet plays the stream via the
+file source (`readStream` + availableNow trigger), exercising the actual
+streaming machinery: incremental file discovery, event-time windows,
+watermarks, and the session-window state store.
+
+Batch equivalence is the test strategy (SURVEY §7 hard-part d): the
+tumbling aggregation runs in `complete` output mode so its final result
+equals the batch/DuckDB oracle exactly; the watermarked session query runs
+in `append` mode, whose emitted rows are by design the watermark-closed
+subset of the batch sessions — asserted as such in tests, registered
+rows-only for the driver.
+
+Scale notes: the same code targets Kafka by swapping the source; state
+(session windows) is partitioned by the grouping key across executors —
+nothing accumulates on the driver; memory-sink collection here is
+test-scale only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cc_mapreducer_spark.registry import register
+
+_SINK_SEQ = 0
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ts arrives as INT64
+    nanos — same nanosAsLong handling as tables.load_table).
+
+    The file source requires a DIRECTORY; the driver ships a single
+    parquet file, so stage a per-run temp dir with a symlink to it."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.abspath(f"{sf_dir}/events.parquet")
+    schema = spark.read.parquet(path).schema
+    stage_dir = tempfile.mkdtemp(prefix="cc_mr_spark_stream_")
+    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stage_dir)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming aggregation to completion (availableNow) into a
+    memory sink; return the final table."""
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    name = f"stream_sink_{_SINK_SEQ}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+# Same oracle as the batch event_tumbling_hourly: complete-mode streaming
+# over a finite source must converge to the batch answer.
+_TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_tumbling_hourly", oracle=_TUMBLING_SQL)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows computed BY THE STREAMING ENGINE (file
+    source -> window() aggregation -> complete mode -> memory sink), then
+    returned as a batch DataFrame. Result must equal the batch oracle —
+    the batch-equivalence check for the streaming path."""
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+    )
+    result = _run_to_memory(agg, "complete")
+    return result.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register("streaming_sessionize_watermarked")  # rows-only: append emits watermark-closed subset
+def streaming_sessionize_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session windows (30-min gap, 1-hour late-data bound) in
+    append mode — the real streaming-sessionization operator with state
+    store + watermark eviction. Over a finite replay the tail sessions
+    stay open past the final watermark, so the emitted set is a strict
+    subset of the batch sessions (asserted in tests); hence rows-only."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = stream.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    result = _run_to_memory(agg, "append")
+    return result.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        "n_events",
+    )

@@ -27,6 +27,22 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before CPU-heavy per-row expression work.
+
+    The driver's tables are single parquet files, so a scan yields one
+    input split and all downstream tokenize/hash work would run on one
+    core. On a real cluster a 100 TB table arrives as thousands of splits
+    and this is a no-op (returns df unchanged when the scan is already at
+    least as wide as the default parallelism); locally it buys scan-stage
+    parallelism for the price of shuffling the (small) input."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")

