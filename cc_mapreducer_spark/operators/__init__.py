@@ -5,6 +5,7 @@ import cc_mapreducer_spark.operators.anagram  # noqa: F401
 import cc_mapreducer_spark.operators.dedup  # noqa: F401
 import cc_mapreducer_spark.operators.multimodal  # noqa: F401
 import cc_mapreducer_spark.operators.relational  # noqa: F401
+import cc_mapreducer_spark.operators.relational_extra  # noqa: F401
 import cc_mapreducer_spark.operators.sessionize  # noqa: F401
 import cc_mapreducer_spark.operators.similarity  # noqa: F401
 import cc_mapreducer_spark.operators.text_analysis  # noqa: F401

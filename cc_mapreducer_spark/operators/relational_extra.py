@@ -1,0 +1,311 @@
+"""Extended relational coverage (M3 continuation): outer/cross joins,
+pivot, exact percentiles, string/array/date function breadth, null
+semantics. Same determinism rules as relational.py (decimal-exact money,
+tiebroken limits, string-formatted timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table
+
+DEC = "decimal(12,2)"
+
+# --------------------------------------------------------------------------
+# outer / cross joins
+# --------------------------------------------------------------------------
+
+_LEFT_OUTER_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       count(o.o_orderkey) AS n_orders,
+       CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+GROUP BY c.c_custkey, c.c_mktsegment
+"""
+
+
+@register("join_left_outer", oracle=_LEFT_OUTER_SQL)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with a join-side predicate (kept in the ON clause, not
+    WHERE — the classic outer-join-predicate placement trap)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+_FULL_OUTER_SQL = """
+WITH by_seg AS (
+  SELECT c_mktsegment AS seg, count(*) AS n_cust FROM customer GROUP BY 1
+), by_pri AS (
+  SELECT o_orderpriority AS seg2, count(*) AS n_ord FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY 1
+)
+SELECT coalesce(a.seg, 'NONE') AS seg,
+       coalesce(b.seg2, 'NONE') AS seg2,
+       coalesce(a.n_cust, -1) AS n_cust,
+       coalesce(b.n_ord, -1) AS n_ord
+FROM by_seg a FULL OUTER JOIN by_pri b ON a.seg = b.seg2
+"""
+
+
+@register("join_full_outer", oracle=_FULL_OUTER_SQL)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER between two disjoint-keyed aggregates (all rows null-pad
+    on one side — exercises the null-completion path)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    by_seg = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(F.count("*").alias("n_cust"))
+    by_pri = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(F.col("o_orderpriority").alias("seg2"))
+        .agg(F.count("*").alias("n_ord"))
+    )
+    j = by_seg.join(by_pri, by_seg.seg == by_pri.seg2, "full_outer")
+    return j.select(
+        F.coalesce("seg", F.lit("NONE")).alias("seg"),
+        F.coalesce("seg2", F.lit("NONE")).alias("seg2"),
+        F.coalesce("n_cust", F.lit(-1)).alias("n_cust"),
+        F.coalesce("n_ord", F.lit(-1)).alias("n_ord"),
+    )
+
+
+_CROSS_JOIN_SQL = """
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+WHERE n.n_regionkey <> r.r_regionkey
+"""
+
+
+@register("join_cross_filtered", oracle=_CROSS_JOIN_SQL)
+def join_cross_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join with a non-equi filter (theta-join shape) —
+    bounded to the two dim tables; Spark plans BroadcastNestedLoopJoin."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).filter(F.col("n_regionkey") != F.col("r_regionkey")).select(
+        "r_name", "n_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot
+# --------------------------------------------------------------------------
+
+_PIVOT_SQL = """
+SELECT c.c_mktsegment,
+       count(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o.o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o.o_orderstatus = 'P') AS n_p,
+       CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(12,2)))
+            FILTER (WHERE o.o_orderstatus = 'F'), 0) AS DOUBLE) AS spend_f
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("pivot_status_by_segment", oracle=_PIVOT_SQL)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation). Expressed with explicit
+    when()-guarded aggregates rather than relational pivot() so the output
+    schema is static — at scale you always pin pivot values anyway (an
+    unpinned pivot runs an extra distinct-collect job on the driver)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice").cast(DEC))),
+            F.lit(0).cast(DEC),
+        )
+        .cast("double")
+        .alias("spend_f"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact percentiles (linear interpolation — verified identical engines)
+# --------------------------------------------------------------------------
+
+_PERCENTILE_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75,
+       CAST(min(o_totalprice) AS DOUBLE) AS price_min,
+       CAST(max(o_totalprice) AS DOUBLE) AS price_max
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("percentiles_by_status", oracle=_PERCENTILE_SQL)
+def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Spark `percentile` == DuckDB `quantile_cont`,
+    both linear-interpolating — verified bit-equal). At 100 TB you'd use
+    approx_percentile (t-digest) instead; exact percentile shuffles all
+    values per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        F.min("o_totalprice").cast("double").alias("price_min"),
+        F.max("o_totalprice").cast("double").alias("price_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# string function breadth
+# --------------------------------------------------------------------------
+
+_STRING_FN_SQL = """
+SELECT c_custkey,
+       trim(concat('  ', c_name, '  ')) AS name_trimmed,
+       reverse(c_name) AS name_rev,
+       repeat(c_mktsegment, 2) AS seg_twice,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+       left(c_name, 4) AS name_left4,
+       right(c_name, 3) AS name_right3,
+       strpos(c_name, '_') AS underscore_pos,
+       CAST(starts_with(c_mktsegment, 'BU') AS INT) AS is_building_prefix,
+       CAST(contains(c_name, '1') AS INT) AS has_one,
+       split_part(c_name, '_', 2) AS name_num_part
+FROM customer
+"""
+
+
+@register("string_functions", oracle=_STRING_FN_SQL)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("name_trimmed"),
+        F.reverse("c_name").alias("name_rev"),
+        F.repeat("c_mktsegment", 2).alias("seg_twice"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lower_vowels"),
+        F.substring("c_name", 1, 4).alias("name_left4"),
+        F.expr("right(c_name, 3)").alias("name_right3"),
+        F.locate("_", F.col("c_name")).cast("bigint").alias("underscore_pos"),
+        F.startswith("c_mktsegment", F.lit("BU")).cast("int").alias("is_building_prefix"),
+        F.contains("c_name", F.lit("1")).cast("int").alias("has_one"),
+        F.split_part("c_name", F.lit("_"), F.lit(2)).alias("name_num_part"),
+    )
+
+
+# --------------------------------------------------------------------------
+# array function breadth (deterministically-built arrays)
+# --------------------------------------------------------------------------
+
+_ARRAY_FN_SQL = """
+WITH per_order AS (
+    SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines,
+           list_sort(list(DISTINCT l_suppkey)) AS supps
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(lines) AS INT) AS n_lines,
+       lines[1] AS first_line,
+       lines[-1] AS last_line,
+       CAST(list_contains(supps, 1) AS INT) AS has_supp1,
+       array_to_string(lines, ',') AS lines_csv,
+       CAST(len(list_filter(lines, x -> x % 2 = 0)) AS INT) AS n_even_lines
+FROM per_order
+"""
+
+
+@register("array_functions", oracle=_ARRAY_FN_SQL)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array library over deterministically-sorted collected arrays
+    (collect_list order is nondeterministic — always array_sort before
+    any order-sensitive array op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("lines"),
+        F.array_sort(F.collect_set("l_suppkey")).alias("supps"),
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("lines").cast("int").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.element_at("lines", -1).alias("last_line"),
+        F.array_contains("supps", 1).cast("int").alias("has_supp1"),
+        F.array_join(F.transform("lines", lambda x: x.cast("string")), ",").alias("lines_csv"),
+        F.size(F.filter("lines", lambda x: x % 2 == 0)).cast("int").alias("n_even_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# date arithmetic + null semantics
+# --------------------------------------------------------------------------
+
+_DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+       CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm,
+       strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+       CAST((year(o_orderdate) % 4 = 0 AND (year(o_orderdate) % 100 <> 0 OR year(o_orderdate) % 400 = 0)) AS INT) AS in_leap_year
+FROM orders
+"""
+
+
+@register("date_arithmetic", oracle=_DATE_ARITH_SQL)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01")))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        (y * 100 + F.month("o_orderdate")).cast("int").alias("yyyymm"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias("quarter_start"),
+        ((y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))).cast("int").alias("in_leap_year"),
+    )
+
+
+_NULL_SEMANTICS_SQL = """
+WITH t AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS maybe_status
+    FROM orders
+)
+SELECT coalesce(maybe_status, '<null>') AS status_bucket,
+       count(*) AS n_total,
+       count(maybe_status) AS n_nonnull,
+       CAST(sum(CASE WHEN maybe_status IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe
+FROM t GROUP BY 1
+"""
+
+
+@register("null_semantics", oracle=_NULL_SEMANTICS_SQL)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL handling: count(*) vs count(col), null-safe equality (<=> is
+    Spark's IS NOT DISTINCT FROM), coalesce bucketing."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None).otherwise(F.col("o_orderstatus")).alias(
+            "maybe_status"
+        ),
+    )
+    return t.groupBy(F.coalesce("maybe_status", F.lit("<null>")).alias("status_bucket")).agg(
+        F.count("*").alias("n_total"),
+        F.count("maybe_status").alias("n_nonnull"),
+        F.sum(F.expr("CASE WHEN maybe_status <=> NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_null_safe"),
+    )
