@@ -1,0 +1,75 @@
+"""Bucketing and salting: plan-shape + result-equivalence proofs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc_mapreducer_spark.plans.inspect import count_exchanges, formatted_plan
+from cc_mapreducer_spark.plans.scale_patterns import salted_join, write_bucketed
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    # spark.sql.warehouse.dir is a static conf — tables land in the default
+    # ./spark-warehouse (gitignored); DROP TABLE below removes the files.
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    write_bucketed(o, "orders_b", "o_orderkey")
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey")
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
+    ot, lt = bucketed_tables
+    # disable auto-broadcast: at test scale orders fits a broadcast, which
+    # would hide the property under test (at 100 TB neither side does)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(ot).join(spark.table(lt), "o_orderkey").groupBy("o_orderstatus").count()
+        plan = formatted_plan(j)
+        # co-bucketed join: SortMergeJoin with ZERO shuffle exchanges before
+        # it (the only exchange allowed is the final groupBy's)
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount" in plan
+        assert count_exchanges(j) == 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_salted_join_equivalent_and_spread(spark):
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select("o_custkey", "o_orderkey")
+    c = (
+        spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+        .toDF("o_custkey", "c_mktsegment")
+    )
+    # customer renamed to share the key name; disable auto-broadcast so the
+    # salted shuffle path actually runs
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = o.join(c, "o_custkey").groupBy("c_mktsegment").count()
+        salted = salted_join(o, c, "o_custkey").groupBy("c_mktsegment").count()
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_q6_full_predicate_pushdown(spark):
+    from cc_mapreducer_spark import registry
+
+    plan = formatted_plan(registry.all_queries()["q6_forecast_revenue"](spark, SF_ORACLE))
+    for pushed in ["GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity,24.0)"]:
+        assert pushed in plan, f"missing pushed filter {pushed}"
+
+
+def test_approx_distinct_error_bound(spark):
+    from cc_mapreducer_spark import registry
+
+    rows = registry.all_queries()["approx_distinct_users"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) / r.exact_users < 0.05
