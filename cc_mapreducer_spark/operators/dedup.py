@@ -309,24 +309,32 @@ FROM blocked WHERE hamming <= 6
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with half-word blocking: a pair within
     Hamming distance <= 6 on 32 bits must agree exactly on the high or low
-    16 bits far more often than random, so the self-join blocks on either
-    half (two hash-keyed joins, union) instead of the n^2 cross join."""
-    sh = simhash_fingerprint(spark, sf_dir)
+    16 bits far more often than random.
+
+    The OR-of-equalities blocking predicate is deliberately NOT written as
+    one join condition — an OR can't drive a hash join and Spark would
+    plan a nested loop (n^2). Instead: two hash-keyed self-joins (one per
+    half-word), UNION, distinct — the standard multi-probe blocking plan;
+    union-distinct of the two equality joins == the OR predicate."""
+    sh = simhash_fingerprint(spark, sf_dir).cache()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    blocked = a.join(
-        b,
-        (F.col("doc_a") < F.col("doc_b"))
-        & (
-            (F.expr("sh_a >> 16") == F.expr("sh_b >> 16"))
-            | (F.expr("sh_a & 65535") == F.expr("sh_b & 65535"))
-        ),
-    ).select(
+
+    def _block(expr_a: str, expr_b: str) -> DataFrame:
+        aa = a.withColumn("blk", F.expr(expr_a))
+        bb = b.withColumn("blk", F.expr(expr_b))
+        return aa.join(bb, ["blk"]).filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b", "sh_a", "sh_b"
+        )
+
+    blocked = _block("sh_a >> 16", "sh_b >> 16").unionAll(
+        _block("sh_a & 65535", "sh_b & 65535")
+    ).distinct()
+    return blocked.select(
         "doc_a",
         "doc_b",
         F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
-    )
-    return blocked.filter(F.col("hamming") <= 6)
+    ).filter(F.col("hamming") <= 6)
 
 
 # --------------------------------------------------------------------------

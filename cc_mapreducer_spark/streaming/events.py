@@ -97,6 +97,34 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same oracle as the batch event_sliding_windows (time_bucket derivation).
+_SLIDING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes'),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM events CROSS JOIN range(0, 4) t(k)
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_sliding_windows", oracle=_SLIDING_SQL)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h/15min sliding windows computed by the streaming engine in
+    complete mode — converges to the batch/DuckDB answer over the finite
+    replay, like streaming_tumbling_hourly."""
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    result = _run_to_memory(agg, "complete")
+    return result.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
 @register("streaming_sessionize_watermarked")  # rows-only: append emits watermark-closed subset
 def streaming_sessionize_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked session windows (30-min gap, 1-hour late-data bound) in

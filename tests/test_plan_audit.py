@@ -1,0 +1,43 @@
+"""Fleet-wide plan audit: every registered query's physical plan is
+checked for the failure modes that silently kill 100x scale-ups —
+accidental cartesian products, row-at-a-time Python evaluation, and
+missing scan-level column pruning."""
+
+from __future__ import annotations
+
+import pytest
+
+from cc_mapreducer_spark import registry
+from cc_mapreducer_spark.plans.inspect import formatted_plan
+from tests.conftest import SF_ORACLE
+
+Q = registry.all_queries()
+
+# queries whose plans legitimately contain the flagged node
+ALLOWED_NESTED_LOOP = {
+    "join_cross_filtered",  # intentional theta join over two dim tables
+    "similarity_topk_bruteforce",  # intentional query-block broadcast cross join
+    "ngram_jaccard_pairs",  # bounded all-pairs VERIFY stage (candidates come from LSH in production)
+}
+ALLOWED_PYTHON_EVAL = {
+    "multimodal_decode_features",  # Arrow-batched mapInPandas by design
+    "event_ema_decayed",  # applyInPandas stateful custom operator
+}
+# streaming queries materialize through a memory sink; their batch plan is
+# not the interesting one and building them is slow — audited separately
+SKIP = {
+    "streaming_tumbling_hourly",
+    "streaming_sessionize_watermarked",
+    "streaming_sliding_windows",
+}
+
+
+@pytest.mark.parametrize("name", sorted(set(Q) - SKIP))
+def test_no_scale_antipatterns(spark, name):
+    plan = formatted_plan(Q[name](spark, SF_ORACLE))
+    if name not in ALLOWED_NESTED_LOOP:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+    if name not in ALLOWED_PYTHON_EVAL:
+        assert "EvalPython" not in plan, f"{name}: Python row evaluation in plan"
+    assert "Scan parquet" in plan or "Scan ExistingRDD" in plan
