@@ -249,6 +249,86 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# window distribution functions
+# --------------------------------------------------------------------------
+
+_WINDOW_DIST_SQL = """
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER w AS balance_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(first_value(c_custkey) OVER w AS BIGINT) AS poorest_in_seg,
+       CAST(nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS second_poorest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("window_distribution", oracle=_WINDOW_DIST_SQL)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile/percent_rank/cume_dist (exact
+    integer-ratio math in both engines) + first/nth value over a full
+    frame."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(w).cast("bigint").alias("poorest_in_seg"),
+        F.nth_value("c_custkey", 2).over(w_full).cast("bigint").alias("second_poorest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# unpivot / stack
+# --------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+           CAST(count(*) AS DOUBLE) AS n_orders,
+           CAST(count(DISTINCT o.o_custkey) AS DOUBLE) AS n_customers
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+)
+SELECT segment, metric, value
+FROM seg UNPIVOT (value FOR metric IN (total_price, n_orders, n_customers))
+"""
+
+
+@register("unpivot_segment_metrics", oracle=_UNPIVOT_SQL)
+def unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): Spark's unpivot == SQL stack(); metric
+    columns cast to a common DOUBLE first (unpivot requires one value
+    type)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+            F.count("*").cast("double").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+        )
+    )
+    return seg.unpivot(
+        ids=["segment"],
+        values=["total_price", "n_orders", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# --------------------------------------------------------------------------
 # date arithmetic + null semantics
 # --------------------------------------------------------------------------
 

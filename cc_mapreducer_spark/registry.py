@@ -25,11 +25,34 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, applied defensively because
+    the caller (the driver) brings its own SparkSession:
+
+    - UTC session timezone: timestamp rendering/collection must match the
+      DuckDB oracle's naive-UTC timestamps or every formatted ts drifts.
+    - AQE: runtime partition coalescing + skew-join splitting; the plans
+      here are sized assuming it (SURVEY §4).
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # a locked-down conf is not worth failing the query over
+
+
 def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query registration: {name}")
-        _QUERIES[name] = fn
+
+        def tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _tune_session(spark)
+            return fn(spark, sf_dir)
+
+        tuned.__name__ = getattr(fn, "__name__", name)
+        tuned.__doc__ = fn.__doc__
+        _QUERIES[name] = tuned
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
