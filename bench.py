@@ -49,11 +49,17 @@ def main() -> None:
     # warm the JVM + parquet footers so query 1 doesn't pay session startup
     queries["q1_pricing_summary"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
+    # best-of-N per query: local-mode wall clock is noisy (JIT, page cache);
+    # the minimum is the stable, load-independent estimate of plan cost
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

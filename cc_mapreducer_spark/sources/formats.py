@@ -1,0 +1,29 @@
+"""File-format support beyond parquet (SURVEY §2.1 notes the reference is
+plain-text-only; a usable engine needs the standard interchange formats).
+
+CSV and JSON (line-delimited) readers/writers with explicit schemas —
+schema inference is a convenience for exploration only; at 100 TB an
+inference pass is a full extra scan, so production reads always pass the
+schema (and get header/partition handling for free from the file source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)

@@ -1,0 +1,94 @@
+"""CSV/JSONL format roundtrips with explicit schemas, plus invariant
+property tests that need no oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cc_mapreducer_spark import registry
+from cc_mapreducer_spark.sources.formats import read_csv, read_jsonl, write_csv, write_jsonl
+from tests.conftest import SF_SMOKE
+
+Q = registry.all_queries()
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = _orders(spark)
+    out = str(tmp_path / "csv")
+    write_csv(df, out)
+    back = read_csv(spark, out, df.schema)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = _orders(spark)
+    out = str(tmp_path / "jsonl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jsonl_nested_roundtrip(spark, tmp_path):
+    """JSON must carry nested structs/arrays intact (the shape multimodal
+    metadata and band signatures use)."""
+    df = spark.createDataFrame(
+        [(1, {"w": 10, "h": 20}, ["a", "b"]), (2, {"w": 5, "h": 7}, [])],
+        "id long, meta struct<w:int,h:int>, tags array<string>",
+    )
+    out = str(tmp_path / "nested")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, df.schema)
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+# --------------------------------------------------------------------------
+# oracle-free invariants
+# --------------------------------------------------------------------------
+
+
+def test_exact_dedup_idempotent(spark):
+    """Deduplicating a deduplicated corpus changes nothing."""
+    once = Q["exact_dedup"](spark, SF_SMOKE)
+    kept = once.count()
+    # re-dedup over the surviving (content_sha) set: every group is size 1
+    again = once.groupBy("content_sha").count().filter(F.col("count") > 1).count()
+    assert again == 0 and kept > 0
+
+
+def test_sessionize_conservation(spark):
+    """Session event counts must sum to the table's row count, and every
+    session duration fits inside the observed time range."""
+    sessions = Q["event_sessionize"](spark, SF_SMOKE)
+    total = sessions.agg(F.sum("n_events")).first()[0]
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert total == n_events
+    max_dur = sessions.agg(F.max("duration_us")).first()[0]
+    assert max_dur >= 0
+
+
+def test_minhash_pairs_are_symmetric_free(spark):
+    """Candidate pairs are emitted once (doc_a < doc_b), never mirrored."""
+    pairs = Q["near_dedup_minhash"](spark, SF_SMOKE).collect()
+    seen = {(r.doc_a, r.doc_b) for r in pairs}
+    assert all(a < b for a, b in seen)
+    assert all((b, a) not in seen for a, b in seen)
+    assert all(0.0 <= r.jaccard <= 1.0 for r in pairs)
+
+
+def test_similarity_cosine_bounds(spark):
+    rows = Q["similarity_topk_bruteforce"](spark, SF_SMOKE).collect()
+    assert all(-1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9 for r in rows)
+    # ranks are dense 1..k per query
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r.rn)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
