@@ -17,6 +17,43 @@ import os
 from pyspark.sql import SparkSession
 
 
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 8,
+    executor_mem_gb: int = 32,
+    input_tb: float = 100.0,
+) -> dict[str, str]:
+    """Recommended conf for the real deployment this code targets
+    (documentation-as-code; local get_spark() mirrors the semantics).
+
+    Sizing logic:
+      - shuffle.partitions ~ 2-3 tasks per core so stragglers overlap;
+        AQE coalesces small stages back down at runtime.
+      - maxPartitionBytes 256m: ~400k input splits for 100 TB — enough
+        parallelism without task-launch overhead dominating.
+      - advisoryPartitionSizeInBytes 128m: post-shuffle target that fits
+        comfortably in executor memory with room for hash tables.
+      - broadcast threshold 64m: every dim table in this schema fits;
+        fact-fact joins still shuffle (and AQE splits their skew).
+    """
+    parallelism = executors * cores_per_executor
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.shuffle.partitions": str(parallelism * 2),
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.speculation": "true",
+    }
+
+
 def get_spark(app_name: str = "cc-mapreducer-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

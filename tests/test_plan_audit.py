@@ -29,6 +29,7 @@ SKIP = {
     "streaming_tumbling_hourly",
     "streaming_sessionize_watermarked",
     "streaming_sliding_windows",
+    "streaming_stateful_user_totals",
 }
 
 
