@@ -174,6 +174,52 @@ FROM words GROUP BY word
 """
 )
 
+# Faithful mode: the reference's apostrophe regex /'/  lacks the g flag
+# (src/index.js:50), so only the FIRST apostrophe per document is removed
+# (joining its neighbors); the rest become word breaks. DuckDB's
+# regexp_replace without the 'g' flag has the same first-match-only
+# semantics, and Spark exposes it via regexp_replace's position overload.
+_TOKENIZE_FAITHFUL_SQL = f"""
+WITH stripped AS (
+    SELECT regexp_replace(lower(text), '''', '') AS t1 FROM documents
+), toks AS (
+    SELECT unnest(string_split(regexp_replace(t1, '[^a-z]+', ' ', 'g'), ' ')) AS word
+    FROM stripped
+), words AS (
+    SELECT word FROM toks
+    WHERE length(word) > 1 AND word NOT IN {stop_words_sql_list()}
+)
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM words GROUP BY word
+"""
+
+
+@register("tokenize_wordcount_faithful", oracle=_TOKENIZE_FAITHFUL_SQL)
+def q_tokenize_wordcount_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-faithful reader mode reproducing the reference's
+    first-apostrophe-only quirk (SURVEY §2.2): in a document containing
+    "don't ... can't", the first apostrophe is deleted (-> "dont") and all
+    later ones break words (-> "can", "t"). The sane-mode default
+    (tokenize_wordcount) treats every apostrophe as a break; both modes
+    agree on the driver's apostrophe-free corpus and diverge exactly as
+    the reference does on real text (unit-tested)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # remove ONLY the first apostrophe: prefix before it + remainder after.
+    # (Spark's 4-arg regexp_replace position arg does NOT mean
+    # first-match-only — it replaces all matches from that position.)
+    stripped = F.expr(
+        "concat(substring_index(lower(text), \"'\", 1),"
+        " substring(lower(text), length(substring_index(lower(text), \"'\", 1)) + 2))"
+    )
+    words = (
+        docs.select(
+            F.explode(F.split(F.regexp_replace(stripped, "[^a-z]+", " "), " ")).alias("word")
+        )
+        .filter(F.length("word") > 1)
+    )
+    words = op_filter_stopwords(words)
+    return words.groupBy("word").agg(F.count("*").alias("cnt"))
+
 
 @register("tokenize_wordcount", oracle=_TOKENIZE_SQL)
 def q_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,6 +98,78 @@ def decode_stub_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("resized_sha", StringType()),
+    ]
+)
+
+
+def resize_stub(target_w: int, target_h: int):
+    """mapInPandas stub for the image-resize stage: deterministic fake
+    (sha of payload + target dims). A real deployment replaces the body
+    with Pillow's Image.resize; the Spark-side contract — closure over
+    resize params, Arrow batches, output schema — is the real one."""
+    import hashlib
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sha = pdf["payload"].map(
+                lambda b: hashlib.sha256(bytes(b) + f"{target_w}x{target_h}".encode()).hexdigest()
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "resized_sha": sha,
+                }
+            )
+
+    return _resize
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def frame_sample_stub(n_frames: int = 4):
+    """mapInPandas stub for video frame sampling: emits n_frames rows per
+    video payload (1:N explode through Arrow — the batch-shape contract a
+    real pyav sampler has), frame bytes faked as slices of the payload."""
+    import hashlib
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["media_type"] == "video/mp4"]
+            if not len(vids):
+                continue
+            out = {"doc_id": [], "frame_idx": [], "frame_sha": []}
+            for _, row in vids.iterrows():
+                payload = bytes(row["payload"])
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    chunk = payload[i * step : (i + 1) * step]
+                    out["doc_id"].append(row["doc_id"])
+                    out["frame_idx"].append(i)
+                    out["frame_sha"].append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return _sample
+
+
 def decode_with_library(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """The real-decoder seam. Signature and schema match
     decode_stub_features; a deployment with media libs installed swaps this
@@ -151,3 +223,12 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration, payload bytes arriving intact."""
     m = media_table(spark, sf_dir)
     return m.mapInPandas(decode_stub_features, FEATURE_SCHEMA)
+
+
+@register("multimodal_frame_sample")  # rows-only: frame shas come from the Python stub
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1:N explode through mapInPandas): 4 fake
+    frames per video payload. Rows-only; tests pin the per-video frame
+    count and hash determinism."""
+    m = media_table(spark, sf_dir)
+    return m.mapInPandas(frame_sample_stub(4), FRAME_SCHEMA)

@@ -139,3 +139,55 @@ def test_shingle_sets_shape(spark):
     sets = shingle_sets(spark, SF_SMOKE).collect()
     assert all(len(r.ss) == len(set(r.ss)) for r in sets)  # distinct
     assert all(all(len(s.split(" ")) == 3 for s in r.ss) for r in sets if r.ss)
+
+
+def test_multimodal_resize_stub(spark):
+    from cc_mapreducer_spark.operators.multimodal import RESIZE_SCHEMA, media_table, resize_stub
+
+    m = media_table(spark, SF_SMOKE)
+    out = m.mapInPandas(resize_stub(224, 224), RESIZE_SCHEMA)
+    rows = out.collect()
+    assert len(rows) == m.count()
+    assert all(r.target_w == 224 and r.target_h == 224 for r in rows)
+    # deterministic across runs
+    again = m.mapInPandas(resize_stub(224, 224), RESIZE_SCHEMA).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_multimodal_frame_sample_stub(spark):
+    from cc_mapreducer_spark import registry as R
+
+    out = R.all_queries()["multimodal_frame_sample"](spark, SF_SMOKE)
+    rows = out.collect()
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in rows)
+    assert len(per_doc) > 0
+    assert all(v == 4 for v in per_doc.values())  # 4 frames per video
+    assert all(d % 3 == 2 for d in per_doc)  # only video/mp4 payloads
+
+
+def test_faithful_vs_sane_tokenizer_divergence(spark):
+    """On apostrophe-bearing text the two modes diverge exactly as the
+    reference's bug does; on the driver's corpus they agree."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(1, "don't stop, can't won't")], ["doc_id", "text"])
+    sane = (
+        docs.select(
+            F.explode(F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " ")).alias("w")
+        )
+        .filter(F.length("w") > 1)
+    )
+    stripped = F.expr(
+        "concat(substring_index(lower(text), \"'\", 1),"
+        " substring(lower(text), length(substring_index(lower(text), \"'\", 1)) + 2))"
+    )
+    faithful = (
+        docs.select(
+            F.explode(F.split(F.regexp_replace(stripped, "[^a-z]+", " "), " ")).alias("w")
+        )
+        .filter(F.length("w") > 1)
+    )
+    assert sorted(r.w for r in sane.collect()) == ["can", "don", "stop", "won"]
+    assert sorted(r.w for r in faithful.collect()) == ["can", "dont", "stop", "won"]
