@@ -13,6 +13,11 @@ from cc_mapreducer_spark.tables import load_table
 
 DEC = "decimal(12,2)"
 
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(DEC)
+
+
 # --------------------------------------------------------------------------
 # outer / cross joins
 # --------------------------------------------------------------------------
@@ -388,4 +393,62 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CASE WHEN maybe_status <=> NULL THEN 1 ELSE 0 END"))
         .cast("bigint")
         .alias("n_null_safe"),
+    )
+
+
+# --------------------------------------------------------------------------
+# statistical moments from exact sums (engine-native stddev/corr use
+# Welford-style accumulation whose FP order differs between engines; the
+# sums-of-powers form is exact in decimal, then one identical double
+# expression tree on both sides)
+# --------------------------------------------------------------------------
+
+_MOMENTS_SQL = """
+WITH s AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx2,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy2,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       sx / n AS mean_qty,
+       (sx2 - sx * sx / n) / (n - 1) AS var_qty,
+       sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_qty,
+       (n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr_qty_price
+FROM s
+"""
+
+
+@register("stats_exact_moments", oracle=_MOMENTS_SQL)
+def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/stddev/correlation derived from exact decimal
+    sums-of-powers (NOT the engines' native stddev/corr, whose streaming
+    accumulation order is engine-specific), then one identical double
+    expression tree — bit-equal across engines and partitionings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = _dec("l_quantity"), _dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sx2"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(p * p).cast("double").alias("sy2"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
+    sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        ((sx2 - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sx2 - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+        ).alias("corr_qty_price"),
     )
