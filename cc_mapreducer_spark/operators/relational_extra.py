@@ -452,3 +452,69 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
         ).alias("corr_qty_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE window frames (value-based, interval-bounded) + arg_min/arg_max
+# --------------------------------------------------------------------------
+
+_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       count(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+       ) AS orders_last_30d,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS spend_last_30d
+FROM orders
+"""
+
+
+@register("window_range_frame", oracle=_RANGE_FRAME_SQL)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (30-day rolling window per customer) —
+    unlike ROWS frames, peers with equal order keys share results, so the
+    result is deterministic without an orderkey tiebreak. Expressed in SQL
+    because the Python Window API only takes numeric range bounds."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_rf")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               count(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS orders_last_30d,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS spend_last_30d
+        FROM orders_rf
+        """
+    )
+
+
+_ARGMINMAX_SQL = """
+SELECT c_mktsegment,
+       arg_min(c_name, c_custkey) AS first_customer,
+       arg_max(c_name, c_custkey) AS last_customer,
+       arg_max(c_name, c_acctbal) AS richest_customer
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("argmin_argmax", oracle=_ARGMINMAX_SQL)
+def argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by == DuckDB arg_min/arg_max. Ordering keys here are
+    unique per group (custkey always; acctbal verified unique at the test
+    SFs) so results are deterministic — with ties these aggregates are
+    engine- and order-dependent, the classic correctness trap."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.min_by("c_name", "c_custkey").alias("first_customer"),
+        F.max_by("c_name", "c_custkey").alias("last_customer"),
+        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+    )
