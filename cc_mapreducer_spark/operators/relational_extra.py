@@ -518,3 +518,34 @@ def argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("c_name", "c_custkey").alias("last_customer"),
         F.max_by("c_name", "c_acctbal").alias("richest_customer"),
     )
+
+
+_REGEX_GROUPS_SQL = """
+SELECT c_custkey,
+       regexp_extract(c_name, '([A-Z]+)_([0-9]+)', 1) AS name_word,
+       regexp_extract(c_name, '([A-Z]+)_([0-9]+)', 2) AS name_num,
+       CAST(regexp_matches(c_name, '^CUSTOMER_[0-9]+$') AS INT) AS is_canonical,
+       least(c_acctbal, 1000.0) AS bal_capped,
+       greatest(CAST(c_nationkey AS BIGINT), 10) AS natkey_floor10
+FROM customer
+"""
+
+
+@register("regex_extract_groups", oracle=_REGEX_GROUPS_SQL)
+def regex_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture groups (Spark regexp_extract idx == DuckDB group
+    idx), full-match test, and least/greatest. Both engines back these
+    regexes with the same semantics on this pattern class (anchors,
+    classes, quantifiers — no lookaround, which RE2 lacks)."""
+    c = load_table(spark, sf_dir, "customer")
+    pat = "([A-Z]+)_([0-9]+)"
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", pat, 1).alias("name_word"),
+        F.regexp_extract("c_name", pat, 2).alias("name_num"),
+        F.col("c_name").rlike("^CUSTOMER_[0-9]+$").cast("int").alias("is_canonical"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_capped"),
+        F.greatest(F.col("c_nationkey").cast("bigint"), F.lit(10).cast("bigint")).alias(
+            "natkey_floor10"
+        ),
+    )
