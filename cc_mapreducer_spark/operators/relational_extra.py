@@ -418,7 +418,11 @@ SELECT l_returnflag, n,
        sx / n AS mean_qty,
        (sx2 - sx * sx / n) / (n - 1) AS var_qty,
        sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_qty,
-       (n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr_qty_price
+       -- corr consumes sums whose integer-unit magnitude exceeds 2^53:
+       -- DECIMAL->DOUBLE casting rounds once in Spark (BigDecimal) but
+       -- twice in DuckDB (int128->double, then /10^scale), so the raw
+       -- doubles can differ by 1 ULP; round(12) absorbs it
+       round((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 12) AS corr_qty_price
 FROM s
 """
 
@@ -447,9 +451,10 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sx / n).alias("mean_qty"),
         ((sx2 - sx * sx / n) / (n - 1)).alias("var_qty"),
         F.sqrt((sx2 - sx * sx / n) / (n - 1)).alias("stddev_qty"),
-        (
+        F.round(
             (n * sxy - sx * sy)
-            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)),
+            12,
         ).alias("corr_qty_price"),
     )
 
