@@ -554,3 +554,43 @@ def regex_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "natkey_floor10"
         ),
     )
+
+
+_HOF_ARRAY_SQL = """
+WITH per_order AS (
+    SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(list_filter(lines, x -> x > 5)) > 0 AS INT) AS any_gt5,
+       CAST(len(list_filter(lines, x -> x % 2 = 0)) = len(lines) AS INT) AS all_even,
+       CAST(list_sum(list_transform(lines, x -> x * x)) AS BIGINT) AS sum_sq,
+       array_to_string(list_transform(lines, x -> x * 10), ',') AS lines_x10_csv
+FROM per_order
+"""
+
+
+@register("higher_order_array_fns", oracle=_HOF_ARRAY_SQL)
+def higher_order_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (exists/forall/transform/aggregate)
+    over deterministically-sorted arrays. Fine OUTSIDE hot paths — these
+    lambdas run interpreted (no codegen), which is why the dedup shingle
+    path avoids them (see operators/dedup.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("lines")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.exists("lines", lambda x: x > 5).cast("int").alias("any_gt5"),
+        F.forall("lines", lambda x: x % 2 == 0).cast("int").alias("all_even"),
+        F.aggregate(
+            "lines", F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint") * x
+        ).alias("sum_sq"),
+        # string-rendered: array-typed result columns hash differently
+        # across pandas representations (numpy vs list), so results keep
+        # to scalar columns
+        F.array_join(
+            F.transform("lines", lambda x: (x * 10).cast("string")), ","
+        ).alias("lines_x10_csv"),
+    )
