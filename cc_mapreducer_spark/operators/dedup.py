@@ -111,7 +111,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# MinHash + LSH near-dedup (K=8 hashes, 4 bands x 2 rows)
+# MinHash + LSH near-dedup (K=8 hashes, 2 bands x 4 rows)
 # --------------------------------------------------------------------------
 
 # K=8 minhashes in 2 bands x 4 rows: candidate probability 1-(1-j^4)^2 —
@@ -160,7 +160,7 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.2
 @register("near_dedup_minhash", oracle=_NEAR_DEDUP_SQL)
 def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup: shingle -> K=8 salted-md5 minhashes ->
-    4 bands x 2 rows -> band-signature self-join -> exact-Jaccard verify.
+    2 bands x 4 rows -> band-signature self-join -> exact-Jaccard verify.
 
     The minimum of md5(salt:shingle) hex strings is the minhash (string
     order over a uniform hash = random permutation min). Candidate pairs
@@ -363,12 +363,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id < 40 here; in production the candidate set comes from LSH —
     this operator is the verify stage, never run on the full n^2)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    # Guard len<3: sequence(1, 0) steps BACKWARDS in Spark ([1,0]) while the
+    # oracle's range(1, len-1) is empty — emit an explicitly empty gram set
+    # for sub-3-char docs so both engines agree (mirrors _SPARK_SHINGLES).
     grams = docs.select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                "transform(sequence(1, greatest(length(regexp_replace(lower(text), '[^a-z]+', ' ')) - 2, 0)),"
+                "CASE WHEN length(regexp_replace(lower(text), '[^a-z]+', ' ')) >= 3 THEN "
+                "transform(sequence(1, length(regexp_replace(lower(text), '[^a-z]+', ' ')) - 2),"
                 " i -> substring(regexp_replace(lower(text), '[^a-z]+', ' '), i, 3))"
+                " ELSE CAST(array() AS array<string>) END"
             )
         ).alias("gs"),
     )

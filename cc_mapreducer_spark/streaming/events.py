@@ -29,21 +29,33 @@ from cc_mapreducer_spark.registry import register
 
 _SINK_SEQ = 0
 
+# One staging dir per events file, reused across invocations and removed at
+# interpreter exit — repeated query runs must not leak temp dirs (ADVICE r1).
+_STAGE_DIRS: dict[str, str] = {}
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (ts arrives as INT64
-    nanos — same nanosAsLong handling as tables.load_table).
+    nanos — the session-wide ``spark.sql.legacy.parquet.nanosAsLong`` conf
+    set here is the same one tables.load_table sets for the batch path).
 
     The file source requires a DIRECTORY; the driver ships a single
-    parquet file, so stage a per-run temp dir with a symlink to it."""
+    parquet file, so stage a temp dir with a symlink to it (cached per
+    source file, cleaned up via atexit)."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.abspath(f"{sf_dir}/events.parquet")
     schema = spark.read.parquet(path).schema
-    stage_dir = tempfile.mkdtemp(prefix="cc_mr_spark_stream_")
-    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
+    stage_dir = _STAGE_DIRS.get(path)
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="cc_mr_spark_stream_")
+        os.symlink(path, os.path.join(stage_dir, "events.parquet"))
+        _STAGE_DIRS[path] = stage_dir
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
     stream = spark.readStream.schema(schema).parquet(stage_dir)
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -27,6 +27,12 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# scan-width probe results keyed by the scan's file set: the answer is a
+# constant per (files, session), and df.rdd.getNumPartitions() instantiates
+# the RDD lineage — pay that once per table, not once per query build.
+_SPREAD_NPARTS: dict[tuple[str, ...], int] = {}
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Widen a narrow scan before CPU-heavy per-row expression work.
 
@@ -38,7 +44,12 @@ def spread(df: DataFrame) -> DataFrame:
     parallelism for the price of shuffling the (small) input."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files = tuple(df.inputFiles())  # metadata-only (FileIndex listing)
+    nparts = _SPREAD_NPARTS.get(files)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        _SPREAD_NPARTS[files] = nparts
+    if nparts < target:
         return df.repartition(target)
     return df
 
