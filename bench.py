@@ -36,8 +36,11 @@ HEADLINE = [
     "order_limit_topk",          # global top-k
     "exact_dedup",               # content-hash dedup
     "near_dedup_minhash",        # MinHash-LSH
+    "simhash_fingerprint",       # 64-way agg fingerprint
     "simhash_near_pairs",        # SimHash blocking
-    "similarity_topk_bruteforce",# embedding search
+    "similarity_topk_bruteforce",# embedding search (exact)
+    "similarity_topk_signlsh",   # embedding search (multi-table LSH)
+    "q18_large_volume_customers",# fact-fact semi-join agg
     "text_stats",                # per-doc text measures
     "event_sessionize",          # windows + sessionization
 ]

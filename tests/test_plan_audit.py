@@ -22,6 +22,11 @@ ALLOWED_NESTED_LOOP = {
 ALLOWED_PYTHON_EVAL = {
     "multimodal_decode_features",  # Arrow-batched mapInPandas by design
     "event_ema_decayed",  # applyInPandas stateful custom operator
+    # Arrow-batched numpy scoring, chosen by measurement (36x over the
+    # interpreted HOF fold — see operators/similarity.py module docstring)
+    "similarity_topk_bruteforce",
+    "similarity_topk_signlsh",
+    "near_dup_embeddings",
 }
 # streaming queries materialize through a memory sink; their batch plan is
 # not the interesting one and building them is slow — audited separately
@@ -39,6 +44,10 @@ def test_no_scale_antipatterns(spark, name):
     if name not in ALLOWED_NESTED_LOOP:
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+    # BatchEvalPython = row-at-a-time Python: forbidden everywhere.
+    # ArrowEvalPython / MapInPandas are Arrow-vectorized and allowed, but
+    # only where the operator deliberately opted into Python scoring.
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in ALLOWED_PYTHON_EVAL:
-        assert "EvalPython" not in plan, f"{name}: Python row evaluation in plan"
+        assert "EvalPython" not in plan, f"{name}: Python evaluation in plan"
     assert "Scan parquet" in plan or "Scan ExistingRDD" in plan
