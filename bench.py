@@ -28,20 +28,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # One representative per operator family (SURVEY §2 + §2.8).
 HEADLINE = [
     "anagram_groups",            # the reference's entire pipeline
-    "tokenize_wordcount",        # reader/tokenizer stage
+    "word_profile",              # reader/tokenizer stages (sane + faithful)
     "q1_pricing_summary",        # wide hash agg
-    "q3_shipping_priority",      # fact⋈fact⋈dim join + top-k
+    "q3_shipping_priority",      # fact⋈fact⋈dim join + top-k (TakeOrdered)
     "q5_local_supplier_volume",  # snowflake join
     "window_rank_topn",          # window functions
-    "order_limit_topk",          # global top-k
     "exact_dedup",               # content-hash dedup
-    "near_dedup_minhash",        # MinHash-LSH
+    "near_dedup_pairs",          # MinHash-LSH + ngram verify
     "simhash_fingerprint",       # 64-way agg fingerprint
     "simhash_near_pairs",        # SimHash blocking
     "similarity_topk_bruteforce",# embedding search (exact)
     "similarity_topk_signlsh",   # embedding search (multi-table LSH)
     "q18_large_volume_customers",# fact-fact semi-join agg
-    "text_stats",                # per-doc text measures
+    "text_profile",              # per-doc text measures (wide merge)
     "event_sessionize",          # windows + sessionization
 ]
 

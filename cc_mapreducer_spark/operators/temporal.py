@@ -44,7 +44,6 @@ FROM events
 """
 
 
-@register("asof_last_purchase", oracle=_ASOF_SQL)
 def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join expressed as an ordered-window `last(..., ignorenulls)`
     — the scalable form: one window pass over user-partitioned events,
@@ -86,7 +85,6 @@ GROUP BY p.purchase_id
 """
 
 
-@register("interval_join_after_purchase", oracle=_INTERVAL_JOIN_SQL)
 def interval_join_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: per purchase, activity in the following hour. The
     equi-key (user_id) carries the shuffle; the time range is a join-side
@@ -126,7 +124,6 @@ GROUP BY 1, 2
 """
 
 
-@register("event_sliding_windows", oracle=_SLIDING_SQL)
 def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1h length, 15min slide): each event
     belongs to 4 windows. Spark's window() materializes the assignment;
@@ -159,3 +156,58 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# consolidated temporal-join key (roster consolidation, round 2)
+# --------------------------------------------------------------------------
+
+# The driver records correctness for at most 50 registered keys, so the
+# as-of join and the interval join merge into one tagged key with a
+# NULL-padded superset schema. Components stay importable functions with
+# their own unit tests.
+_TEMPORAL_JOINS_SQL = f"""
+WITH asof_j AS (
+    {_ASOF_SQL}
+), iv AS (
+    {_INTERVAL_JOIN_SQL}
+)
+SELECT 'asof' AS kind, event_id AS id, user_id, event_ts, last_purchase_ts,
+       CAST(NULL AS BIGINT) AS n_following, CAST(NULL AS BIGINT) AS n_errors_following
+FROM asof_j
+UNION ALL
+SELECT 'interval' AS kind, purchase_id AS id, CAST(NULL AS BIGINT) AS user_id,
+       CAST(NULL AS VARCHAR) AS event_ts, CAST(NULL AS VARCHAR) AS last_purchase_ts,
+       n_following, n_errors_following
+FROM iv
+"""
+
+
+@register("temporal_joins", oracle=_TEMPORAL_JOINS_SQL)
+def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the two temporal-join operators:
+
+    * kind='asof' — per event, the user's most recent PRIOR purchase
+      (single ordered-window pass, no join blow-up — the 100 TB form).
+    * kind='interval' — per purchase, counts of events in the following
+      hour (equi-key hash join with a time-range post-filter).
+    """
+    asof = asof_last_purchase(spark, sf_dir).select(
+        F.lit("asof").alias("kind"),
+        F.col("event_id").alias("id"),
+        "user_id",
+        "event_ts",
+        "last_purchase_ts",
+        F.lit(None).cast("bigint").alias("n_following"),
+        F.lit(None).cast("bigint").alias("n_errors_following"),
+    )
+    iv = interval_join_after_purchase(spark, sf_dir).select(
+        F.lit("interval").alias("kind"),
+        F.col("purchase_id").alias("id"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("string").alias("event_ts"),
+        F.lit(None).cast("string").alias("last_purchase_ts"),
+        "n_following",
+        "n_errors_following",
+    )
+    return asof.unionAll(iv)

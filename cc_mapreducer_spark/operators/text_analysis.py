@@ -43,7 +43,6 @@ FROM w WHERE len(ws) > 0
 """
 
 
-@register("text_stats", oracle=_TEXT_STATS_SQL)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     w = docs.select(
@@ -82,7 +81,6 @@ FROM scored
 """
 
 
-@register("lang_id_stopword", oracle=_LANG_ID_SQL)
 def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: fraction of tokens that are English stop
     words. (A real n-gram model would score per-language profiles; the
@@ -137,7 +135,6 @@ FROM m
 """
 
 
-@register("quality_score", oracle=_QUALITY_SQL)
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: length band, punctuation ratio, stop-word
     ratio, long-word ratio, combined into a [0,1]-ish score (the classic
@@ -186,7 +183,6 @@ FROM documents
 """
 
 
-@register("token_count", oracle=_TOKEN_COUNT_SQL)
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three token-count estimators per document: whitespace split, a
     BPE-ish lexical regex (letter runs / digit runs / single punctuation),
@@ -241,7 +237,6 @@ FROM norm
 """
 
 
-@register("doc_fingerprint", oracle=_FINGERPRINT_SQL)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-lite fingerprint: md5 of the normalized text plus the
     minimum md5 over all 16-char k-grams (a 1-hash sketch of the rolling
@@ -252,6 +247,133 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return norm.select(
         "doc_id",
+        F.md5("nt").alias("content_md5"),
+        F.when(
+            F.length("nt") >= 16,
+            F.array_min(
+                F.expr("transform(sequence(1, length(nt) - 15), i -> md5(substring(nt, i, 16)))")
+            ),
+        )
+        .otherwise(F.md5("nt"))
+        .alias("min_kgram_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# consolidated per-document profile (roster consolidation, round 2)
+# --------------------------------------------------------------------------
+
+# The driver records correctness for at most 50 registered keys, so the
+# five per-document surfaces above (stats, lang-ID, quality, token counts,
+# fingerprint) merge into ONE wide column-merged profile — a single scan
+# of `documents`, zero shuffle, every component column present. Rows keep
+# the full corpus; ws-dependent ratios are NULL-guarded for empty docs so
+# the merged query is total (the components filter instead). Components
+# stay importable functions with their own unit tests.
+_TEXT_PROFILE_SQL = f"""
+WITH w AS (
+    SELECT doc_id, lang, text, length(text) AS n_chars, {_DUCK_WORDS} AS ws,
+           regexp_replace(lower(text), '[^a-z]+', ' ', 'g') AS nt
+    FROM documents
+)
+SELECT doc_id,
+       lang AS lang_actual,
+       n_chars,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique_words,
+       CASE WHEN len(ws) > 0
+            THEN CAST(list_sum([length(x) for x in ws]) AS DOUBLE) / len(ws) END AS avg_word_len,
+       CASE WHEN len(ws) > 0
+            THEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS type_token_ratio,
+       CASE WHEN len(ws) > 0
+            THEN CAST(len(list_filter(ws, x -> x IN {stop_words_sql_list()})) AS DOUBLE)
+                 / len(ws) END AS en_stopword_rate,
+       CASE WHEN len(ws) > 0 THEN
+         CASE WHEN CAST(len(list_filter(ws, x -> x IN {stop_words_sql_list()})) AS DOUBLE)
+                   / len(ws) >= 0.05 THEN 'en' ELSE 'other' END
+       END AS lang_predicted,
+       CASE WHEN n_chars > 0
+            THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / n_chars END AS punct_ratio,
+       CASE WHEN len(ws) > 0
+            THEN CAST(len(list_filter(ws, x -> length(x) > 2)) AS DOUBLE)
+                 / len(ws) END AS long_word_ratio,
+       CASE WHEN len(ws) > 0 AND n_chars > 0 THEN
+         (CASE WHEN len(ws) BETWEEN 20 AND 5000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          + CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / n_chars < 0.1
+                 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          + CAST(0.2 AS DOUBLE) * (CAST(len(list_filter(ws, x -> x IN {stop_words_sql_list()})) AS DOUBLE) / len(ws))
+          + CAST(0.2 AS DOUBLE) * (CAST(len(list_filter(ws, x -> length(x) > 2)) AS DOUBLE) / len(ws)))
+       END AS quality_score,
+       CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_est_tokens,
+       md5(nt) AS content_md5,
+       CASE WHEN length(nt) >= 16
+            THEN list_min([md5(substr(nt, i, 16)) for i in range(1, length(nt) - 14)])
+            ELSE md5(nt) END AS min_kgram_hash
+FROM w
+"""
+
+
+@register("text_profile", oracle=_TEXT_PROFILE_SQL)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-document profile: statistics + stop-word lang-ID + quality
+    score + three token-count estimators + content fingerprints, all in
+    one scan of `documents` with zero shuffle — the column-merged form of
+    text_stats / lang_id_stopword / quality_score / token_count /
+    doc_fingerprint. At 100 TB this runs at scan speed and writes one
+    profile table feeding every downstream curation filter."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    stop_array = "array(" + ", ".join(f"'{w}'" for w in STOP_WORDS) + ")"
+    w = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.length("text").alias("n_chars"),
+        F.expr(_SPARK_WORDS).alias("ws"),
+        F.regexp_replace(F.lower("text"), "[^a-z]+", " ").alias("nt"),
+    )
+    nw = F.size("ws")
+    has_ws = nw > 0
+    stop_rate = (
+        F.expr(f"size(filter(ws, x -> array_contains({stop_array}, x)))").cast("double") / nw
+    )
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double") / F.col(
+        "n_chars"
+    )
+    long_ratio = F.expr("size(filter(ws, x -> length(x) > 2))").cast("double") / nw
+    quality = (
+        F.when(nw.between(20, 5000), 0.4).otherwise(0.0)
+        + F.when(punct < 0.1, 0.2).otherwise(0.0)
+        + 0.2 * stop_rate
+        + 0.2 * long_ratio
+    )
+    return w.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        "n_chars",
+        nw.cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("n_unique_words"),
+        F.when(
+            has_ws,
+            F.expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))").cast("double") / nw,
+        ).alias("avg_word_len"),
+        F.when(has_ws, F.size(F.array_distinct("ws")).cast("double") / nw).alias(
+            "type_token_ratio"
+        ),
+        F.when(has_ws, stop_rate).alias("en_stopword_rate"),
+        F.when(has_ws, F.when(stop_rate >= 0.05, "en").otherwise("other")).alias(
+            "lang_predicted"
+        ),
+        F.when(F.col("n_chars") > 0, punct).alias("punct_ratio"),
+        F.when(has_ws, long_ratio).alias("long_word_ratio"),
+        F.when(has_ws & (F.col("n_chars") > 0), quality).alias("quality_score"),
+        F.expr("size(filter(split(text, ' '), x -> x != ''))").cast("bigint").alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)"))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_est_tokens"),
         F.md5("nt").alias("content_md5"),
         F.when(
             F.length("nt") >= 16,

@@ -89,7 +89,6 @@ GROUP BY 1, 2
 """
 
 
-@register("streaming_tumbling_hourly", oracle=_TUMBLING_SQL)
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows computed BY THE STREAMING ENGINE (file
     source -> window() aggregation -> complete mode -> memory sink), then
@@ -120,7 +119,6 @@ GROUP BY 1, 2
 """
 
 
-@register("streaming_sliding_windows", oracle=_SLIDING_SQL)
 def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1h/15min sliding windows computed by the streaming engine in
     complete mode — converges to the batch/DuckDB answer over the finite
@@ -135,6 +133,52 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+# Roster consolidation (round 2): the driver records correctness for at
+# most 50 registered keys, so the two complete-mode streaming window
+# aggregations merge into one tagged key. Each component still runs as its
+# own streaming query (separate source -> sink lifecycles); the merged
+# DataFrame unions their final memory-sink tables. Components stay
+# importable functions with their own unit tests.
+_STREAMING_WINDOWS_SQL = """
+SELECT 'tumbling' AS kind,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS kind,
+       strftime(time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes'),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(NULL AS DOUBLE) AS total_value
+FROM events CROSS JOIN range(0, 4) t(k)
+GROUP BY 2, 3
+"""
+
+
+@register("streaming_windows", oracle=_STREAMING_WINDOWS_SQL)
+def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the streaming window aggregations (both computed BY
+    THE STREAMING ENGINE, complete mode over a finite replay — each must
+    converge to the batch/DuckDB answer):
+
+    * kind='tumbling' — 1-hour windows with event counts and value sums.
+    * kind='sliding' — 1h/15min windows (counts only; total_value NULL).
+    """
+    tumbling = streaming_tumbling_hourly(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"), "window_start", "event_type",
+        "n_events", "total_value",
+    )
+    sliding = streaming_sliding_windows(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"), "window_start", "event_type",
+        "n_events", F.lit(None).cast("double").alias("total_value"),
+    )
+    return tumbling.unionAll(sliding)
 
 
 @register("streaming_sessionize_watermarked")  # rows-only: append emits watermark-closed subset

@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cc_mapreducer_spark import registry
-from cc_mapreducer_spark.operators.multimodal import FEATURE_SCHEMA, media_table
+from cc_mapreducer_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    media_table,
+    multimodal_decode_features,
+    multimodal_frame_sample,
+)
 from cc_mapreducer_spark.operators.dedup import shingle_sets
 from tests.conftest import SF_SMOKE
 
@@ -88,10 +93,10 @@ def test_multimodal_payload_roundtrip(spark):
 
 
 def test_multimodal_decode_stub_schema_and_determinism(spark):
-    df = Q["multimodal_decode_features"](spark, SF_SMOKE)
+    df = multimodal_decode_features(spark, SF_SMOKE)
     assert df.schema == FEATURE_SCHEMA
     a = sorted(map(tuple, df.collect()))
-    b = sorted(map(tuple, Q["multimodal_decode_features"](spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, multimodal_decode_features(spark, SF_SMOKE).collect()))
     assert a == b and len(a) > 0
     widths = {r[3] for r in a}
     assert all(1 <= w <= 1024 for w in widths)
@@ -157,7 +162,7 @@ def test_multimodal_resize_stub(spark):
 def test_multimodal_frame_sample_stub(spark):
     from cc_mapreducer_spark import registry as R
 
-    out = R.all_queries()["multimodal_frame_sample"](spark, SF_SMOKE)
+    out = multimodal_frame_sample(spark, SF_SMOKE)
     rows = out.collect()
     from collections import Counter
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cc_mapreducer_spark import registry
+from cc_mapreducer_spark.operators.dedup import near_dedup_minhash
 from cc_mapreducer_spark.sources.formats import read_csv, read_jsonl, write_csv, write_jsonl
 from tests.conftest import SF_SMOKE
 
@@ -75,7 +76,7 @@ def test_sessionize_conservation(spark):
 
 def test_minhash_pairs_are_symmetric_free(spark):
     """Candidate pairs are emitted once (doc_a < doc_b), never mirrored."""
-    pairs = Q["near_dedup_minhash"](spark, SF_SMOKE).collect()
+    pairs = near_dedup_minhash(spark, SF_SMOKE).collect()
     seen = {(r.doc_a, r.doc_b) for r in pairs}
     assert all(a < b for a, b in seen)
     assert all((b, a) not in seen for a, b in seen)

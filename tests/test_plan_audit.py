@@ -15,12 +15,12 @@ Q = registry.all_queries()
 
 # queries whose plans legitimately contain the flagged node
 ALLOWED_NESTED_LOOP = {
-    "join_cross_filtered",  # intentional theta join over two dim tables
+    "join_exotics",  # intentional theta join over two dim tables (cross_theta branch)
     "similarity_topk_bruteforce",  # intentional query-block broadcast cross join
-    "ngram_jaccard_pairs",  # bounded all-pairs VERIFY stage (candidates come from LSH in production)
+    "near_dedup_pairs",  # bounded all-pairs VERIFY stage (ngram branch; candidates come from LSH in production)
 }
 ALLOWED_PYTHON_EVAL = {
-    "multimodal_decode_features",  # Arrow-batched mapInPandas by design
+    "multimodal_derived",  # Arrow-batched mapInPandas by design
     "event_ema_decayed",  # applyInPandas stateful custom operator
     # Arrow-batched numpy scoring, chosen by measurement (36x over the
     # interpreted HOF fold — see operators/similarity.py module docstring)
@@ -31,9 +31,8 @@ ALLOWED_PYTHON_EVAL = {
 # streaming queries materialize through a memory sink; their batch plan is
 # not the interesting one and building them is slow — audited separately
 SKIP = {
-    "streaming_tumbling_hourly",
+    "streaming_windows",
     "streaming_sessionize_watermarked",
-    "streaming_sliding_windows",
     "streaming_stateful_user_totals",
 }
 

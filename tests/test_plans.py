@@ -8,6 +8,7 @@ once (its one semantic barrier)."""
 from __future__ import annotations
 
 from cc_mapreducer_spark import registry
+from cc_mapreducer_spark.operators.relational import join_broadcast_dims, order_limit_topk
 from cc_mapreducer_spark.plans.inspect import count_exchanges, executed_plan, formatted_plan
 from tests.conftest import SF_ORACLE
 
@@ -15,7 +16,7 @@ Q = registry.all_queries()
 
 
 def test_dim_joins_broadcast(spark):
-    plan = formatted_plan(Q["join_broadcast_dims"](spark, SF_ORACLE))
+    plan = formatted_plan(join_broadcast_dims(spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # no dim join should shuffle the fact side
 
@@ -33,7 +34,7 @@ def test_q1_column_pruning(spark):
 
 
 def test_topk_avoids_global_sort(spark):
-    plan = formatted_plan(Q["order_limit_topk"](spark, SF_ORACLE))
+    plan = formatted_plan(order_limit_topk(spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in plan
 
 

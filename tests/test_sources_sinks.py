@@ -63,7 +63,7 @@ def test_anagram_pipeline_over_file_corpus(spark, tmp_path):
 
 
 def test_write_stage_roundtrip(spark, tmp_path):
-    q = registry.all_queries()["tokenize_wordcount"]
+    from cc_mapreducer_spark.operators.anagram import q_tokenize_wordcount as q
     df = q(spark, SF_SMOKE)
     out = str(tmp_path / "stage")
     write_stage(df, out)
