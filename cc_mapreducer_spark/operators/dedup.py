@@ -261,24 +261,28 @@ SELECT doc_id, printf('%08x%08x', hi, lo) AS simhash FROM sh
 def _simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id -> (hi, lo): the 64-bit SimHash as two 32-bit words.
 
-    Charikar-style weighted bit votes: each distinct token's 64-bit
-    md5-derived hash votes +count on set bits, -count on unset bits; the
-    sign of each bit's total is the fingerprint bit. The vote tally is ONE
-    groupBy with 64 sum aggregates (not an explode of 64 vote rows per
-    token): stays in whole-stage codegen and shuffles n_docs rows, not
-    n_docs*64. The oracle's explode form is the same math."""
+    Charikar-style term-frequency-weighted bit votes: each token
+    OCCURRENCE votes +1 on its hash's set bits and -1 on unset bits —
+    summing per-occurrence ±1 is identical to summing ±count over
+    distinct words, so no (doc_id, word) pre-aggregation is needed. That
+    removes a whole shuffle of n_tokens rows (round 1 grouped to tokcnt
+    first): the plan is now explode -> map-side partial agg -> ONE
+    Exchange of n_docs rows with 64 sum columns, all in whole-stage
+    codegen. md5 runs per occurrence instead of per distinct word — CPU
+    traded for a full shuffle stage, the right trade at 100 TB. The
+    oracle keeps the tokcnt form (same math, engine-friendly there)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("word"))
-    tokcnt = toks.groupBy("doc_id", "word").agg(F.count("*").alias("c")).select(
+    hashed = toks.select(
         "doc_id",
         F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint").alias("h_hi"),
         F.conv(F.substring(F.md5("word"), 9, 8), 16, 10).cast("bigint").alias("h_lo"),
-        "c",
     )
-    votes = tokcnt.groupBy("doc_id").agg(
+    one = F.lit(1).cast("bigint")
+    votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.expr(f"(h_{w} >> {j}) & 1 = 1"), F.col("c")).otherwise(-F.col("c"))
+                F.when(F.expr(f"(h_{w} >> {j}) & 1 = 1"), one).otherwise(-one)
             ).alias(f"v_{w}{j}")
             for w in ("hi", "lo")
             for j in range(32)
@@ -409,16 +413,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id < 40 here; in production the candidate set comes from LSH —
     this operator is the verify stage, never run on the full n^2)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    # Project the normalized text ONCE before building grams: referencing
+    # the regexp_replace inside the transform lambda re-ran the regex per
+    # array element (O(len) regex evals per row — measured in round 2).
+    norm = docs.select(
+        "doc_id", F.regexp_replace(F.lower("text"), "[^a-z]+", " ").alias("nt")
+    )
     # Guard len<3: sequence(1, 0) steps BACKWARDS in Spark ([1,0]) while the
     # oracle's range(1, len-1) is empty — emit an explicitly empty gram set
     # for sub-3-char docs so both engines agree (mirrors _SPARK_SHINGLES).
-    grams = docs.select(
+    grams = norm.select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                "CASE WHEN length(regexp_replace(lower(text), '[^a-z]+', ' ')) >= 3 THEN "
-                "transform(sequence(1, length(regexp_replace(lower(text), '[^a-z]+', ' ')) - 2),"
-                " i -> substring(regexp_replace(lower(text), '[^a-z]+', ' '), i, 3))"
+                "CASE WHEN length(nt) >= 3 THEN "
+                "transform(sequence(1, length(nt) - 2), i -> substring(nt, i, 3))"
                 " ELSE CAST(array() AS array<string>) END"
             )
         ).alias("gs"),
