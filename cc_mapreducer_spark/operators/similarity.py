@@ -31,8 +31,9 @@ matrix into a mapInPandas over corpus partitions — one BLAS matmul per
 Arrow batch, zero shuffle before the per-query top-k window (k rows per
 query per partition). The LSH variant cuts the scanned fraction ~2^-6 per
 table; its shuffle key is the bucket signature (near-uniform for Gaussian
-projections). For real ANN (IVF/HNSW) you'd precompute a codebook — out
-of scope; the bucketed plan shape is the same.
+projections). The IVF variant (bottom of this module) is the codebook
+path: a tiny k-means quantizer trained offline on a sample, distributed
+cell assignment, nprobe/k of the corpus scanned per query.
 """
 
 from __future__ import annotations
@@ -308,3 +309,91 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_a", "vec_b", _cosine_pair_udf("ea", "eb").alias("cosine")
     ).filter(F.col("cosine") >= _NEAR_DUP_T)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the codebook-based scale path
+# --------------------------------------------------------------------------
+
+# Not a registered query: the 50-key roster is full (see
+# operators/consolidated.py) and IVF assignment depends on float argmin
+# ties, which is exactly the kind of decision the DuckDB oracle gate
+# cannot hash-compare robustly. It ships as a library operator with
+# recall/subset tests (tests/test_similarity.py) instead.
+
+_IVF_K = 16          # coarse-quantizer cells
+_IVF_NPROBE = 4      # cells scanned per query
+_IVF_TRAIN_N = 256   # training sample size (first N vec_ids — deterministic)
+_IVF_ITERS = 10
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Train the coarse quantizer: seeded Lloyd's k-means on a
+    deterministic sample (first _IVF_TRAIN_N vec_ids), run driver-side in
+    numpy. The codebook is tiny (k x dim floats) — at 100 TB you train it
+    once offline on a sample and broadcast it; the expensive part (cell
+    assignment) stays distributed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.filter(F.col("vec_id") < _IVF_TRAIN_N).select("vec_id", "embedding").collect()
+    )
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(0)
+    cent = x[rng.choice(len(x), _IVF_K, replace=False)]
+    for _ in range(_IVF_ITERS):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(_IVF_K):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / np.linalg.norm(m)
+    return cent
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str, cent: np.ndarray) -> DataFrame:
+    """Distributed cell assignment: one numpy argmax per Arrow batch.
+    At scale this materializes once as a bucketed table keyed by cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).values)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "cell": np.argmax(m @ cent.T, axis=1)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(assign, "vec_id long, cell int")
+
+
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: each query probes its _IVF_NPROBE nearest cells and
+    scores ONLY vectors assigned there — scanned fraction ~ nprobe/k of
+    the corpus, against sign-LSH's tables * 2^-bits. Plan shape: broadcast
+    the (query, cell) probe list, hash-join on cell, Arrow-batched matmul
+    scoring, per-query window top-k. Same output schema as the other
+    similarity_topk_* queries."""
+    cent = ivf_centroids(spark, sf_dir)
+    qids, qm = _query_matrix(spark, sf_dir)
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :_IVF_NPROBE]
+    probe_rows = [
+        (int(qids[i]), int(c)) for i in range(len(qids)) for c in probes[i]
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    cells = ivf_assignments(spark, sf_dir, cent)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = (
+        emb.join(cells, "vec_id")
+        .join(F.broadcast(probe_df), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    q_emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    scored = cand.join(F.broadcast(q_emb), "query_id").select(
+        "query_id", "vec_id", _cosine_pair_udf("qe", "embedding").alias("cosine")
+    )
+    return _topk(scored)

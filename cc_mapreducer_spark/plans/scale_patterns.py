@@ -39,3 +39,23 @@ def salted_join(
     )
     out = salted_big.join(salted_small, [key, "__salt"]).drop("__salt")
     return out
+
+
+def salted_agg_count(big: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+    """Skew-safe per-key count: phase 1 partially aggregates on
+    (key, salt) — a hot key's rows spread over n_salts tasks — phase 2
+    sums the partials per key. The salt is hash-derived (deterministic
+    under task retries, unlike rand()): any column works as entropy since
+    only uniformity matters, so spark_partition_id + a monotonic id is
+    avoided in favor of the row's own key-adjacent bytes.
+
+    Equivalent to groupBy(key).count() exactly (asserted in
+    tests/test_scale_patterns.py); use when ONE grouping key dominates —
+    for ordinary distributions Spark's map-side partial aggregation
+    already does this work without the extra shuffle stage."""
+    salted = big.withColumn(
+        "__salt",
+        F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int"),
+    )
+    partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__c"))
+    return partial.groupBy(key).agg(F.sum("__c").cast("bigint").alias("n"))

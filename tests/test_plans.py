@@ -65,3 +65,45 @@ def test_wholestage_codegen_hot_path(spark):
     plan = executed_plan(Q["q1_pricing_summary"](spark, SF_ORACLE))
     assert "*(" in plan
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-2 consolidated queries: pin the plan shapes that make the merges
+# FREE at scale (one scan, shared partitioning) rather than N stitched jobs
+# ---------------------------------------------------------------------------
+
+
+def test_customer_profile_single_window_exchange(spark):
+    """24 derived columns + 5 window functions must cost exactly ONE hash
+    Exchange (the c_mktsegment window) over a single customer scan — the
+    column merge must not add passes."""
+    df = Q["customer_profile"](spark, SF_ORACLE)
+    assert count_exchanges(df) == 1
+    plan = formatted_plan(df)
+    assert plan.count("(1) Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_suite_single_exchange(spark):
+    """ROWS and RANGE frames both partition by o_custkey: one Exchange
+    feeds both Window operators."""
+    df = Q["window_suite_orders"](spark, SF_ORACLE)
+    assert count_exchanges(df) == 1
+
+
+def test_text_profile_shuffle_free(spark):
+    """The wide per-document profile is a pure per-row map: zero hash
+    Exchanges (the only repartition is spread()'s round-robin scan
+    widening, which disappears on a real multi-split table)."""
+    plan = formatted_plan(Q["text_profile"](spark, SF_ORACLE))
+    assert "hashpartitioning" not in plan
+
+
+def test_orders_date_suite_no_exchange(spark):
+    assert count_exchanges(Q["orders_date_suite"](spark, SF_ORACLE)) == 0
+
+
+def test_pivot_summary_broadcasts_dims(spark):
+    plan = formatted_plan(Q["pivot_segment_summary"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

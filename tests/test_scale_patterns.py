@@ -73,3 +73,20 @@ def test_approx_distinct_error_bound(spark):
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) / r.exact_users < 0.05
+
+
+def test_salted_agg_count_equivalent(spark):
+    from cc_mapreducer_spark.plans.scale_patterns import salted_agg_count
+
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    plain = {
+        (r.o_orderstatus, r["count"])
+        for r in o.groupBy("o_orderstatus").count().collect()
+    }
+    salted = {
+        (r.o_orderstatus, r.n)
+        for r in salted_agg_count(o, "o_orderstatus").collect()
+    }
+    assert plain == salted

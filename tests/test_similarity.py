@@ -75,3 +75,48 @@ def test_near_dup_threshold_yields_rows(spark):
     rows = Q["near_dup_embeddings"](spark, SF).collect()
     assert len(rows) > 0
     assert all(r.cosine >= 0.35 and r.vec_a < r.vec_b for r in rows)
+
+
+def test_ivf_topk_recall_and_subset(spark):
+    """IVF ANN (codebook path): recall vs brute force must clear a floor,
+    cosines on overlapping pairs must agree exactly (same rounded-score
+    regime), and the candidate set must be a strict subset of the corpus
+    (nprobe/k cells scanned, not all)."""
+    from cc_mapreducer_spark.operators.similarity import (
+        _IVF_K,
+        _IVF_NPROBE,
+        ivf_assignments,
+        ivf_centroids,
+        similarity_topk_ivf,
+    )
+
+    brute = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in Q["similarity_topk_bruteforce"](spark, SF).collect()
+    }
+    ivf = similarity_topk_ivf(spark, SF).collect()
+    b_sets = {}
+    for (q, v) in brute:
+        b_sets.setdefault(q, set()).add(v)
+    i_sets = {}
+    for r in ivf:
+        i_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        if (r.query_id, r.vec_id) in brute:
+            assert brute[(r.query_id, r.vec_id)] == r.cosine
+    hits = sum(len(b_sets[q] & i_sets.get(q, set())) for q in b_sets)
+    total = sum(len(s) for s in b_sets.values())
+    recall = hits / total
+    assert recall >= 0.3, f"IVF recall {recall:.3f} below floor"
+
+    cent = ivf_centroids(spark, SF)
+    assert cent.shape == (_IVF_K, 64)
+    cells = ivf_assignments(spark, SF, cent)
+    from pyspark.sql import functions as F
+
+    counts = {r.cell: r.n for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(counts.values())
+    # every vector assigned exactly once; probing nprobe cells scans a
+    # strict subset of the corpus
+    assert n_total == cells.count()
+    top_cells = sorted(counts.values(), reverse=True)[:_IVF_NPROBE]
+    assert sum(top_cells) < n_total
