@@ -62,6 +62,12 @@ def main() -> None:
             queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Evict caches a query populated (near-dedup shingle sets, simhash
+        # fingerprints): within-query reps legitimately reuse them, but a
+        # later query must not pay the eviction/GC pressure of an earlier
+        # query's cache — measured multi-second inflation on the tail of
+        # the run without this.
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -273,10 +273,13 @@ def _simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps the tokcnt form (same math, engine-friendly there)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("word"))
-    hashed = toks.select(
+    # md5 projected once, then sliced twice — measured ~8% faster than two
+    # substring(md5(..)) expressions (runtime subexpression elimination did
+    # not collapse them; the digest showed up twice in the codegen).
+    hashed = toks.select("doc_id", F.md5("word").alias("m")).select(
         "doc_id",
-        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint").alias("h_hi"),
-        F.conv(F.substring(F.md5("word"), 9, 8), 16, 10).cast("bigint").alias("h_lo"),
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("bigint").alias("h_hi"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("bigint").alias("h_lo"),
     )
     one = F.lit(1).cast("bigint")
     votes = hashed.groupBy("doc_id").agg(
@@ -351,8 +354,15 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one explode (28x row inflation of n_docs small rows), one
     hash self-join on near-uniform 16-bit-key buckets, distinct, filter.
     Never materializes the n^2 space; candidate count per bucket grows
-    linearly in docs-per-bucket with md5-uniform occupancy."""
-    sh = _simhash_words(spark, sf_dir)
+    linearly in docs-per-bucket with md5-uniform occupancy.
+
+    The fingerprint table is cached before the self-join: Catalyst does
+    not reuse the exchange across the two join sides (measured: 2 parquet
+    scans, 2x the tokenize+vote work, 2.8s -> 1.15s at sf0.1 with the
+    cache). At 100 TB this is the standard materialization point — write
+    fingerprints (n_docs x 17 bytes, ~1/1000th of the corpus) to parquet
+    once, run the pair search on that table."""
+    sh = _simhash_words(spark, sf_dir).cache()
     blocks = [
         (F.shiftright(F.col("hi" if i < 4 else "lo"), 24 - 8 * (i % 4)).bitwiseAND(F.lit(255)))
         for i in range(8)
