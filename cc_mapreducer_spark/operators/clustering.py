@@ -1,0 +1,145 @@
+"""Duplicate-cluster resolution: connected components over near-duplicate
+pairs (the step AFTER pair detection in a production dedup pipeline).
+
+LSH / SimHash emit PAIRS; keeping one document per duplicate *group*
+requires the transitive closure of those pairs. This module implements
+the alternating large-star / small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+algorithm), which converges in O(log^2 n) rounds independent of component
+diameter. A naive min-label propagation needs O(diameter) rounds — a
+10^6-long chain of pairwise-similar crawl snapshots would need 10^6
+shuffles; star operations collapse it in ~20.
+
+Scale shape per round: ONE groupBy-key shuffle of the edge set (window
+min over the source node), map-side emit, distinct. Edges only shrink
+toward the final star graph (one edge per non-root node), and lineage is
+truncated every round with localCheckpoint — on a cluster you would
+checkpoint to durable storage instead (documented inline).
+
+Not a registered query: the driver roster is capped at 50 keys
+(operators/consolidated.py) and the iteration count is data-dependent,
+which a single DuckDB SQL string cannot express. DuckDB *can* verify the
+semantics via a recursive CTE — tests/test_clustering.py does exactly
+that, plus a pure-Python union-find cross-check on adversarial graphs
+(long chains force multiple star rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cc_mapreducer_spark.operators.dedup import near_dedup_minhash
+from cc_mapreducer_spark.tables import load_table
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star round over an undirected edge set.
+
+    ``edges`` holds (u, v) pairs, u != v, each undirected edge in
+    canonical (min, max) orientation. Both operations attach nodes to the
+    minimum of their neighborhood:
+
+    * large-star: for every node u, connect each STRICTLY LARGER
+      neighbor v to min(neighborhood(u) + {u}). Operates on the
+      bidirected edge list.
+    * small-star: orient edges large->small; for every node u, connect
+      each smaller neighbor (and u itself) to the minimum.
+    """
+    if large:
+        directed = edges.select("u", "v").unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    else:
+        directed = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+    w = Window.partitionBy("u")
+    with_min = directed.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    if large:
+        out = with_min.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = (
+            with_min.select("v", "m")
+            .unionAll(with_min.select(F.col("u").alias("v"), "m").distinct())
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+    # canonical orientation + drop self-loops; distinct bounds the edge set
+    return (
+        out.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 25
+) -> DataFrame:
+    """Connected components of an undirected graph given as an edge list.
+
+    Returns (node, component) for every node that appears in ``edges``,
+    where component is the MINIMUM node id of its component — a stable,
+    deterministic cluster id. Alternates large-star / small-star until
+    the edge checksum is stable (the converged state is a star graph:
+    exactly one edge root->member per non-root node).
+
+    Each round localCheckpoints the shrinking edge set to truncate
+    lineage (a cluster deployment would write to durable checkpoint
+    storage / parquet instead — same plan, different sink).
+    """
+    nodes = (
+        edges.select(F.col(src).cast("long").alias("u"))
+        .unionAll(edges.select(F.col(dst).cast("long").alias("u")))
+        .distinct()
+    )
+    e = (
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_rounds):
+        e = _star_round(_star_round(e, large=True), large=False).localCheckpoint()
+        # one tiny driver-side checksum per round decides convergence —
+        # O(1) result over one agg job, not a collect of the edge set
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # order-free, no ANSI overflow
+        ).first()
+        cur = (sig["n"], sig["h"])
+        if cur == prev:
+            break
+        prev = cur
+    # converged star graph: u (member) -> v (root = component min);
+    # nodes without an outgoing edge are their own root
+    membership = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = nodes.join(membership, nodes["u"] == membership["node"], "left_anti").select(
+        F.col("u").alias("node"), F.col("u").alias("component")
+    )
+    return membership.unionAll(roots)
+
+
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup-cluster resolution on the documents table:
+    MinHash-LSH pairs (jaccard >= 0.2) -> connected components ->
+    (doc_id, cluster_id, is_keeper). Keeper policy: lowest doc_id per
+    cluster (deterministic; swap in any scoring rank at the marked line).
+
+    Docs that never appear in a pair are their own singleton cluster —
+    the output covers the FULL corpus, which is what a filter-stage
+    consumer needs (``WHERE is_keeper``)."""
+    pairs = near_dedup_minhash(spark, sf_dir).filter(F.col("jaccard") >= 0.2)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clustered = all_docs.join(
+        comp, all_docs["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+    )
+    # keeper = cluster minimum (== cluster_id by construction); replace
+    # with e.g. argmax(quality_score) for a scored keeper policy
+    return clustered.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))

@@ -1,0 +1,108 @@
+"""Deterministic sampling & dataset-split operators for training-data
+pipelines.
+
+Everything here is HASH-derived, never ``rand()``: a training pipeline
+needs splits and samples that are (a) reproducible across reruns and
+engines, (b) stable under task retries and repartitioning, and (c)
+consistent when the corpus grows (a document keeps its split forever —
+md5 of its key, not its position). Each operator is a pure DataFrame
+expression (JVM built-ins, no UDFs) and is DuckDB-expressible, so the
+local oracle gate (tests/test_sampling.py) hash-verifies every one.
+
+Scale notes (100 TB):
+  * split / bernoulli sampling are per-row map stages — zero shuffle,
+    fully pushed into the scan's whole-stage codegen span.
+  * stratified / quota sampling shuffle once on the strata key (window
+    row_number); skewed strata are the known pathology — the window is
+    rank-only (no full sort of values, just the hash order within each
+    stratum) and AQE skew-split applies.
+  * uniform_topk is a distributed TakeOrdered: per-partition top-k then
+    a k-row driver merge — never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# md5 -> first 8 hex chars -> u32 -> [0, 1). Cross-engine: DuckDB
+# ('0x' || substr(md5(x),1,8))::BIGINT / 4294967296.0 is bit-identical
+# (verified pattern — see memory of round-1 parity tricks).
+_U32 = 4294967296.0
+
+
+def _unit_hash(key: F.Column, salt: str) -> F.Column:
+    """Deterministic uniform [0,1) from a key column + salt literal."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(_U32)
+    )
+
+
+def deterministic_split(
+    df: DataFrame, key: str, weights: dict[str, float], salt: str = "split-v1"
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hashing
+    its key into [0,1) and cutting at the cumulative weights. Adds a
+    ``split`` string column; weights must sum to ~1.
+
+    The salt versions the assignment: changing it reshuffles every row's
+    split, keeping it re-derives the identical split years later."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = _unit_hash(F.col(key), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        branch = F.when(u < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def bernoulli_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = "sample-v1"
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by key hash — the deterministic,
+    retry-stable replacement for ``df.sample()``. Zero shuffle."""
+    return df.filter(_unit_hash(F.col(key), salt) < F.lit(fraction))
+
+
+def stratified_exact_sample(
+    df: DataFrame, strata: str, key: str, fraction: float, salt: str = "strata-v1"
+) -> DataFrame:
+    """EXACTLY ceil(fraction * n) rows per stratum (vs sampleBy's
+    binomial noise): rank rows within each stratum by key hash and keep
+    the first ceil(fraction * n). One shuffle on the strata column."""
+    w = Window.partitionBy(strata).orderBy(_unit_hash(F.col(key), salt), key)
+    n = Window.partitionBy(strata)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(n))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rn", "__n")
+    )
+
+
+def domain_quota(
+    df: DataFrame, domain: str, key: str, quota: int, salt: str = "quota-v1"
+) -> DataFrame:
+    """Cap every domain at ``quota`` rows (anti-boilerplate / source-mix
+    control): hash-rank within domain, keep the first ``quota``. The
+    kept subset is a uniform without-replacement sample of each
+    over-quota domain."""
+    w = Window.partitionBy(domain).orderBy(_unit_hash(F.col(key), salt), key)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= quota
+    ).drop("__rn")
+
+
+def uniform_topk(df: DataFrame, key: str, k: int, salt: str = "topk-v1") -> DataFrame:
+    """A uniform without-replacement sample of EXACTLY k rows (the
+    deterministic reservoir): global top-k by key hash. Executes as
+    TakeOrderedAndProject — per-partition heaps, k-row merge, no global
+    sort."""
+    return df.orderBy(_unit_hash(F.col(key), salt), key).limit(k)
