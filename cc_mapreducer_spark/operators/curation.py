@@ -1,0 +1,158 @@
+"""Corpus-curation operators: cross-split contamination detection,
+sequence packing, and real Unicode normalization — the remaining pieces
+a large-scale LLM training-data pipeline runs between dedup and
+tokenization.
+
+All three are library operators with local DuckDB / reference-impl
+cross-checks (tests/test_curation.py); the driver roster stays at the
+50-key cap (operators/consolidated.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cc_mapreducer_spark.operators.dedup import near_dedup_minhash
+from cc_mapreducer_spark.operators.sampling import deterministic_split
+from cc_mapreducer_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# train/test contamination
+# --------------------------------------------------------------------------
+
+
+def split_contamination(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Detect evaluation-set contamination: test documents whose
+    near-duplicate (word-shingle Jaccard >= threshold) exists in train.
+
+    Reuses the MinHash-LSH pair machinery (operators/dedup.py) and the
+    deterministic hash split (operators/sampling.py): generate candidate
+    pairs over the WHOLE corpus once, then keep pairs that straddle the
+    split. Running LSH once on the union is cheaper and strictly more
+    complete than banding the two sides separately, and the band join is
+    the same one-shuffle plan either way. Returns
+    (test_doc, train_doc, jaccard).
+
+    At 100 TB the split assignment is a zero-shuffle map column, so the
+    only cost over plain near-dedup is the final filter."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    pairs = near_dedup_minhash(spark, sf_dir).filter(F.col("jaccard") >= threshold)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    splits = deterministic_split(docs, "doc_id", weights).select("doc_id", "split")
+    a = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    tagged = pairs.join(a, "doc_a").join(b, "doc_b")
+    cross = tagged.filter(
+        ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+        | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+    )
+    return cross.select(
+        F.when(F.col("split_a") == "test", F.col("doc_a")).otherwise(F.col("doc_b")).alias("test_doc"),
+        F.when(F.col("split_a") == "train", F.col("doc_a")).otherwise(F.col("doc_b")).alias("train_doc"),
+        "jaccard",
+    )
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = 512,
+    n_groups: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end to end in a
+    deterministic order and cut fixed seq_len token windows; a document
+    maps to the contiguous range of sequences its tokens land in.
+
+    Global greedy packing is a serial scan — the distributed form packs
+    independently inside n_groups hash groups (each group = one training
+    shard). The plan is one shuffle on pack_group feeding two window
+    functions; per group the running offset is a cumulative sum over the
+    hash-ordered documents. At scale n_groups is thousands and the
+    boundary waste (< seq_len tokens per group) is noise.
+
+    Returns (doc_id, pack_group, n_tokens, start_offset, start_seq,
+    end_seq) where offsets are group-local token positions and a doc
+    spans sequences [start_seq, end_seq] of its group."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))").cast("bigint").alias("n_tokens"),
+        F.pmod(F.hash("doc_id"), F.lit(n_groups)).cast("int").alias("pack_group"),
+        F.md5(F.concat(F.lit("pack-v1:"), F.col("doc_id").cast("string"))).alias("ord"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("pack_group").orderBy("ord", "doc_id")
+    packed = toks.withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0).cast("bigint")),
+    )
+    return packed.select(
+        "doc_id",
+        "pack_group",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / seq_len).cast("bigint").alias("start_seq"),
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / seq_len).cast("bigint").alias("end_seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization (real, stdlib-backed — not a stub)
+# --------------------------------------------------------------------------
+
+_NORM_SCHEMA = "doc_id long, text string, norm_text string, changed boolean"
+
+
+def normalize_text(docs: DataFrame, form: str = "NFKC", strip_accents: bool = False) -> DataFrame:
+    """Unicode-normalize a text column with Python's stdlib unicodedata —
+    a REAL implementation (unlike the gated media decoders): NFKC/NFC
+    canonicalization, control-character removal (keeping \\n and \\t),
+    whitespace collapse, optional accent stripping via NFD + combining
+    mark removal.
+
+    Spark has no built-in Unicode normalizer, so this is the documented
+    escape hatch done right: Arrow-batched mapInPandas (one Python
+    round-trip per batch, zero shuffle, scales with input splits). The
+    UDF body is pure-Python string work on pandas Series — no per-row
+    JVM crossings."""
+    import re
+    import unicodedata
+
+    def norm_batch(batches):
+        import pandas as pd
+
+        ctrl = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
+        ws = re.compile(r"[ \t]+")
+
+        def one(s: str) -> str:
+            t = unicodedata.normalize(form, s)
+            if strip_accents:
+                t = "".join(
+                    c for c in unicodedata.normalize("NFD", t) if not unicodedata.combining(c)
+                )
+            t = ctrl.sub("", t)
+            return ws.sub(" ", t).strip()
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            normed = pdf["text"].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": pdf["text"],
+                    "norm_text": normed,
+                    "changed": normed.values != pdf["text"].values,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(norm_batch, _NORM_SCHEMA)
