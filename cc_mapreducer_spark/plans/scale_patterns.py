@@ -59,3 +59,19 @@ def salted_agg_count(big: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     )
     partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").cast("bigint").alias("n"))
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str, max_records_per_file: int = 1_000_000
+) -> None:
+    """Hive-style partitioned layout with bounded file sizes — the
+    standard 100 TB table layout. Readers filtering on the partition
+    column prune directories at planning time (PartitionFilters in the
+    scan, asserted in tests/test_scale_patterns.py); maxRecordsPerFile
+    caps file size without an extra repartition job."""
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

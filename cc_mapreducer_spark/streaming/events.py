@@ -198,3 +198,67 @@ def streaming_sessionize_watermarked(spark: SparkSession, sf_dir: str) -> DataFr
         F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
         "n_events",
     )
+
+
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each 'view' joins the same user's
+    'purchase' events landing within the following hour — the canonical
+    attribution join, run with real join-state machinery (two watermarked
+    streams, symmetric state stores keyed by user_id, time-bound state
+    eviction).
+
+    The one-hour bound in the join condition is what makes this scale:
+    it lets the engine evict buffered rows once the watermark passes
+    view_ts + 1h, so state is O(events per hour), not O(stream). Inner
+    join in append mode emits each match exactly once; over a finite
+    replay the result equals the batch interval join (asserted against a
+    DuckDB oracle in tests)."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "view_id", "purchase_id")
+    return _run_to_memory(joined, "append")
+
+
+def streaming_dedup_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication: first event per (user_id,
+    event_type, minute) via dropDuplicates over a watermarked stream —
+    the streaming form of exactly-once event dedup. State holds one key
+    per distinct tuple and the watermark bounds it to the late-data
+    horizon. Over a finite replay the kept-key set equals batch
+    DISTINCT (asserted in tests)."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    keyed = stream.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", "ts").alias("minute"),
+    )
+    deduped = keyed.dropDuplicates(["user_id", "event_type", "minute"])
+    result = _run_to_memory(deduped, "append")
+    return result.select(
+        "user_id",
+        "event_type",
+        F.date_format("minute", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+    )

@@ -90,3 +90,26 @@ def test_salted_agg_count_equivalent(spark):
         for r in salted_agg_count(o, "o_orderstatus").collect()
     }
     assert plain == salted
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from cc_mapreducer_spark.plans.scale_patterns import write_partitioned
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, path, "o_orderstatus")
+
+    back = spark.read.parquet(path)
+    one = back.filter(back.o_orderstatus == "F")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition pruning happens at planning: the filter appears as a
+    # PartitionFilter on the scan and only that directory's files are read
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    expected = orders.filter(orders.o_orderstatus == "F").count()
+    assert one.count() == expected
+    import os
+
+    part_dirs = [d for d in os.listdir(path) if d.startswith("o_orderstatus=")]
+    assert len(part_dirs) >= 2  # layout actually split; pruning reads one dir
