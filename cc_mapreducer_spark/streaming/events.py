@@ -262,3 +262,33 @@ def streaming_dedup_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("minute", "yyyy-MM-dd HH:mm:ss").alias("minute"),
     )
+
+
+def stream_events_to_partitioned_parquet(
+    spark: SparkSession, sf_dir: str, out_path: str, checkpoint_path: str
+) -> None:
+    """Exactly-once file sink via foreachBatch + dynamic partition
+    overwrite: each micro-batch rewrites exactly the event_date
+    partitions it contains, so re-processing a batch after a failure (or
+    replaying the whole stream) converges to the same files instead of
+    appending duplicates — idempotence IS the exactly-once guarantee for
+    object-store sinks. The checkpoint dir carries source progress; the
+    partition overwrite carries sink atomicity."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            df.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out_path)
+        )
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
