@@ -68,6 +68,7 @@ def pack_sequences(
     sf_dir: str,
     seq_len: int = 512,
     n_groups: int = 8,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: lay documents end to end in a
     deterministic order and cut fixed seq_len token windows; a document
@@ -82,8 +83,10 @@ def pack_sequences(
 
     Returns (doc_id, pack_group, n_tokens, start_offset, start_seq,
     end_seq) where offsets are group-local token positions and a doc
-    spans sequences [start_seq, end_seq] of its group."""
-    docs = load_table(spark, sf_dir, "documents")
+    spans sequences [start_seq, end_seq] of its group. Pass ``docs``
+    (doc_id, text) to pack a curated subset instead of the full table."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.expr("size(filter(split(text, ' '), x -> x != ''))").cast("bigint").alias("n_tokens"),
@@ -156,3 +159,95 @@ def normalize_text(docs: DataFrame, form: str = "NFKC", strip_accents: bool = Fa
             )
 
     return docs.select("doc_id", "text").mapInPandas(norm_batch, _NORM_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation DAG
+# --------------------------------------------------------------------------
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_threshold: float = 0.5,
+    dup_threshold: float = 0.2,
+    weights: dict[str, float] | None = None,
+    seq_len: int = 512,
+) -> dict[str, DataFrame]:
+    """The full training-data curation DAG, composed from this repo's
+    operators — what "switch your pipeline to this engine" means
+    end to end:
+
+        quality filter -> exact dedup -> near-dup clusters (keepers
+        only) -> deterministic split -> train decontamination (drop
+        train docs that leak test content) -> sequence packing
+
+    Returns every intermediate stage as a lazy DataFrame (nothing
+    executes until the caller acts):
+
+        quality   (doc_id, quality_score)          quality-passing docs
+        keepers   (doc_id)                         exact+near dedup survivors
+        splits    (doc_id, split)                  split over keepers
+        train     (doc_id)                         decontaminated train set
+        packed    pack_sequences schema            packed train set
+        stats     one row of per-stage counts      the pipeline report
+
+    Every stage is shuffle-minimal by construction (the component
+    operators document their own plans); composing them adds only
+    broadcast-size semi-joins on doc_id key sets. At 100 TB each arrow
+    between stages is a materialization point (write_stage), not a
+    recompute."""
+    from cc_mapreducer_spark.operators.clustering import duplicate_clusters
+    from cc_mapreducer_spark.operators.dedup import exact_dedup
+    from cc_mapreducer_spark.operators.text_analysis import quality_score
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = load_table(spark, sf_dir, "documents")
+
+    quality = quality_score(spark, sf_dir).filter(
+        F.col("quality_score") >= quality_threshold
+    ).select("doc_id", "quality_score")
+
+    exact_keep = exact_dedup(spark, sf_dir).select(F.col("doc_id").alias("keep_id"))
+    near_keep = duplicate_clusters(spark, sf_dir).filter("is_keeper").select(
+        F.col("doc_id").alias("keep_id")
+    )
+    keepers = (
+        quality.join(exact_keep, quality["doc_id"] == exact_keep["keep_id"], "left_semi")
+        .join(near_keep, quality["doc_id"] == near_keep["keep_id"], "left_semi")
+        .select("doc_id")
+    )
+
+    splits = deterministic_split(keepers, "doc_id", weights)
+    contaminated_train = split_contamination(spark, sf_dir, weights, dup_threshold).select(
+        F.col("train_doc").alias("doc_id")
+    ).distinct()
+    train = (
+        splits.filter(F.col("split") == "train")
+        .join(contaminated_train, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+    packed = pack_sequences(
+        spark, sf_dir, seq_len=seq_len,
+        docs=docs.join(train, "doc_id", "left_semi").select("doc_id", "text"),
+    )
+
+    stats = (
+        docs.agg(F.count("*").alias("n_input"))
+        .crossJoin(quality.agg(F.count("*").alias("n_quality")))
+        .crossJoin(keepers.agg(F.count("*").alias("n_keepers")))
+        .crossJoin(train.agg(F.count("*").alias("n_train")))
+        .crossJoin(packed.agg(
+            F.count("*").alias("n_packed_docs"),
+            F.sum("n_tokens").alias("train_tokens"),
+        ))
+    )
+    return {
+        "quality": quality,
+        "keepers": keepers,
+        "splits": splits,
+        "train": train,
+        "packed": packed,
+        "stats": stats,
+    }

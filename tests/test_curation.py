@@ -128,3 +128,40 @@ def test_normalize_corpus_is_shuffle_free(spark):
     assert out.count() == docs.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_curate_corpus_invariants(spark):
+    """The composed DAG must be internally consistent: monotone stage
+    shrinkage, keeper subset relations, decontaminated train, packed
+    set == train set."""
+    from cc_mapreducer_spark.operators.curation import curate_corpus, split_contamination
+    from cc_mapreducer_spark.operators.dedup import exact_dedup
+
+    stages = curate_corpus(spark, SF_ORACLE)
+    stats = stages["stats"].first()
+    assert stats.n_input >= stats.n_quality >= stats.n_keepers >= stats.n_train
+    assert stats.n_train > 0 and stats.train_tokens > 0
+
+    keepers = {r.doc_id for r in stages["keepers"].collect()}
+    quality = {r.doc_id for r in stages["quality"].collect()}
+    assert keepers <= quality
+
+    # exact-dedup winners only
+    exact_winners = {r.doc_id for r in exact_dedup(spark, SF_ORACLE).collect()}
+    assert keepers <= exact_winners
+
+    # train is decontaminated: no train doc appears as a contaminating side
+    train = {r.doc_id for r in stages["train"].collect()}
+    contaminating = {
+        r.train_doc for r in split_contamination(spark, SF_ORACLE).collect()
+    }
+    assert not (train & contaminating)
+
+    # split assignment is the deterministic hash split restricted to keepers
+    splits = {r.doc_id: r.split for r in stages["splits"].collect()}
+    assert set(splits) == keepers
+
+    packed_docs = {r.doc_id for r in stages["packed"].collect()}
+    # packing drops zero-token docs only
+    assert packed_docs <= train
+    assert len(train - packed_docs) <= stats.n_train - stats.n_packed_docs
