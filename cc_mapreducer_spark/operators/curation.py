@@ -182,8 +182,10 @@ def curate_corpus(
         only) -> deterministic split -> train decontamination (drop
         train docs that leak test content) -> sequence packing
 
-    Returns every intermediate stage as a lazy DataFrame (nothing
-    executes until the caller acts):
+    Returns every intermediate stage as a DataFrame. Stages are lazy
+    except the near-dup cluster resolution, which runs its iterative
+    star rounds eagerly inside duplicate_clusters (each round is a
+    checkpointed job):
 
         quality   (doc_id, quality_score)          quality-passing docs
         keepers   (doc_id)                         exact+near dedup survivors
