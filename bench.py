@@ -51,9 +51,12 @@ def main() -> None:
     # warm the JVM + parquet footers so query 1 doesn't pay session startup
     queries["q1_pricing_summary"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
-    # best-of-N per query: local-mode wall clock is noisy (JIT, page cache);
-    # the minimum is the stable, load-independent estimate of plan cost
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    # best-of-N per query: local-mode wall clock is noisy (JIT, page cache,
+    # ambient box load — measured ±25% run-to-run on identical code); the
+    # minimum is the stable, load-independent estimate of plan cost.
+    # Best-of-3 because one rep pays codegen/JIT compile and a second can
+    # still land on a load spike.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
