@@ -2,15 +2,21 @@
 
 Images/audio/video are opaque `binary` payloads with typed metadata; the
 Spark-side machinery that matters at 100 TB is real here — schemas,
-Arrow-batched Pandas UDFs over `mapInPandas`, per-batch shaping — while the
-actual media decode is STUBBED (this container has no image/audio libs):
-`decode_stub_features` derives deterministic fake features from the bytes,
-and `decode_with_library` raises NotImplementedError at the exact seam
-where Pillow/librosa/ffmpeg would plug in.
+Arrow-batched Pandas UDFs over `mapInPandas`, per-batch shaping — and so
+is CONTAINER-LEVEL decode: `functions/media_codec.py` builds genuinely
+valid PNG / WAV / MP4 files with stdlib struct+zlib and
+`decode_media_headers` parses their real byte layouts (magic sniff, CRC
+check, RIFF chunk walk, ISO-BMFF box walk) — no media library needed.
+What still requires external libraries is CODEC work (JPEG entropy
+decode, audio resampling, video frame extraction); that stays behind the
+`decode_with_library` seam (`decode_stub_features` is the
+plumbing-verified fake for those stages).
 
 The driver tables carry no binary columns, so payloads are materialized
-from `documents.text` (utf-8 encode) — the plumbing is identical for real
-media bytes.
+from `documents.text` — utf-8 bytes for the metadata-path queries
+(`media_table`), real encoded containers for the decode path
+(`media_table_encoded`); the plumbing is identical for external media
+bytes.
 
 Scale notes: binary payloads ride the scan, never the driver; mapInPandas
 streams Arrow batches so peak memory is one batch per task, and feature
@@ -33,6 +39,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from cc_mapreducer_spark.functions import media_codec
 from cc_mapreducer_spark.registry import register
 from cc_mapreducer_spark.tables import load_table
 
@@ -73,6 +80,105 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload.alias("payload"),
         F.octet_length(payload).cast("bigint").alias("byte_len"),
         F.sha2(payload, 256).alias("content_sha"),
+    )
+
+
+ENCODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+
+def _encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas producer of REAL container files (media_codec): every
+    payload is a spec-valid PNG / WAV / MP4 whose parameters are
+    deterministic functions of (doc_id, n_chars) — so the decode stage
+    can be independently checked against those formulas."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        payloads, types = [], []
+        for doc_id, text, n_chars in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+            seed = str(text).encode("utf-8")
+            if doc_id % 3 == 0:
+                types.append("image/png")
+                payloads.append(
+                    media_codec.make_png(1 + n_chars % 32, 1 + doc_id % 24, seed)
+                )
+            elif doc_id % 3 == 1:
+                types.append("audio/wav")
+                payloads.append(
+                    media_codec.make_wav(64 + n_chars % 128, 8000, 1 + doc_id % 2, seed)
+                )
+            else:
+                types.append("video/mp4")
+                payloads.append(media_codec.make_mp4(500 + (n_chars * 7) % 10000, seed))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "media_type": types, "payload": payloads}
+        )
+
+
+def media_table_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like media_table, but the payloads are genuinely valid media
+    container files (see functions/media_codec.py) — the table a real
+    ingest job would hold after fetching image/audio/video bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return docs.mapInPandas(_encode_media, ENCODED_SCHEMA)
+
+
+def decode_media_headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL media decode (container level): sniff each payload's magic
+    bytes and parse its actual structure — PNG IHDR (CRC-verified), WAV
+    RIFF chunk walk, MP4 box tree. Fields that don't apply to a format
+    (or payloads that are no known format) come back NULL — no fake
+    features."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = {k.name: [] for k in DECODED_SCHEMA.fields}
+        for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+            meta = media_codec.sniff_and_parse(payload) or {}
+            rows["doc_id"].append(doc_id)
+            rows["media_type"].append(mt)
+            rows["byte_len"].append(len(payload))
+            rows["width"].append(meta.get("width"))
+            rows["height"].append(meta.get("height"))
+            rows["channels"].append(meta.get("channels"))
+            rows["sample_rate"].append(meta.get("sample_rate"))
+            rows["n_samples"].append(meta.get("n_samples"))
+            rows["duration_ms"].append(meta.get("duration_ms"))
+        yield pd.DataFrame(rows).astype(
+            {
+                c: "Int32"
+                for c in ("width", "height", "channels", "sample_rate", "n_samples", "duration_ms")
+            }
+        )
+
+
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real decode: encode valid containers, then parse their
+    headers back. Dimensions/rates/durations are provably read from the
+    file bytes (tests cross-check against the generation formulas AND
+    against golden externally-produced files)."""
+    return media_table_encoded(spark, sf_dir).mapInPandas(
+        decode_media_headers, DECODED_SCHEMA
     )
 
 
@@ -171,10 +277,14 @@ def frame_sample_stub(n_frames: int = 4):
 
 
 def decode_with_library(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """The real-decoder seam. Signature and schema match
-    decode_stub_features; a deployment with media libs installed swaps this
-    in (Pillow for image/*, librosa/soundfile for audio/*, pyav for
-    video/*).
+    """The CODEC-decoder seam (pixel/sample-level work that genuinely
+    needs external libraries: JPEG entropy decode, audio resampling,
+    video frame extraction). Signature and schema match
+    decode_stub_features; a deployment with media libs installed swaps
+    this in (Pillow for image/*, librosa/soundfile for audio/*, pyav for
+    video/*). CONTAINER-level decode (dimensions, sample counts,
+    durations) does NOT need this seam — decode_media_headers does it
+    for real with stdlib parsing.
 
     Probe result (round 2, 2026-08-13): ``import PIL`` raises
     ModuleNotFoundError in this container — no media decode library is
@@ -247,26 +357,31 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Roster consolidation (round 2): the driver records correctness for at
-# most 50 registered keys, so the two rows-only mapInPandas surfaces merge
+# most 50 registered keys, so the rows-only mapInPandas surfaces merge
 # into one tagged key (superset schema, NULL-padded). Components stay
 # importable functions with their own unit tests.
-@register("multimodal_derived")  # rows-only: mapInPandas stubs, not SQL-expressible
+@register("multimodal_derived")  # rows-only: mapInPandas payload work, not SQL-expressible
 def multimodal_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union of the Arrow-batched derivation stages:
 
-    * kind='features' — per-item decode-stub features (real decoder plugs
-      into decode_with_library; see its probe note).
-    * kind='frame' — per-video sampled frames (1:N explode).
+    * kind='decoded' — REAL container decode: valid PNG/WAV/MP4 payloads
+      parsed back from their actual byte layouts (functions/media_codec).
+    * kind='frame' — per-video sampled frames (1:N explode; frame BYTES
+      are a stub — pixel extraction needs the decode_with_library seam).
     """
-    feats = multimodal_decode_features(spark, sf_dir).select(
-        F.lit("features").alias("kind"),
+    null_i = F.lit(None).cast("int")
+    decoded = multimodal_decode_real(spark, sf_dir).select(
+        F.lit("decoded").alias("kind"),
         "doc_id",
         "media_type",
         "byte_len",
-        "fake_width",
-        "fake_height",
-        "fake_channels",
-        F.lit(None).cast("int").alias("frame_idx"),
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        null_i.alias("frame_idx"),
         F.lit(None).cast("string").alias("frame_sha"),
     )
     frames = multimodal_frame_sample(spark, sf_dir).select(
@@ -274,10 +389,13 @@ def multimodal_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lit(None).cast("string").alias("media_type"),
         F.lit(None).cast("bigint").alias("byte_len"),
-        F.lit(None).cast("int").alias("fake_width"),
-        F.lit(None).cast("int").alias("fake_height"),
-        F.lit(None).cast("int").alias("fake_channels"),
+        null_i.alias("width"),
+        null_i.alias("height"),
+        null_i.alias("channels"),
+        null_i.alias("sample_rate"),
+        null_i.alias("n_samples"),
+        null_i.alias("duration_ms"),
         "frame_idx",
         "frame_sha",
     )
-    return feats.unionAll(frames)
+    return decoded.unionAll(frames)
