@@ -106,3 +106,38 @@ def uniform_topk(df: DataFrame, key: str, k: int, salt: str = "topk-v1") -> Data
     TakeOrderedAndProject — per-partition heaps, k-row merge, no global
     sort."""
     return df.orderBy(_unit_hash(F.col(key), salt), key).limit(k)
+
+
+def temperature_mixture_sample(
+    df: DataFrame, domain: str, key: str, alpha: float, salt: str = "mix-v1"
+) -> DataFrame:
+    """Temperature-based source mixing (the alpha-sampling rule used to
+    rebalance pretraining mixtures across domains/languages): keep each
+    domain at rate r_d proportional to n_d^(alpha-1), normalized so the
+    largest weight keeps rate 1.0.
+
+      * alpha = 1  -> natural mix (keep everything)
+      * alpha = 0  -> equalized mix (every domain's EXPECTED kept count
+                      equals the smallest domain's size)
+      * 0 < alpha < 1 -> dominant domains damped, tails up-weighted
+                         relative to them
+
+    Acceptance is the deterministic per-row key hash (retry/rerun/growth
+    stable, like everything in this module). Cost at 100 TB: one tiny
+    aggregate (n_domains rows, map-side combined) broadcast back onto
+    the scan — the data itself never shuffles. The rate is rounded to
+    1e-9 before the hash comparison so the DuckDB oracle's pow() agrees
+    bit-for-bit (cross-engine libm drift is below the rounding grid)."""
+    counts = df.groupBy(domain).agg(F.count("*").alias("__n"))
+    w = counts.select(
+        domain, F.pow(F.col("__n").cast("double"), F.lit(alpha - 1.0)).alias("__w")
+    )
+    wm = w.agg(F.max("__w").alias("__wm"))
+    rates = w.crossJoin(F.broadcast(wm)).select(
+        domain, F.round(F.col("__w") / F.col("__wm"), 9).alias("__rate")
+    )
+    return (
+        df.join(F.broadcast(rates), domain)
+        .filter(_unit_hash(F.col(key), salt) < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -260,6 +260,72 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# repetition signals (Gopher-style quality gate)
+# --------------------------------------------------------------------------
+
+
+def repetition_signals(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document repetition measures — the standard corpus-quality
+    gate that catches boilerplate, keyword stuffing, and templated spam
+    (the "repetition filter" family of public corpus-curation rules,
+    e.g. the duplicate-line / repeated-n-gram thresholds described in
+    the Gopher and RefinedWeb papers):
+
+      * dup_line_frac  — line occurrences beyond the first of each
+                         distinct line, over total lines
+      * dup_gram_frac  — same, over word n-grams (default trigrams)
+      * top_gram_frac  — occurrences of the single most frequent n-gram,
+                         over total n-grams
+
+    Docs with fewer than ``n`` words have NULL gram fractions (no grams
+    exist — 0.0 would fake a signal).
+
+    Scale shape: n-grams come from ``lead`` windows partitioned by
+    doc_id — ONE shuffle of the token stream keyed on doc_id (never on
+    the gram text, so a viral phrase cannot hot-spot a partition), then
+    two keyed aggregations that both reuse that partitioning. All
+    fractions are single divisions of exact BIGINT counts (oracle-parity
+    safe). DuckDB-parity-tested in tests/test_text_quality.py."""
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.posexplode(F.expr(_SPARK_WORDS)).alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("gram"),
+        # concat_ws silently drops NULLs, so an end-of-doc partial gram
+        # would otherwise masquerade as a full one
+        F.lead("word", n - 1).over(w).isNotNull().alias("__full"),
+    ).filter("__full")
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    gram_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count("*").cast("bigint").alias("n_distinct_grams"),
+        F.max("c").cast("bigint").alias("max_gram_count"),
+    )
+    lines = docs.select("doc_id", F.explode(F.split("text", "\n")).alias("line"))
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    line_doc = per_line.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_lines"),
+        F.count("*").cast("bigint").alias("n_distinct_lines"),
+    )
+    joined = line_doc.join(gram_doc, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        "n_lines",
+        "n_grams",
+        ((F.col("n_lines") - F.col("n_distinct_lines")).cast("double") / F.col("n_lines")).alias(
+            "dup_line_frac"
+        ),
+        ((F.col("n_grams") - F.col("n_distinct_grams")).cast("double") / F.col("n_grams")).alias(
+            "dup_gram_frac"
+        ),
+        (F.col("max_gram_count").cast("double") / F.col("n_grams")).alias("top_gram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
 # consolidated per-document profile (roster consolidation, round 2)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,124 @@
+"""Repetition signals (Gopher-style quality gate) and temperature-based
+mixture sampling: DuckDB hash-parity on the driver corpus plus behavior
+pins on hand-built pathological documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cc_mapreducer_spark.operators.sampling import temperature_mixture_sample
+from cc_mapreducer_spark.operators.text_analysis import repetition_signals
+from cc_mapreducer_spark.tables import load_table
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare_frames, duckdb_connection
+
+_DUCK_REPETITION = """
+WITH w AS (
+    SELECT doc_id, text,
+           list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                       x -> x != '') AS ws
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3
+                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+                ELSE [] END AS grams
+    FROM w
+), gram_rows AS (
+    SELECT doc_id, unnest(grams) AS gram FROM g
+), per_gram AS (
+    SELECT doc_id, gram, count(*) AS c FROM gram_rows GROUP BY doc_id, gram
+), gram_doc AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           CAST(max(c) AS BIGINT) AS max_gram_count
+    FROM per_gram GROUP BY doc_id
+), line_rows AS (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+), per_line AS (
+    SELECT doc_id, line, count(*) AS c FROM line_rows GROUP BY doc_id, line
+), line_doc AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_distinct_lines
+    FROM per_line GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lines, g.n_grams,
+       CAST(l.n_lines - l.n_distinct_lines AS DOUBLE) / l.n_lines AS dup_line_frac,
+       CAST(g.n_grams - g.n_distinct_grams AS DOUBLE) / g.n_grams AS dup_gram_frac,
+       CAST(g.max_gram_count AS DOUBLE) / g.n_grams AS top_gram_frac
+FROM line_doc l LEFT JOIN gram_doc g USING (doc_id)
+"""
+
+
+def test_repetition_parity_on_driver_corpus(spark):
+    out = repetition_signals(load_table(spark, SF_ORACLE, "documents"))
+    con = duckdb_connection(SF_ORACLE)  # keep alive until .df()
+    oracle = con.sql(_DUCK_REPETITION).df()
+    compare_frames(out.toPandas(), oracle, "repetition_signals")
+
+
+def test_repetition_pins_on_pathological_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            # 6 words, trigrams: "spam spam spam" x4 -> all duplicate, all top
+            (0, "spam spam spam spam spam spam"),
+            # all-distinct words: no repeated grams, single line
+            (1, "one two three four five"),
+            # two words -> no trigram exists at all
+            (2, "too short"),
+            # duplicate lines: 3 lines, 2 distinct
+            (3, "copy line here\ncopy line here\nunique tail line"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert rows[0]["dup_gram_frac"] == 0.75 and rows[0]["top_gram_frac"] == 1.0
+    assert rows[1]["dup_gram_frac"] == 0.0
+    assert rows[1]["top_gram_frac"] == 1.0 / 3.0
+    assert rows[2]["n_grams"] is None and rows[2]["dup_gram_frac"] is None
+    assert rows[3]["dup_line_frac"] == 1.0 / 3.0 and rows[3]["n_lines"] == 3
+
+
+_HASH = (
+    "(('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0)"
+)
+
+
+def test_temperature_mixture_parity_and_behavior(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "source")
+    alpha = 0.5
+    out = temperature_mixture_sample(docs, "source", "doc_id", alpha)
+    con = duckdb_connection(SF_ORACLE)  # keep alive until .df()
+    oracle = con.sql(
+        f"""
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        r AS (SELECT source,
+                     round(pow(CAST(n AS DOUBLE), {alpha} - 1.0)
+                           / max(pow(CAST(n AS DOUBLE), {alpha} - 1.0)) OVER (), 9) AS rate
+              FROM c)
+        SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        WHERE {_HASH} < r.rate
+        """
+    ).df()
+    compare_frames(out.toPandas(), oracle, "temperature_mixture_sample")
+
+
+def test_temperature_limits(spark):
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    # alpha=1: natural mix — everything kept
+    assert temperature_mixture_sample(docs, "source", "doc_id", 1.0).count() == 1000
+    # alpha=0: expected kept per domain ~ n_small; the small domain (max
+    # weight) is kept in full, the big one down-sampled to ~100
+    kept = (
+        temperature_mixture_sample(docs, "source", "doc_id", 0.0)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    by = {r["source"]: r["n"] for r in kept}
+    assert by["small"] == 100
+    assert 60 <= by["big"] <= 140  # binomial(900, 1/9), generous bounds
