@@ -162,6 +162,49 @@ def normalize_text(docs: DataFrame, form: str = "NFKC", strip_accents: bool = Fa
 
 
 # --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Ordered: specific before general (an email must not be half-eaten by the
+# phone pattern). Every pattern stays inside the Java-regex ∩ RE2 subset
+# (no lookaround, no backreferences) so the DuckDB oracle mirrors it
+# verbatim — dialect-portable by construction.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("card", r"\b\d{4}([ -]?\d{4}){3}\b"),
+    ("phone", r"\+?\d[\d().-]{7,}\d"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub personally-identifiable spans (emails, IPv4s, card-shaped
+    digit runs, phone-shaped digit runs) with typed placeholders
+    (``<EMAIL>`` etc.) — the standard pre-release curation stage.
+
+    Per-type counts are measured on the ORIGINAL text (independent of
+    redaction order); replacements apply in PII_PATTERNS order on the
+    running string. Pure per-row regexp built-ins: zero shuffle, runs at
+    scan speed inside whole-stage codegen, and the whole stage is
+    DuckDB-parity-tested (tests/test_text_quality.py) since the patterns
+    are dialect-portable by construction.
+
+    Returns (doc_id, <text_col>, redacted, n_email, n_ipv4, n_card,
+    n_phone)."""
+    out = docs.select("doc_id", text_col)
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("int")
+            .alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return out.select("doc_id", text_col, redacted.alias("redacted"), *counts)
+
+
+# --------------------------------------------------------------------------
 # end-to-end curation DAG
 # --------------------------------------------------------------------------
 
@@ -173,14 +216,16 @@ def curate_corpus(
     dup_threshold: float = 0.2,
     weights: dict[str, float] | None = None,
     seq_len: int = 512,
+    max_top_gram_frac: float | None = None,
 ) -> dict[str, DataFrame]:
     """The full training-data curation DAG, composed from this repo's
     operators — what "switch your pipeline to this engine" means
     end to end:
 
-        quality filter -> exact dedup -> near-dup clusters (keepers
-        only) -> deterministic split -> train decontamination (drop
-        train docs that leak test content) -> sequence packing
+        quality filter [+ optional repetition gate, max_top_gram_frac]
+        -> exact dedup -> near-dup clusters (keepers only) ->
+        deterministic split -> train decontamination (drop train docs
+        that leak test content) -> sequence packing
 
     Returns every intermediate stage as a DataFrame. Stages are lazy
     except the near-dup cluster resolution, which runs its iterative
@@ -209,6 +254,15 @@ def curate_corpus(
     quality = quality_score(spark, sf_dir).filter(
         F.col("quality_score") >= quality_threshold
     ).select("doc_id", "quality_score")
+    if max_top_gram_frac is not None:
+        # Gopher-style repetition gate: drop docs dominated by one n-gram
+        # (boilerplate/templated spam). Docs too short to have grams pass.
+        from cc_mapreducer_spark.operators.text_analysis import repetition_signals
+
+        repetitive = repetition_signals(docs).filter(
+            F.col("top_gram_frac") > max_top_gram_frac
+        ).select("doc_id")
+        quality = quality.join(repetitive, "doc_id", "left_anti")
 
     exact_keep = exact_dedup(spark, sf_dir).select(F.col("doc_id").alias("keep_id"))
     near_keep = duplicate_clusters(spark, sf_dir).filter("is_keeper").select(

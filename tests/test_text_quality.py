@@ -104,6 +104,58 @@ def test_temperature_mixture_parity_and_behavior(spark):
     compare_frames(out.toPandas(), oracle, "temperature_mixture_sample")
 
 
+def test_redact_pii_synthetic_and_duckdb_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from cc_mapreducer_spark.operators.curation import PII_PATTERNS, redact_pii
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "contact alice.smith+x@example.co.uk or bob@test.io today",
+                "server at 192.168.1.254 responded; card 4111 1111 1111 1111 on file",
+                "call +1(555)123-4567 now",
+                "nothing sensitive here at all",
+            ],
+        }
+    )
+    out = redact_pii(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_email"] == 2
+    assert out.loc[0, "redacted"] == "contact <EMAIL> or <EMAIL> today"
+    assert out.loc[1, "n_ipv4"] == 1 and out.loc[1, "n_card"] == 1
+    assert "<IPV4>" in out.loc[1, "redacted"] and "<CARD>" in out.loc[1, "redacted"]
+    assert "4111" not in out.loc[1, "redacted"]
+    assert out.loc[2, "n_phone"] == 1 and out.loc[2, "redacted"] == "call <PHONE> now"
+    assert out.loc[3, "redacted"] == pdf.loc[3, "text"]
+
+    # DuckDB mirrors the same patterns verbatim (Java-regex ∩ RE2 subset)
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    repl, counts = "text", []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        )
+        repl = f"regexp_replace({repl}, '{pat}', '<{name.upper()}>', 'g')"
+    oracle = con.sql(
+        f"SELECT doc_id, text, {repl} AS redacted, {', '.join(counts)} FROM docs"
+    ).df()
+    compare_frames(out.reset_index(), oracle, "redact_pii")
+
+
+def test_curate_corpus_repetition_gate(spark):
+    from cc_mapreducer_spark.operators.curation import curate_corpus
+
+    base = curate_corpus(spark, SF_ORACLE)["quality"]
+    gated = curate_corpus(spark, SF_ORACLE, max_top_gram_frac=0.05)["quality"]
+    n_base, n_gated = base.count(), gated.count()
+    assert n_gated <= n_base
+    # gated output is a subset of the ungated quality-pass set
+    assert gated.join(base, "doc_id", "left_anti").count() == 0
+
+
 def test_temperature_limits(spark):
     docs = spark.createDataFrame(
         [(i, "big" if i < 900 else "small") for i in range(1000)],
