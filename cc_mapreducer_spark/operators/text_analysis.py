@@ -264,6 +264,62 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def word_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) for every word n-gram: ``lead`` windows partitioned
+    by doc_id — the token stream shuffles once on doc_id, never on gram
+    text. concat_ws silently drops NULLs, so end-of-doc partial grams are
+    filtered by checking the LAST lead explicitly."""
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.posexplode(F.expr(_SPARK_WORDS)).alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("word", n - 1).over(w).isNotNull().alias("__full"),
+        )
+        .filter("__full")
+        .drop("__full")
+    )
+
+
+def boilerplate_spans(docs: DataFrame, n: int = 5, min_docs: int = 5) -> DataFrame:
+    """Corpus-level repeated-span detection (the cross-document
+    complement of repetition_signals — CCNet/RefinedWeb-style boilerplate
+    mining): word n-grams occurring in at least ``min_docs`` DISTINCT
+    documents, with document and occurrence counts.
+
+    Scale shape: after the doc_id-keyed gram generation, ONE aggregation
+    keyed on the gram (distinct (gram, doc_id) pairs partially aggregate
+    map-side, so a universal header gram arrives pre-collapsed — the
+    gram key cannot hot-spot a reducer with raw occurrences)."""
+    grams = word_ngrams(docs, n)
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def flag_boilerplate_docs(docs: DataFrame, n: int = 5, min_docs: int = 5) -> DataFrame:
+    """doc_ids containing at least one boilerplate span (shared by >=
+    min_docs docs) — the removal list a curation pipeline anti-joins
+    against. Hash semi-join on the gram key (boilerplate span sets are
+    small relative to the corpus, broadcast-eligible under AQE)."""
+    spans = boilerplate_spans(docs, n, min_docs).select("gram")
+    return (
+        word_ngrams(docs, n)
+        .join(spans, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def repetition_signals(docs: DataFrame, n: int = 3) -> DataFrame:
     """Per-document repetition measures — the standard corpus-quality
     gate that catches boilerplate, keyword stuffing, and templated spam
@@ -286,19 +342,7 @@ def repetition_signals(docs: DataFrame, n: int = 3) -> DataFrame:
     two keyed aggregations that both reuse that partitioning. All
     fractions are single divisions of exact BIGINT counts (oracle-parity
     safe). DuckDB-parity-tested in tests/test_text_quality.py."""
-    from pyspark.sql import Window
-
-    toks = docs.select("doc_id", F.posexplode(F.expr(_SPARK_WORDS)).alias("pos", "word"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
-    grams = toks.select(
-        "doc_id",
-        F.concat_ws(" ", *parts).alias("gram"),
-        # concat_ws silently drops NULLs, so an end-of-doc partial gram
-        # would otherwise masquerade as a full one
-        F.lead("word", n - 1).over(w).isNotNull().alias("__full"),
-    ).filter("__full")
-    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    per_gram = word_ngrams(docs, n).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     gram_doc = per_gram.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_grams"),
         F.count("*").cast("bigint").alias("n_distinct_grams"),

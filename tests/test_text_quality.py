@@ -79,6 +79,53 @@ def test_repetition_pins_on_pathological_docs(spark):
     assert rows[3]["dup_line_frac"] == 1.0 / 3.0 and rows[3]["n_lines"] == 3
 
 
+def test_boilerplate_spans_synthetic(spark):
+    from cc_mapreducer_spark.operators.text_analysis import (
+        boilerplate_spans,
+        flag_boilerplate_docs,
+    )
+
+    header = "subscribe to our newsletter today"
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    # digits are stripped by the tokenizer, so bodies must differ in WORDS
+    docs = spark.createDataFrame(
+        [(i, f"{header} {words[i]} tail") for i in range(6)]
+        + [(6, "completely original document six"), (7, "another original one seven")],
+        "doc_id long, text string",
+    )
+    spans = boilerplate_spans(docs, n=5, min_docs=5).collect()
+    assert [r["gram"] for r in spans] == [header]
+    assert spans[0]["n_docs"] == 6 and spans[0]["n_occurrences"] == 6
+    flagged = sorted(r["doc_id"] for r in flag_boilerplate_docs(docs, 5, 5).collect())
+    assert flagged == [0, 1, 2, 3, 4, 5]
+
+
+def test_boilerplate_parity_on_driver_corpus(spark):
+    from cc_mapreducer_spark.operators.text_analysis import boilerplate_spans
+
+    out = boilerplate_spans(load_table(spark, SF_ORACLE, "documents"), n=2, min_docs=2)
+    con = duckdb_connection(SF_ORACLE)  # keep alive until .df()
+    oracle = con.sql(
+        """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                               x -> x != '') AS ws
+            FROM documents
+        ), g AS (
+            SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+                THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                ELSE [] END) AS gram
+            FROM w
+        )
+        SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        """
+    ).df()
+    compare_frames(out.toPandas(), oracle, "boilerplate_spans")
+
+
 _HASH = (
     "(('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
     " / 4294967296.0)"
