@@ -162,6 +162,31 @@ def normalize_text(docs: DataFrame, form: str = "NFKC", strip_accents: bool = Fa
 
 
 # --------------------------------------------------------------------------
+# exact n-gram decontamination
+# --------------------------------------------------------------------------
+
+
+def ngram_contamination(train_docs: DataFrame, eval_docs: DataFrame, n: int = 13) -> DataFrame:
+    """Exact n-gram decontamination (the published GPT-3/PaLM-style rule,
+    complementing the fuzzy MinHash contamination in split_contamination):
+    flag train documents sharing any word n-gram (default 13-gram) with
+    an evaluation/benchmark document.
+
+    Returns (doc_id, n_hit_grams) for contaminated train docs.
+
+    Scale shape: the eval side is benchmarks — tiny next to a 100 TB
+    train corpus — so its distinct gram set broadcasts and the train
+    gram stream is filtered map-side (BroadcastHashJoin, no shuffle of
+    train grams by gram text); the only train-side shuffle is the final
+    per-doc count keyed on doc_id. Both inputs need (doc_id, text)."""
+    from cc_mapreducer_spark.operators.text_analysis import word_ngrams
+
+    eval_grams = word_ngrams(eval_docs, n).select("gram").distinct()
+    hits = word_ngrams(train_docs, n).join(F.broadcast(eval_grams), "gram", "left_semi")
+    return hits.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_hit_grams"))
+
+
+# --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------
 

@@ -203,6 +203,39 @@ def test_curate_corpus_repetition_gate(spark):
     assert gated.join(base, "doc_id", "left_anti").count() == 0
 
 
+def test_ngram_contamination_exact_rule(spark):
+    from cc_mapreducer_spark.operators.curation import ngram_contamination
+
+    shared = "alpha bravo charlie delta echo"
+    train = spark.createDataFrame(
+        [
+            (0, f"intro words {shared} trailing text"),  # contaminated
+            (1, "totally clean training document body"),
+            (2, f"{shared} {shared}"),  # two hit occurrences
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, f"benchmark question {shared} answer")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_hit_grams"] for r in ngram_contamination(train, evals, n=5).collect()}
+    assert 0 in out and 1 not in out
+    assert out[2] >= 2  # both occurrences of the shared span counted
+
+
+def test_ngram_contamination_plan_broadcasts_eval_side(spark):
+    from cc_mapreducer_spark.operators.curation import ngram_contamination
+    from cc_mapreducer_spark.tables import load_table
+
+    from cc_mapreducer_spark.plans.inspect import formatted_plan
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    evals = docs.filter("doc_id < 10")
+    plan = formatted_plan(ngram_contamination(docs, evals, n=8))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_temperature_limits(spark):
     docs = spark.createDataFrame(
         [(i, "big" if i < 900 else "small") for i in range(1000)],
