@@ -336,23 +336,30 @@ def repetition_signals(docs: DataFrame, n: int = 3) -> DataFrame:
     Docs with fewer than ``n`` words have NULL gram fractions (no grams
     exist — 0.0 would fake a signal).
 
-    Scale shape: n-grams come from ``lead`` windows partitioned by
-    doc_id — ONE shuffle of the token stream keyed on doc_id (never on
-    the gram text, so a viral phrase cannot hot-spot a partition), then
-    two keyed aggregations that both reuse that partitioning. All
-    fractions are single divisions of exact BIGINT counts (oracle-parity
-    safe). DuckDB-parity-tested in tests/test_text_quality.py."""
+    Scale shape (2 Exchanges total, audited via plans.inspect): n-grams
+    come from ``lead`` windows partitioned by doc_id — ONE shuffle of the
+    token stream keyed on doc_id (never on the gram text, so a viral
+    phrase cannot hot-spot a partition) that BOTH gram aggregations
+    reuse (HashPartitioning(doc_id) satisfies the (doc_id, gram)
+    clustering). Line stats never shuffle lines at all: a document's
+    lines already live in its row, so they are per-row array expressions
+    (split/array_distinct — plain collection functions, inside codegen,
+    not interpreted lambdas); only the final n_docs-row narrow join
+    moves them. All fractions are single divisions of exact BIGINT
+    counts (oracle-parity safe). DuckDB-parity-tested in
+    tests/test_text_quality.py."""
     per_gram = word_ngrams(docs, n).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     gram_doc = per_gram.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_grams"),
         F.count("*").cast("bigint").alias("n_distinct_grams"),
         F.max("c").cast("bigint").alias("max_gram_count"),
     )
-    lines = docs.select("doc_id", F.explode(F.split("text", "\n")).alias("line"))
-    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
-    line_doc = per_line.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_lines"),
-        F.count("*").cast("bigint").alias("n_distinct_lines"),
+    line_doc = docs.select(
+        "doc_id",
+        F.size(F.split("text", "\n")).cast("bigint").alias("n_lines"),
+        F.size(F.array_distinct(F.split("text", "\n"))).cast("bigint").alias(
+            "n_distinct_lines"
+        ),
     )
     joined = line_doc.join(gram_doc, "doc_id", "left")
     return joined.select(
