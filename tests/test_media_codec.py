@@ -76,6 +76,51 @@ def test_png_crc_corruption_detected():
 
 
 # --------------------------------------------------------------------------
+# property-based round trips (hypothesis)
+# --------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 64),
+        h=st.integers(1, 32),
+        seed=st.binary(min_size=0, max_size=32),
+    )
+    def test_png_roundtrip_property(w, h, seed):
+        meta = mc.parse_png(mc.make_png(w, h, seed))
+        assert (meta["width"], meta["height"]) == (w, h)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(1, 512),
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        ch=st.integers(1, 8),
+        seed=st.binary(min_size=0, max_size=32),
+    )
+    def test_wav_roundtrip_property(n, rate, ch, seed):
+        meta = mc.parse_wav(mc.make_wav(n, rate, ch, seed))
+        assert (meta["n_samples"], meta["sample_rate"], meta["channels"]) == (n, rate, ch)
+
+    @settings(max_examples=30, deadline=None)
+    @given(ms=st.integers(0, 2**31 - 1), seed=st.binary(min_size=0, max_size=80))
+    def test_mp4_roundtrip_property(ms, seed):
+        assert mc.parse_mp4(mc.make_mp4(ms, seed))["duration_ms"] == ms
+
+    @settings(max_examples=50, deadline=None)
+    @given(junk=st.binary(min_size=0, max_size=200))
+    def test_sniff_never_crashes_on_junk(junk):
+        # arbitrary bytes must parse to a dict or None, never raise —
+        # a 100 TB corpus WILL contain truncated/corrupt payloads
+        out = mc.sniff_and_parse(junk)
+        assert out is None or isinstance(out, dict)
+
+except ImportError:  # pragma: no cover - hypothesis is baked into this env
+    pass
+
+
+# --------------------------------------------------------------------------
 # golden bytes produced outside this codebase
 # --------------------------------------------------------------------------
 
