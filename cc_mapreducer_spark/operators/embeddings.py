@@ -40,3 +40,35 @@ def dequantize(qdf: DataFrame) -> DataFrame:
         "vec_id",
         F.transform(F.col("q"), lambda v: v.cast("double") * F.col("scale")).alias("embedding"),
     )
+
+
+def embedding_norm_outliers(
+    emb: DataFrame, col: str = "embedding", lo_q: float = 0.01, hi_q: float = 0.99
+) -> DataFrame:
+    """Embedding-quality gate: flag vectors whose L2 norm falls outside
+    the [lo_q, hi_q] norm quantiles — the cheap screen for corrupt,
+    truncated, or mis-scaled vectors before they poison similarity
+    search or clustering. Returns (vec_id, norm, is_outlier).
+
+    Cross-engine determinism: the squared norm is the sequential
+    ``aggregate(zip_with(...))`` fold, bit-identical to a DuckDB list
+    comprehension (NOT the fast numpy path — a flipped low bit here
+    could flip an is_outlier decision; see the similarity operators for
+    when each is appropriate), and the thresholds use exact
+    ``percentile``, which matches DuckDB's quantile_cont bit-for-bit.
+    Scale shape: one pass for norms, a 2-value percentile aggregate
+    broadcast back — the vectors themselves never shuffle."""
+    sq = F.expr(
+        f"aggregate(zip_with({col}, {col}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    norms = emb.select("vec_id", F.sqrt(sq).alias("norm"))
+    bounds = norms.agg(
+        F.percentile("norm", F.lit(lo_q)).alias("__lo"),
+        F.percentile("norm", F.lit(hi_q)).alias("__hi"),
+    )
+    return norms.crossJoin(F.broadcast(bounds)).select(
+        "vec_id",
+        "norm",
+        ((F.col("norm") < F.col("__lo")) | (F.col("norm") > F.col("__hi"))).alias("is_outlier"),
+    )

@@ -128,3 +128,29 @@ def test_foreach_batch_sink_idempotent(spark, tmp_path):
         .count()
     )
     assert dupes == 0
+
+
+def test_embedding_norm_outliers_parity(spark):
+    from cc_mapreducer_spark.operators.embeddings import embedding_norm_outliers
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    out = embedding_norm_outliers(emb)
+    con = duckdb_connection(SF_ORACLE)  # keep alive until .df()
+    oracle = con.sql(
+        """
+        WITH n AS (
+            SELECT vec_id,
+                   sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]))
+                     AS norm
+            FROM embeddings
+        ), b AS (
+            SELECT quantile_cont(norm, 0.01) AS lo, quantile_cont(norm, 0.99) AS hi FROM n
+        )
+        SELECT vec_id, norm, (norm < lo OR norm > hi) AS is_outlier FROM n CROSS JOIN b
+        """
+    ).df()
+    compare_frames(out.toPandas(), oracle, "embedding_norm_outliers")
+    flagged = out.filter("is_outlier").count()
+    total = out.count()
+    # quantile gate must flag ~2% of a continuous-norm corpus
+    assert 0 < flagged <= int(total * 0.03)
