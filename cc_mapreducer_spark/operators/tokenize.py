@@ -87,3 +87,53 @@ def encode_tokens(docs: DataFrame, vocab: DataFrame) -> DataFrame:
             F.sum("oov").cast("bigint").alias("n_oov"),
         )
     )
+
+
+def assign_training_shards(
+    encoded: DataFrame, tokens_per_shard: int, n_groups: int = 8
+) -> DataFrame:
+    """Token-budgeted shard assignment over encode_tokens output: shards
+    hold ~tokens_per_shard tokens each (documents never split across
+    shards, so a shard overshoots by at most one document). Deterministic
+    — md5-hash document order, like pack_sequences — so reruns produce
+    identical shards.
+
+    Same distributed form as pack_sequences: a global running sum is a
+    serial scan, so the cumsum runs independently inside n_groups hash
+    groups and shard ids are group-qualified (group * 2^32 + local). One
+    shuffle on the group key; at scale n_groups is thousands and each
+    group's window is narrow (doc_id, n_tokens) metadata, not token
+    arrays."""
+    grouped = encoded.select(
+        "doc_id",
+        "token_ids",
+        "n_tokens",
+        "n_oov",
+        F.pmod(F.hash("doc_id"), F.lit(n_groups)).cast("bigint").alias("__grp"),
+        F.md5(F.concat(F.lit("shard-v1:"), F.col("doc_id").cast("string"))).alias("__ord"),
+    )
+    w = Window.partitionBy("__grp").orderBy("__ord", "doc_id")
+    cum = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    return grouped.select(
+        "doc_id",
+        "token_ids",
+        "n_tokens",
+        "n_oov",
+        (F.col("__grp") * F.lit(2**32) + F.floor(cum / tokens_per_shard)).alias("shard"),
+    )
+
+
+def write_training_shards(
+    encoded: DataFrame, path: str, tokens_per_shard: int, n_groups: int = 8
+) -> None:
+    """Materialize token-id shards as a hive-partitioned parquet layout
+    (shard=<id>/part-*.parquet) — the artifact a training job's data
+    loader consumes. Each shard directory holds ~tokens_per_shard tokens;
+    readers prune to their shard at planning time via the partition
+    column."""
+    assign_training_shards(encoded, tokens_per_shard, n_groups).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(path)

@@ -96,3 +96,42 @@ def test_encode_plan_broadcasts_vocab(spark):
     plan = formatted_plan(encode_tokens(docs, build_vocab(docs, max_size=64)))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_training_shards_budget_and_determinism(spark, tmp_path):
+    from cc_mapreducer_spark.operators.tokenize import (
+        assign_training_shards,
+        build_vocab,
+        encode_tokens,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    encoded = encode_tokens(docs, build_vocab(docs, max_size=64))
+    budget = 2000
+    assigned = assign_training_shards(encoded, tokens_per_shard=budget, n_groups=4)
+
+    per_shard = assigned.groupBy("shard").agg(
+        F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx")
+    )
+    # a shard overshoots its budget by at most one document's tokens
+    assert per_shard.filter(F.col("tok") >= budget + F.col("mx")).count() == 0
+    # deterministic: identical assignment on rerun
+    again = assign_training_shards(encoded, tokens_per_shard=budget, n_groups=4)
+    assert (
+        assigned.select("doc_id", "shard")
+        .exceptAll(again.select("doc_id", "shard"))
+        .count()
+        == 0
+    )
+
+    # written layout round-trips and prunes by the partition column
+    out = str(tmp_path / "shards")
+    write_training_shards(encoded, out, tokens_per_shard=budget, n_groups=4)
+    back = spark.read.parquet(out)
+    assert back.count() == encoded.count()
+    one_shard = back.select("shard").first()["shard"]
+    from cc_mapreducer_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(back.filter(F.col("shard") == one_shard))
+    assert "PartitionFilters: [isnotnull(shard" in plan
