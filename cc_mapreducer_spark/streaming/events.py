@@ -35,9 +35,9 @@ _STAGE_DIRS: dict[str, str] = {}
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts arrives as INT64
-    nanos — the session-wide ``spark.sql.legacy.parquet.nanosAsLong`` conf
-    set here is the same one tables.load_table sets for the batch path).
+    """File-source stream over the events parquet. ts normalization is
+    shared with the batch path (tables._normalize_event_ts), tolerating
+    both physical types the driver has shipped (INT64 nanos / micros).
 
     The file source requires a DIRECTORY; the driver ships a single
     parquet file, so stage a temp dir with a symlink to it (cached per
@@ -47,9 +47,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from cc_mapreducer_spark.tables import _normalize_event_ts, _read_events
+
     path = os.path.abspath(f"{sf_dir}/events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _read_events(spark, sf_dir).schema
     stage_dir = _STAGE_DIRS.get(path)
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="cc_mr_spark_stream_")
@@ -57,7 +58,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STAGE_DIRS[path] = stage_dir
         atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
     stream = spark.readStream.schema(schema).parquet(stage_dir)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_event_ts(stream)
 
 
 def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:

@@ -58,11 +58,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects by default ([PARQUET_TYPE_ILLEGAL]). Read
-        # nanos as long and truncate to micros — bit-identical to how DuckDB
-        # surfaces the same column as TIMESTAMP (microsecond precision).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _normalize_event_ts(_read_events(spark, sf_dir))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read events.parquet tolerating either physical type the driver has
+    shipped for ts: INT64 TIMESTAMP(NANOS) (round 1), which Spark's reader
+    rejects by default ([PARQUET_TYPE_ILLEGAL]) — hence nanosAsLong — or a
+    plain TIMESTAMP(MICROS) (round 2+), which reads as TIMESTAMP_NTZ."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize events.ts to TIMESTAMP (ltz; session tz is pinned UTC)
+    at microsecond precision — the one type every downstream operator,
+    stream, and DuckDB oracle was built against. Long means nanos-as-long
+    (truncate to micros, exactly how DuckDB surfaces the same column);
+    anything else (TIMESTAMP_NTZ from a micros file) is a straight cast —
+    same wall-clock values under the UTC session."""
+    kind = dict(df.dtypes)["ts"]
+    if kind == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
