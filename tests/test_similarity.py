@@ -75,6 +75,72 @@ def test_near_dup_threshold_yields_rows(spark):
     rows = Q["near_dup_embeddings"](spark, SF).collect()
     assert len(rows) > 0
     assert all(r.cosine >= 0.35 and r.vec_a < r.vec_b for r in rows)
+    # pairs are emitted once even when they collide in several tables
+    keys = [(r.vec_a, r.vec_b) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_near_dup_bucket_count_scales_with_corpus():
+    """VERDICT r2 item 1: the blocking key space must GROW with corpus
+    size, not sit at a fixed 64 buckets. near_dup_bits_for keeps expected
+    occupancy ~<= _ND_TARGET_ROWS until the shipped-plane cap."""
+    from cc_mapreducer_spark.operators.similarity import (
+        _ND_MAX_BITS,
+        _ND_MIN_BITS,
+        _ND_TABLES,
+        _ND_TARGET_ROWS,
+        near_dup_bits_for,
+    )
+
+    assert near_dup_bits_for(500) == 4        # sf0.01 -> 3*16 = 48 buckets
+    assert near_dup_bits_for(5000) == 8       # sf0.1  -> 3*256 = 768 buckets
+    prev = 0
+    for n in (10, 500, 2000, 4000, 5000, 10**6):
+        b = near_dup_bits_for(n)
+        assert _ND_MIN_BITS <= b <= _ND_MAX_BITS
+        assert b >= prev, "bucket width must be monotone in corpus size"
+        prev = b
+    # occupancy bound holds until the plane cap
+    for n in (100, 1000, 4000, _ND_TARGET_ROWS << _ND_MAX_BITS):
+        assert n <= _ND_TARGET_ROWS << near_dup_bits_for(n) or (
+            near_dup_bits_for(n) == _ND_MAX_BITS
+        )
+
+
+def test_near_dup_observed_buckets_exceed_fixed_64(spark):
+    """On a seeded 2500-vector corpus the observed distinct (table,
+    bucket) key count must exceed the old fixed-64 ceiling — the key space
+    the shuffle hashes on genuinely widens with n."""
+    from pyspark.sql import functions as F
+
+    from cc_mapreducer_spark.operators.similarity import (
+        _ND_TABLES,
+        _nd_table_bits_spark,
+        near_dup_bits_for,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 2500
+    vecs = rng.randn(n, 64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    nbits = near_dup_bits_for(n)
+    assert nbits > 6  # wider than the old single 6-bit key
+    stacked = None
+    for t in range(_ND_TABLES):
+        part = df.select(
+            F.lit(t).alias("t"), F.expr(_nd_table_bits_spark(t, nbits)).alias("bucket")
+        )
+        stacked = part if stacked is None else stacked.unionAll(part)
+    observed = stacked.select("t", "bucket").distinct().count()
+    assert observed > 64, f"only {observed} distinct blocking keys"
+    # and occupancy stays bounded: the hottest bucket is << n
+    hottest = (
+        stacked.groupBy("t", "bucket").count().agg(F.max("count")).first()[0]
+    )
+    assert hottest < n / 8
 
 
 def test_ivf_topk_recall_and_subset(spark):
