@@ -246,6 +246,7 @@ FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
         StructField("frame_sha", StringType()),
     ]
 )
@@ -254,7 +255,10 @@ FRAME_SCHEMA = StructType(
 def frame_sample_stub(n_frames: int = 4):
     """mapInPandas stub for video frame sampling: emits n_frames rows per
     video payload (1:N explode through Arrow — the batch-shape contract a
-    real pyav sampler has), frame bytes faked as slices of the payload."""
+    real pyav sampler has), frame bytes faked as slices of the payload.
+    frame_len is the sampled chunk's true byte count (oracle-checkable
+    against the container-size formula); frame_sha pins the bytes in
+    tests."""
     import hashlib
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -262,7 +266,7 @@ def frame_sample_stub(n_frames: int = 4):
             vids = pdf[pdf["media_type"] == "video/mp4"]
             if not len(vids):
                 continue
-            out = {"doc_id": [], "frame_idx": [], "frame_sha": []}
+            out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_sha": []}
             for _, row in vids.iterrows():
                 payload = bytes(row["payload"])
                 step = max(1, len(payload) // n_frames)
@@ -270,8 +274,9 @@ def frame_sample_stub(n_frames: int = 4):
                     chunk = payload[i * step : (i + 1) * step]
                     out["doc_id"].append(row["doc_id"])
                     out["frame_idx"].append(i)
+                    out["frame_len"].append(len(chunk))
                     out["frame_sha"].append(hashlib.sha256(chunk).hexdigest())
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out).astype({"frame_idx": "int32", "frame_len": "int32"})
 
     return _sample
 
@@ -357,24 +362,83 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Roster consolidation (round 2): the driver records correctness for at
-# most 50 registered keys, so the rows-only mapInPandas surfaces merge
-# into one tagged key (superset schema, NULL-padded). Components stay
-# importable functions with their own unit tests.
-@register("multimodal_derived")  # rows-only: mapInPandas payload work, not SQL-expressible
-def multimodal_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged union of the Arrow-batched derivation stages:
+# most 50 registered keys, so the mapInPandas surfaces merge into one
+# tagged key (superset schema, NULL-padded). Components stay importable
+# functions with their own unit tests.
+#
+# Round 3: the key is HASH-CHECKED (VERDICT r2 item 2). Every emitted
+# field is a decode result the DuckDB oracle re-derives independently
+# from the container-generation formulas (_encode_media: PNG width
+# 1+n_chars%32 / height 1+doc_id%24 / grayscale, WAV n_samples
+# 64+n_chars%128 @8000Hz x (1+doc_id%2)ch, MP4 duration 500+(n_chars*7)%
+# 10000) and the exact container byte layouts (functions/media_codec:
+# MP4 file size = 28B ftyp + 116B moov/mvhd + 8B free header +
+# min(seed,64) seed bytes). Spark's side reads these values out of REAL
+# encoded bytes; DuckDB recomputes them from `documents` alone — a
+# cross-engine proof the byte-level encode->decode round trip is exact.
+# Payload shas (not formula-derivable: zlib-compressed PNG rasters) stay
+# in the pytest surface (tests/test_media_codec.py golden bytes).
+_MP4_HEADER_BYTES = 28 + 116 + 8  # ftyp + moov(mvhd v0) + free box header
 
-    * kind='decoded' — REAL container decode: valid PNG/WAV/MP4 payloads
-      parsed back from their actual byte layouts (functions/media_codec).
-    * kind='frame' — per-video sampled frames (1:N explode; frame BYTES
-      are a stub — pixel extraction needs the decode_with_library seam).
+_DERIVED_SQL = """
+WITH d AS (
+    SELECT doc_id, n_chars, octet_length(encode(text)) AS tb FROM documents
+), mp4 AS (
+    SELECT doc_id, n_chars,
+           152 + LEAST(CASE WHEN tb = 0 THEN 1 ELSE tb END, 64) AS mp4_len
+    FROM d WHERE doc_id % 3 = 2
+), decoded AS (
+    SELECT 'decoded' AS kind, doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + n_chars % 32 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 24 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                     WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS INTEGER) AS channels,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 64 + n_chars % 128 END AS INTEGER) AS n_samples,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 500 + (n_chars * 7) % 10000 END AS INTEGER)
+             AS duration_ms,
+           CAST(NULL AS INTEGER) AS frame_idx,
+           CAST(NULL AS INTEGER) AS frame_len
+    FROM d
+), frames AS (
+    SELECT 'frame' AS kind, doc_id, 'video/mp4' AS media_type,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS channels,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           CAST(NULL AS INTEGER) AS n_samples,
+           CAST(NULL AS INTEGER) AS duration_ms,
+           CAST(k AS INTEGER) AS frame_idx,
+           CAST(mp4_len // 4 AS INTEGER) AS frame_len
+    FROM mp4 CROSS JOIN range(0, 4) t(k)
+)
+SELECT * FROM decoded UNION ALL SELECT * FROM frames
+"""
+
+
+@register("multimodal_derived", oracle=_DERIVED_SQL)
+def multimodal_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the Arrow-batched media derivation stages, every
+    field read from REAL container bytes and hash-checked against a DuckDB
+    oracle that re-derives the expected values from `documents` alone:
+
+    * kind='decoded' — container decode: valid PNG/WAV/MP4 payloads built
+      by _encode_media, then parsed back from their actual byte layouts
+      (magic sniff, CRC-checked IHDR, RIFF walk, ISO-BMFF box walk).
+    * kind='frame' — per-video sampled frames (1:N explode through Arrow)
+      over the SAME encoded MP4 containers; frame_len is each sampled
+      chunk's true byte count, which the oracle checks against the exact
+      ISO-BMFF file-size formula. Frame BYTES/shas stay pytest-pinned
+      (pixel extraction needs the decode_with_library seam).
     """
     null_i = F.lit(None).cast("int")
     decoded = multimodal_decode_real(spark, sf_dir).select(
         F.lit("decoded").alias("kind"),
         "doc_id",
         "media_type",
-        "byte_len",
         "width",
         "height",
         "channels",
@@ -382,20 +446,23 @@ def multimodal_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         "duration_ms",
         null_i.alias("frame_idx"),
-        F.lit(None).cast("string").alias("frame_sha"),
+        null_i.alias("frame_len"),
     )
-    frames = multimodal_frame_sample(spark, sf_dir).select(
-        F.lit("frame").alias("kind"),
-        "doc_id",
-        F.lit(None).cast("string").alias("media_type"),
-        F.lit(None).cast("bigint").alias("byte_len"),
-        null_i.alias("width"),
-        null_i.alias("height"),
-        null_i.alias("channels"),
-        null_i.alias("sample_rate"),
-        null_i.alias("n_samples"),
-        null_i.alias("duration_ms"),
-        "frame_idx",
-        "frame_sha",
+    frames = (
+        media_table_encoded(spark, sf_dir)
+        .mapInPandas(frame_sample_stub(4), FRAME_SCHEMA)
+        .select(
+            F.lit("frame").alias("kind"),
+            "doc_id",
+            F.lit("video/mp4").alias("media_type"),
+            null_i.alias("width"),
+            null_i.alias("height"),
+            null_i.alias("channels"),
+            null_i.alias("sample_rate"),
+            null_i.alias("n_samples"),
+            null_i.alias("duration_ms"),
+            "frame_idx",
+            "frame_len",
+        )
     )
     return decoded.unionAll(frames)

@@ -182,13 +182,54 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling.unionAll(sliding)
 
 
-@register("streaming_sessionize_watermarked")  # rows-only: append emits watermark-closed subset
+# Append-mode emission over a finite replay is deterministic (VERDICT r2
+# item 4): the file source delivers the whole file in one micro-batch, the
+# watermark then advances to max(ts) - 1h, and the closing empty batch
+# emits exactly the sessions whose window end (last event + 30-min gap)
+# is <= that final watermark — boundary semantics verified empirically: a
+# session ending exactly AT the watermark IS emitted (<=, not <). So the
+# oracle is the batch gap-sessionization plus that cutoff predicate.
+_SESSIONIZE_WM_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                  OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), numbered AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_idx
+    FROM flagged
+), sess AS (
+    SELECT user_id, min(ts) AS s_start, max(ts) AS s_end, count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_idx
+), wm AS (
+    SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+)
+SELECT user_id,
+       strftime(s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       n_events
+FROM sess, wm
+WHERE s_end + INTERVAL 30 MINUTE <= w
+"""
+
+
+@register("streaming_sessionize_watermarked", oracle=_SESSIONIZE_WM_SQL)
 def streaming_sessionize_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked session windows (30-min gap, 1-hour late-data bound) in
     append mode — the real streaming-sessionization operator with state
-    store + watermark eviction. Over a finite replay the tail sessions
-    stay open past the final watermark, so the emitted set is a strict
-    subset of the batch sessions (asserted in tests); hence rows-only."""
+    store + watermark eviction. Over a finite replay the emitted set is
+    exactly the watermark-closed subset of the batch sessions, so the
+    DuckDB oracle is the batch sessionization plus the final-watermark
+    cutoff (see _SESSIONIZE_WM_SQL) — hash-checked, with the state-store
+    path still doing the real work on the Spark side."""
     stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = stream.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count("*").alias("n_events")
