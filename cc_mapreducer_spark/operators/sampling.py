@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 # md5 -> first 8 hex chars -> u32 -> [0, 1). Cross-engine: DuckDB
 # ('0x' || substr(md5(x),1,8))::BIGINT / 4294967296.0 is bit-identical
-# (verified pattern — see memory of round-1 parity tricks).
+# (exact integer numerator over a power-of-two denominator).
 _U32 = 4294967296.0
 
 
