@@ -49,14 +49,18 @@ _N_QUERIES = 5
 _TOPK = 10
 _ROUND = 9
 
-# Fixed random hyperplanes: numpy RandomState(42).randn(24, 64) rounded to
+# Fixed random hyperplanes: numpy RandomState(42).randn(48, 64) rounded to
 # 6dp. Literal-embedded in both engines' SQL so there is no runtime RNG.
-# Rows 0-5 form the single-table 6-bit bucket (near_dup_embeddings); the
-# ANN search uses all 24 as _N_TABLES tables x _BITS_PER_TABLE bits
-# (classic E2LSH-style multi-table sign-LSH: per-table collision
-# probability (1 - theta/pi)^bits, union over tables lifts recall to
-# 1 - (1 - p)^tables while each table stays a hash-joinable equality key).
-_HYPERPLANES = np.round(np.random.RandomState(42).randn(24, 64), 6)
+# (RandomState draws row-major sequentially, so rows 0-23 are identical to
+# the (24, 64) pool earlier rounds shipped — existing bucket values are
+# unchanged.) Rows 0-5 form the single-table 6-bit bucket; the ANN search
+# uses rows 0-23 as _N_TABLES tables x _BITS_PER_TABLE bits (classic
+# E2LSH-style multi-table sign-LSH: per-table collision probability
+# (1 - theta/pi)^bits, union over tables lifts recall to 1 - (1 - p)^tables
+# while each table stays a hash-joinable equality key); the near-dup
+# blocking draws up to 3 x 14 planes from the full pool as the corpus
+# grows (near_dup_bits_for).
+_HYPERPLANES = np.round(np.random.RandomState(42).randn(48, 64), 6)
 _N_TABLES = 6
 _BITS_PER_TABLE = 4
 
@@ -282,18 +286,19 @@ _NEAR_DUP_T = 0.35
 
 # Size-adaptive multi-table blocking (round-3 fix for the fixed-64-bucket
 # self-join the round-2 verdict flagged): _ND_TABLES tables of up to
-# _ND_MAX_BITS sign bits each (3 x 8 = all 24 seeded hyperplanes). The
-# per-table key is a PREFIX of the table's 8-bit string whose length grows
-# with corpus size so expected bucket occupancy stays ~<= _ND_TARGET_ROWS:
-# within-bucket candidate pairs then grow ~linearly in n, not (n/64)^2.
-# Recall comes from the union over tables (1-(1-p^bits)^tables), exactly
-# the multi-table scheme similarity_topk_signlsh uses for search. At real
-# scale _ND_MAX_BITS rises by adding hyperplanes (cheap — they're just
-# literals); 8 is the cap the 24 shipped planes allow while keeping the
-# DuckDB oracle's bucket derivation verbatim-mirrorable.
+# _ND_MAX_BITS sign bits each (3 x 14 = 42 of the 48 seeded hyperplanes).
+# The per-table key is a PREFIX of the table's bit string whose length
+# grows with corpus size so expected bucket occupancy stays
+# ~<= _ND_TARGET_ROWS: within-bucket candidate pairs then grow ~linearly
+# in n, not (n/64)^2. Recall comes from the union over tables
+# (1-(1-p^bits)^tables), exactly the multi-table scheme
+# similarity_topk_signlsh uses for search. The 14-bit cap covers ~500k
+# rows at target occupancy (bench.py's scale-trend lane exercises 150k);
+# past that, extend the seeded pool — planes are literals, so the DuckDB
+# oracle stays verbatim-mirrorable at any width.
 _ND_TABLES = 3
 _ND_MIN_BITS = 4
-_ND_MAX_BITS = 8
+_ND_MAX_BITS = 14
 _ND_TARGET_ROWS = 32
 
 

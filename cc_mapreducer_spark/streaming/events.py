@@ -33,6 +33,11 @@ _SINK_SEQ = 0
 # interpreter exit — repeated query runs must not leak temp dirs (ADVICE r1).
 _STAGE_DIRS: dict[str, str] = {}
 
+# Schema per resolved events file: constant per file, so don't rebuild a
+# batch DataFrame (parquet footer read) for every streaming query (ADVICE
+# r2 — streaming_view_purchase_join builds two streams per run).
+_SCHEMAS: dict[str, object] = {}
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. ts normalization is
@@ -50,7 +55,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_mapreducer_spark.tables import _normalize_event_ts, _read_events
 
     path = os.path.abspath(f"{sf_dir}/events.parquet")
-    schema = _read_events(spark, sf_dir).schema
+    schema = _SCHEMAS.get(path)
+    if schema is None:
+        schema = _read_events(spark, sf_dir).schema
+        _SCHEMAS[path] = schema
     stage_dir = _STAGE_DIRS.get(path)
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="cc_mr_spark_stream_")

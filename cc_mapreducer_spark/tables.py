@@ -65,10 +65,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read events.parquet tolerating either physical type the driver has
     shipped for ts: INT64 TIMESTAMP(NANOS) (round 1), which Spark's reader
-    rejects by default ([PARQUET_TYPE_ILLEGAL]) — hence nanosAsLong — or a
-    plain TIMESTAMP(MICROS) (round 2+), which reads as TIMESTAMP_NTZ."""
+    rejects by default ([PARQUET_TYPE_ILLEGAL]), or a plain
+    TIMESTAMP(MICROS) (round 2+), which reads as TIMESTAMP_NTZ.
+
+    nanosAsLong is applied ONLY when the plain read actually fails on the
+    nanos type (ADVICE r2): an unconditional session-wide legacy conf
+    would leak into every other parquet read, where a future INT64-nanos
+    column in another table should fail loudly rather than silently
+    surface as bigint. It cannot be save/restored around the read — Spark
+    re-resolves the conf when an ACTION on the returned DataFrame plans,
+    so the conf must outlive this call; sessions that never touch a
+    nanos file (round 2+ data) now never set it."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # schema resolution is where the nanos type is rejected
+        return df
+    except Exception as ex:
+        if "PARQUET_TYPE_ILLEGAL" not in str(ex):
+            raise
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return spark.read.parquet(path)
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
@@ -77,7 +94,15 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     stream, and DuckDB oracle was built against. Long means nanos-as-long
     (truncate to micros, exactly how DuckDB surfaces the same column);
     anything else (TIMESTAMP_NTZ from a micros file) is a straight cast —
-    same wall-clock values under the UTC session."""
+    same wall-clock values ONLY under a UTC session, so that invariant is
+    enforced here at the cast site rather than assumed from the callers
+    that happen to pin it (ADVICE r2)."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz != "UTC":
+        # registry._tune_session pins UTC for every registered query; a
+        # direct load_table caller on an unpinned session would otherwise
+        # get silently shifted wall-clock values from the NTZ->LTZ cast.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     kind = dict(df.dtypes)["ts"]
     if kind == "bigint":
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -68,7 +68,11 @@ def test_sessionize_conservation(spark):
     session duration fits inside the observed time range."""
     sessions = Q["event_sessionize"](spark, SF_SMOKE)
     total = sessions.agg(F.sum("n_events")).first()[0]
-    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    # through the tolerant reader: a bare spark.read.parquet fails on a
+    # round-1 INT64-nanos file unless an earlier test set nanosAsLong
+    from cc_mapreducer_spark.tables import load_table
+
+    n_events = load_table(spark, SF_SMOKE, "events").count()
     assert total == n_events
     max_dur = sessions.agg(F.max("duration_us")).first()[0]
     assert max_dur >= 0

@@ -30,12 +30,14 @@ def _topk_sets(rows):
 def test_hyperplanes_are_gaussian_not_axis_aligned():
     """r1 shipped coordinate-sign 'hyperplanes'; these must be real seeded
     Gaussian projections — dense (no zero coordinates) and full rank."""
-    assert _HYPERPLANES.shape == (24, 64)
+    assert _HYPERPLANES.shape == (48, 64)
     assert (_HYPERPLANES != 0).all()
-    assert np.linalg.matrix_rank(_HYPERPLANES) == 24
-    # seeded + rounded => reproducible literal set
-    expect = np.round(np.random.RandomState(42).randn(24, 64), 6)
+    assert np.linalg.matrix_rank(_HYPERPLANES) == 48
+    # seeded + rounded => reproducible literal set; rows 0-23 must equal
+    # the narrower pool earlier rounds shipped (sequential draw)
+    expect = np.round(np.random.RandomState(42).randn(48, 64), 6)
     assert (expect == _HYPERPLANES).all()
+    assert (np.round(np.random.RandomState(42).randn(24, 64), 6) == _HYPERPLANES[:24]).all()
 
 
 def test_signlsh_recall_floor(spark):
