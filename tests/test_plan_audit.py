@@ -50,3 +50,21 @@ def test_no_scale_antipatterns(spark, name):
     if name not in ALLOWED_PYTHON_EVAL:
         assert "EvalPython" not in plan, f"{name}: Python evaluation in plan"
     assert "Scan parquet" in plan or "Scan ExistingRDD" in plan
+
+
+def test_no_runtime_randomness_in_source():
+    """Determinism rule (repo-wide): no rand()/random() in operator
+    source — salts, samples, and splits must be hash-derived so task
+    retries reproduce identical rows. Seeded numpy RandomState is allowed
+    (driver-side constants baked at module import, not per-task draws)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "cc_mapreducer_spark"
+    offenders = []
+    for py in root.rglob("*.py"):
+        text = py.read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            if re.search(r"\bF\.rand\b|\bF\.randn\b|\brandom\.random\(", line):
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
