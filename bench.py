@@ -39,6 +39,7 @@ HEADLINE = [
     "simhash_near_pairs",        # SimHash blocking
     "similarity_topk_bruteforce",# embedding search (exact)
     "similarity_topk_signlsh",   # embedding search (multi-table LSH)
+    "near_dup_embeddings",       # embedding near-dup (adaptive blocking)
     "q18_large_volume_customers",# fact-fact semi-join agg
     "text_profile",              # per-doc text measures (wide merge)
     "event_sessionize",          # windows + sessionization

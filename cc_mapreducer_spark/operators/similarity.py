@@ -255,6 +255,13 @@ def similarity_topk_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     for t in range(_N_TABLES):
         emb = emb.withColumn(f"bkt{t}", F.expr(_table_bucket_spark(t)))
+    # The bucketed frame feeds all _N_TABLES join branches AND the query
+    # block; without a persist each branch re-evaluates the 24 sign-bit
+    # folds over the whole corpus (6x the bucketing CPU — negligible at
+    # local SF where per-stage overhead dominates, a real 6x at 100 TB).
+    # At scale this is the parquet materialization of the LSH index
+    # tables; locally an in-memory persist.
+    emb = emb.persist()
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -380,6 +387,10 @@ def embedding_near_dup_pairs(emb: DataFrame, n_rows: int | None = None) -> DataF
     stacked = per_table[0]
     for df in per_table[1:]:
         stacked = stacked.unionAll(df)
+    # Both sides of the self-join read the stacked frame; persist so the
+    # sign-bit folds run once per row, not twice (at 100 TB: the
+    # materialized LSH index table the join would read).
+    stacked = stacked.persist()
     a = stacked.select(
         "t", "bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
