@@ -58,9 +58,13 @@ HEADLINE = [
 # ---------------------------------------------------------------------------
 
 TREND_FACTORS = [1, 10, 30]
+# near_dedup_minhash (the registered near_dedup_pairs minus its ngram
+# verify leg): that leg is hard-capped to doc_id < 40 at every size, and
+# a constant term in t(n) biases the fitted exponent DOWNWARD — the lane
+# must not grade its own claims on a softened curve.
 TREND_QUERIES = [
     "exact_dedup",          # one shuffle on sha2
-    "near_dedup_pairs",     # MinHash bands + ngram verify
+    "near_dedup_minhash",   # MinHash band join + exact-Jaccard verify
     "simhash_near_pairs",   # 64-bit fingerprint block-pair probing
     "near_dup_embeddings",  # size-adaptive multi-table sign-LSH
 ]
@@ -115,6 +119,11 @@ def scale_trend(spark, queries) -> dict:
     import tempfile
 
     import pyarrow.parquet as pq
+
+    from cc_mapreducer_spark.operators.dedup import near_dedup_minhash
+
+    queries = dict(queries)
+    queries.setdefault("near_dedup_minhash", near_dedup_minhash)
 
     base_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
     base_vecs = pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows

@@ -106,30 +106,29 @@ DECODED_SCHEMA = StructType(
 )
 
 
+def _encode_one(doc_id: int, text: str, n_chars: int) -> tuple[str, bytes]:
+    """One document -> (media_type, spec-valid container bytes). Every
+    parameter is a deterministic function of (doc_id, n_chars), so decode
+    stages can be independently checked against these formulas."""
+    seed = str(text).encode("utf-8")
+    if doc_id % 3 == 0:
+        return "image/png", media_codec.make_png(1 + n_chars % 32, 1 + doc_id % 24, seed)
+    if doc_id % 3 == 1:
+        return "audio/wav", media_codec.make_wav(64 + n_chars % 128, 8000, 1 + doc_id % 2, seed)
+    return "video/mp4", media_codec.make_mp4(500 + (n_chars * 7) % 10000, seed)
+
+
 def _encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas producer of REAL container files (media_codec): every
-    payload is a spec-valid PNG / WAV / MP4 whose parameters are
-    deterministic functions of (doc_id, n_chars) — so the decode stage
-    can be independently checked against those formulas."""
+    """mapInPandas producer of REAL container files (media_codec); see
+    _encode_one for the deterministic parameter formulas."""
     for pdf in batches:
         if not len(pdf):
             continue
         payloads, types = [], []
         for doc_id, text, n_chars in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"]):
-            seed = str(text).encode("utf-8")
-            if doc_id % 3 == 0:
-                types.append("image/png")
-                payloads.append(
-                    media_codec.make_png(1 + n_chars % 32, 1 + doc_id % 24, seed)
-                )
-            elif doc_id % 3 == 1:
-                types.append("audio/wav")
-                payloads.append(
-                    media_codec.make_wav(64 + n_chars % 128, 8000, 1 + doc_id % 2, seed)
-                )
-            else:
-                types.append("video/mp4")
-                payloads.append(media_codec.make_mp4(500 + (n_chars * 7) % 10000, seed))
+            mt, payload = _encode_one(doc_id, text, n_chars)
+            types.append(mt)
+            payloads.append(payload)
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"], "media_type": types, "payload": payloads}
         )
@@ -419,6 +418,65 @@ SELECT * FROM decoded UNION ALL SELECT * FROM frames
 """
 
 
+DERIVED_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
+    ]
+)
+
+
+def _derive_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Single-pass derivation: encode each document's container ONCE, then
+    emit its decoded-header row and (for videos) its sampled-frame rows
+    from the same bytes. A two-leg union would run the zlib-heavy encode
+    stage twice over the corpus for no extra information."""
+    n_frames = 4
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = {k.name: [] for k in DERIVED_SCHEMA.fields}
+
+        def emit(kind, doc_id, mt, **fields):
+            rows["kind"].append(kind)
+            rows["doc_id"].append(doc_id)
+            rows["media_type"].append(mt)
+            for c in ("width", "height", "channels", "sample_rate",
+                      "n_samples", "duration_ms", "frame_idx", "frame_len"):
+                rows[c].append(fields.get(c))
+
+        for doc_id, text, n_chars in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+            mt, payload = _encode_one(doc_id, text, n_chars)
+            meta = media_codec.sniff_and_parse(payload) or {}
+            emit(
+                "decoded", doc_id, mt,
+                width=meta.get("width"), height=meta.get("height"),
+                channels=meta.get("channels"), sample_rate=meta.get("sample_rate"),
+                n_samples=meta.get("n_samples"), duration_ms=meta.get("duration_ms"),
+            )
+            if mt == "video/mp4":
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    chunk = payload[i * step : (i + 1) * step]
+                    emit("frame", doc_id, mt, frame_idx=i, frame_len=len(chunk))
+        yield pd.DataFrame(rows).astype(
+            {
+                c: "Int32"
+                for c in ("width", "height", "channels", "sample_rate",
+                          "n_samples", "duration_ms", "frame_idx", "frame_len")
+            }
+        )
+
+
 @register("multimodal_derived", oracle=_DERIVED_SQL)
 def multimodal_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union of the Arrow-batched media derivation stages, every
@@ -426,43 +484,15 @@ def multimodal_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle that re-derives the expected values from `documents` alone:
 
     * kind='decoded' — container decode: valid PNG/WAV/MP4 payloads built
-      by _encode_media, then parsed back from their actual byte layouts
+      by _encode_one, then parsed back from their actual byte layouts
       (magic sniff, CRC-checked IHDR, RIFF walk, ISO-BMFF box walk).
     * kind='frame' — per-video sampled frames (1:N explode through Arrow)
       over the SAME encoded MP4 containers; frame_len is each sampled
       chunk's true byte count, which the oracle checks against the exact
       ISO-BMFF file-size formula. Frame BYTES/shas stay pytest-pinned
       (pixel extraction needs the decode_with_library seam).
-    """
-    null_i = F.lit(None).cast("int")
-    decoded = multimodal_decode_real(spark, sf_dir).select(
-        F.lit("decoded").alias("kind"),
-        "doc_id",
-        "media_type",
-        "width",
-        "height",
-        "channels",
-        "sample_rate",
-        "n_samples",
-        "duration_ms",
-        null_i.alias("frame_idx"),
-        null_i.alias("frame_len"),
-    )
-    frames = (
-        media_table_encoded(spark, sf_dir)
-        .mapInPandas(frame_sample_stub(4), FRAME_SCHEMA)
-        .select(
-            F.lit("frame").alias("kind"),
-            "doc_id",
-            F.lit("video/mp4").alias("media_type"),
-            null_i.alias("width"),
-            null_i.alias("height"),
-            null_i.alias("channels"),
-            null_i.alias("sample_rate"),
-            null_i.alias("n_samples"),
-            null_i.alias("duration_ms"),
-            "frame_idx",
-            "frame_len",
-        )
-    )
-    return decoded.unionAll(frames)
+
+    One mapInPandas pass: each container is encoded once and feeds both
+    row kinds (see _derive_media)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return docs.mapInPandas(_derive_media, DERIVED_SCHEMA)

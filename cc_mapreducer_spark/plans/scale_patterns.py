@@ -27,21 +27,29 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8) -> N
 def salted_join(
     big: DataFrame, small: DataFrame, key: str, n_salts: int = 8
 ) -> DataFrame:
-    """Skew-salted inner equi-join: the big (skewed) side gets a
-    hash-derived salt in [0, n_salts); the small side is exploded n_salts
-    times so every (key, salt) bucket finds its match. Result set is
-    identical to an unsalted join; the shuffle spreads a hot key over
-    n_salts partitions. (AQE's skew-join handles post-hoc splitting;
-    salting is the a-priori form that also works for aggregations.)
+    """Skew-salted inner equi-join: the big (skewed) side gets a salt in
+    [0, n_salts); the small side is exploded n_salts times so every
+    (key, salt) bucket finds its match. Result set is identical to an
+    unsalted join; the shuffle spreads a hot key over n_salts partitions.
+    (AQE's skew-join handles post-hoc splitting; salting is the a-priori
+    form that also works for aggregations.)
 
-    The salt is derived from the row's own columns, like salted_agg_count
-    — never rand(), which is re-drawn on task retry and would route the
-    same row to a different salt bucket mid-job (this repo's determinism
-    rule). Only uniformity matters, so hashing all columns is fine even
-    when they correlate with the key."""
+    Salt derivation — why not the obvious two choices:
+    * rand(): re-drawn per task attempt, so a retried task can route the
+      same row to a different salt bucket mid-job (repo determinism rule).
+    * hash(row columns): deterministic, but a hot key whose rows are
+      FULL DUPLICATES (the classic log-skew case) hashes every row to one
+      salt — the skew survives untouched.
+    monotonically_increasing_id() is both: partition_id << 33 | row index,
+    reproduced exactly when a failed task recomputes its partition, and
+    distinct across duplicate rows. The salt never reaches the output
+    (dropped below), so cross-run id instability from upstream
+    repartitioning cannot leak into results."""
     salted_big = big.withColumn(
         "__salt",
-        F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int"),
+        F.pmod(F.hash(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts)).cast(
+            "int"
+        ),
     )
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

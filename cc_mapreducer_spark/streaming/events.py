@@ -33,10 +33,14 @@ _SINK_SEQ = 0
 # interpreter exit — repeated query runs must not leak temp dirs (ADVICE r1).
 _STAGE_DIRS: dict[str, str] = {}
 
-# Schema per resolved events file: constant per file, so don't rebuild a
-# batch DataFrame (parquet footer read) for every streaming query (ADVICE
-# r2 — streaming_view_purchase_join builds two streams per run).
-_SCHEMAS: dict[str, object] = {}
+# Schema per (session, resolved events file): constant per file, so don't
+# rebuild a batch DataFrame (parquet footer read) for every streaming
+# query (ADVICE r2 — streaming_view_purchase_join builds two streams per
+# run). Keyed by applicationId too: the schema for an INT64-nanos file is
+# only readable because _read_events set the nanosAsLong conf on THAT
+# session — a fresh session in the same process must re-derive it so the
+# conf is re-applied, not inherit a schema its confs can't execute.
+_SCHEMAS: dict[tuple[str, str], object] = {}
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,10 +59,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_mapreducer_spark.tables import _normalize_event_ts, _read_events
 
     path = os.path.abspath(f"{sf_dir}/events.parquet")
-    schema = _SCHEMAS.get(path)
+    schema_key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMAS.get(schema_key)
     if schema is None:
         schema = _read_events(spark, sf_dir).schema
-        _SCHEMAS[path] = schema
+        _SCHEMAS[schema_key] = schema
     stage_dir = _STAGE_DIRS.get(path)
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="cc_mr_spark_stream_")
@@ -203,7 +208,7 @@ WITH ordered AS (
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
     FROM events
 ), flagged AS (
-    SELECT user_id, ts,
+    SELECT user_id, event_id, ts,
            CASE WHEN prev_ts IS NULL
                   OR date_diff('microsecond', prev_ts, ts) > 1800000000
                 THEN 1 ELSE 0 END AS new_session
@@ -211,7 +216,7 @@ WITH ordered AS (
 ), numbered AS (
     SELECT user_id, ts,
            sum(new_session) OVER (
-             PARTITION BY user_id ORDER BY ts
+             PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS session_idx
     FROM flagged
@@ -219,7 +224,12 @@ WITH ordered AS (
     SELECT user_id, min(ts) AS s_start, max(ts) AS s_end, count(*) AS n_events
     FROM numbered GROUP BY user_id, session_idx
 ), wm AS (
-    SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+    -- Spark's EventTimeStats tracks event time in whole MILLISECONDS
+    -- (eventTime/1000, floor), so the engine's watermark is
+    -- floor_ms(max ts) - delay, not the exact-microsecond max. A session
+    -- closing inside the sub-ms gap would be emitted by an exact oracle
+    -- but withheld by Spark.
+    SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w FROM events
 )
 SELECT user_id,
        strftime(s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,

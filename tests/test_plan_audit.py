@@ -53,18 +53,48 @@ def test_no_scale_antipatterns(spark, name):
 
 
 def test_no_runtime_randomness_in_source():
-    """Determinism rule (repo-wide): no rand()/random() in operator
-    source — salts, samples, and splits must be hash-derived so task
-    retries reproduce identical rows. Seeded numpy RandomState is allowed
-    (driver-side constants baked at module import, not per-task draws)."""
+    """Determinism rule (repo-wide): no runtime randomness in operator
+    source — salts, samples, and splits must be derived so task retries
+    reproduce identical rows. Catches the DataFrame API (F.rand), SQL
+    strings (expr("rand()") / selectExpr / oracle SQL), and module-level
+    numpy draws. Seeded numpy RandomState is allowed (driver-side
+    constants baked at import, not per-task draws)."""
+    import ast
+    import io
     import pathlib
     import re
+    import tokenize
 
+    patterns = re.compile(
+        r"\bF\.rand\b|\bF\.randn\b|\brandom\.random\("   # API-level
+        r"|\brandn?\(\s*\)|\buuid\(\s*\)"                 # inside SQL strings
+        r"|np\.random\.(rand|randn|randint|random)\("     # unseeded numpy
+    )
     root = pathlib.Path(__file__).resolve().parent.parent / "cc_mapreducer_spark"
     offenders = []
     for py in root.rglob("*.py"):
         text = py.read_text()
+        # docstring lines are prose, not executable randomness
+        doc_lines: set[int] = set()
+        tree = ast.parse(text)
+        for node in ast.walk(tree):
+            if isinstance(
+                node, (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)
+            ):
+                if node.body and isinstance(node.body[0], ast.Expr) and isinstance(
+                    node.body[0].value, ast.Constant
+                ) and isinstance(node.body[0].value.value, str):
+                    ds = node.body[0]
+                    doc_lines.update(range(ds.lineno, ds.end_lineno + 1))
+        # strip trailing # comments (but keep string contents — SQL counts)
+        comment_start: dict[int, int] = {}
+        for tok in tokenize.generate_tokens(io.StringIO(text).readline):
+            if tok.type == tokenize.COMMENT:
+                comment_start[tok.start[0]] = tok.start[1]
         for i, line in enumerate(text.splitlines(), 1):
-            if re.search(r"\bF\.rand\b|\bF\.randn\b|\brandom\.random\(", line):
+            if i in doc_lines:
+                continue
+            code = line[: comment_start[i]] if i in comment_start else line
+            if patterns.search(code):
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
