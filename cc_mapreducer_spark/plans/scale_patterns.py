@@ -78,6 +78,48 @@ def salted_agg_count(big: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     return partial.groupBy(key).agg(F.sum("__c").cast("bigint").alias("n"))
 
 
+def semi_reduce_then_join(
+    fact: DataFrame, dim_filtered: DataFrame, key: str
+) -> DataFrame:
+    """Semi-join reduction: shrink the fact side to keys that CAN match
+    before the wide join. The broadcast LEFT SEMI against the filtered
+    dim's distinct keys drops non-matching fact rows inside the scan
+    stage — columns beyond the key are never shuffled for rows the join
+    would discard. At 100 TB this is the difference between shuffling the
+    full fact table and shuffling the selectivity-fraction of it; on
+    engines with runtime filters (DPP/Bloom) the optimizer injects this
+    automatically for partition columns, and this is the explicit form
+    for arbitrary keys. Result is identical to the plain inner join
+    (asserted in tests/test_scale_patterns.py)."""
+    keys = dim_filtered.select(key).distinct()
+    pruned = fact.join(F.broadcast(keys), key, "left_semi")
+    return pruned.join(F.broadcast(dim_filtered), key)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 8,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Range-partitioned, sorted data layout: repartitionByRange splits
+    rows into contiguous key ranges, sortWithinPartitions orders each
+    file, so every parquet file's (min, max) stats for sort_col are
+    near-disjoint. Readers filtering on sort_col then skip whole files /
+    row groups from footer stats alone — the single biggest I/O lever for
+    a 100 TB table with a dominant filter column (the poor man's
+    Z-order for one dimension). Disjointness is asserted against the
+    actual parquet footers in tests/test_scale_patterns.py."""
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_col: str, max_records_per_file: int = 1_000_000
 ) -> None:

@@ -113,3 +113,59 @@ def test_partitioned_write_prunes(spark, tmp_path):
 
     part_dirs = [d for d in os.listdir(path) if d.startswith("o_orderstatus=")]
     assert len(part_dirs) >= 2  # layout actually split; pruning reads one dir
+
+
+def test_semi_reduce_then_join_equivalent_and_broadcast(spark):
+    from cc_mapreducer_spark.plans.scale_patterns import semi_reduce_then_join
+
+    fact = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = (
+        spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+        .filter("c_mktsegment = 'BUILDING'")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    reduced = semi_reduce_then_join(fact, dim, "o_custkey")
+    plain = fact.join(dim, "o_custkey")
+    cols = sorted(reduced.columns)
+    assert cols == sorted(plain.columns)
+    a = sorted(map(tuple, reduced.select(*cols).collect()))
+    b = sorted(map(tuple, plain.select(*cols).collect()))
+    assert a == b and len(a) > 0
+    plan = reduced._jdf.queryExecution().executedPlan().toString()
+    # the key-set prune is a broadcast LEFT SEMI inside the scan stage
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_range_sorted_layout_files_near_disjoint(spark, tmp_path):
+    from cc_mapreducer_spark.plans.scale_patterns import write_range_sorted
+
+    import pyarrow.parquet as pq
+    import os
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_range")
+    write_range_sorted(orders, path, "o_orderkey", n_files=8)
+
+    spans = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # o_orderkey
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) >= 4  # actually split into ranged files
+    spans.sort()
+    # consecutive file key ranges must not interleave (disjoint layout =>
+    # footer-stats skipping works for any o_orderkey range predicate)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # round trip intact
+    assert spark.read.parquet(path).count() == orders.count()
