@@ -188,3 +188,26 @@ def test_ivf_topk_recall_and_subset(spark):
     assert n_total == cells.count()
     top_cells = sorted(counts.values(), reverse=True)[:_IVF_NPROBE]
     assert sum(top_cells) < n_total
+
+
+def test_near_dup_blocking_finds_planted_duplicates(spark):
+    """Plant true near-duplicate pairs (tiny perturbations, cosine ~1) in
+    a seeded corpus: the multi-table blocking must surface nearly all of
+    them (a cosine~1 pair collides in a 4-bit table w.p. ~(1-theta/pi)^4
+    ~ 0.92; union over 3 tables -> ~0.9995)."""
+    from cc_mapreducer_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    n_base, n_pairs = 400, 25
+    vecs = rng.randn(n_base, 64)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n_base)]
+    for j in range(n_pairs):  # ids 1000+j duplicate j with 1% noise
+        noisy = vecs[j] + 0.01 * rng.randn(64)
+        rows.append((1000 + j, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(df, n_rows=len(rows)).collect()
+    }
+    hits = sum((j, 1000 + j) in found for j in range(n_pairs))
+    assert hits >= int(0.9 * n_pairs), f"only {hits}/{n_pairs} planted pairs found"
