@@ -27,3 +27,17 @@ def write_jsonl(df: DataFrame, path: str) -> None:
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC with zstd: the other columnar format a shared 100 TB lake
+    actually contains (Hive/Trino heritage). Spark's ORC reader does the
+    same predicate pushdown / column pruning as parquet, so every
+    operator here runs unchanged over ORC tables."""
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    # columnar + self-describing: no schema argument needed (unlike
+    # CSV/JSONL where schema-on-read would cost an inference scan)
+    return spark.read.orc(path)

@@ -97,3 +97,25 @@ def test_similarity_cosine_bounds(spark):
     for r in rows:
         by_q[r.query_id].append(r.rn)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC roundtrip preserves values and the scan supports predicate
+    pushdown / column pruning like parquet."""
+    from cc_mapreducer_spark.sources.formats import read_orc, write_orc
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    filtered = back.filter(back.o_orderstatus == "F").select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # pushdown reaches the ORC scan; projection prunes to the 2 used cols
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
