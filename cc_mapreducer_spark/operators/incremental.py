@@ -104,3 +104,100 @@ def incremental_near_dups(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental embedding near-dup (the ANN twin of the MinHash path above)
+# --------------------------------------------------------------------------
+
+
+def build_signlsh_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    n_rows: int | None = None,
+    max_vec_id: int | None = None,
+) -> int:
+    """Materialize the corpus sign-LSH bucket index to parquet:
+    (t, bucket, vec_id, embedding), one row per (vector, table). The
+    bucket width adapts to the FULL expected corpus size exactly like the
+    batch path (similarity.near_dup_bits_for), and is returned so probe
+    batches use the same width — a probe bucketed at a different width
+    would never collide. At scale: write bucketed by (t, bucket) so the
+    probe join needs no index-side shuffle."""
+    from cc_mapreducer_spark.operators.similarity import (
+        _ND_TABLES,
+        _nd_table_bits_spark,
+        near_dup_bits_for,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if max_vec_id is not None:
+        emb = emb.filter(F.col("vec_id") < max_vec_id)
+    if n_rows is None:
+        n_rows = emb.count()
+    nbits = near_dup_bits_for(n_rows)
+    per_table = [
+        emb.select(
+            F.lit(t).alias("t"),
+            F.expr(_nd_table_bits_spark(t, nbits)).alias("bucket"),
+            "vec_id",
+            "embedding",
+        )
+        for t in range(_ND_TABLES)
+    ]
+    stacked = per_table[0]
+    for df in per_table[1:]:
+        stacked = stacked.unionAll(df)
+    stacked.write.mode("overwrite").parquet(index_path)
+    return nbits
+
+
+def incremental_embedding_near_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    nbits: int,
+    min_vec_id: int,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Near-duplicates of the NEW vector batch (vec_id >= min_vec_id)
+    against the indexed corpus: bucket ONLY the batch at the index's
+    width, hash-join its (t, bucket) keys against the index, exact cosine
+    on candidates, dedup pairs that collide in several tables. Returns
+    (corpus_vec, new_vec, cosine). Only the new batch shuffles; the index
+    side arrives pre-partitioned from storage."""
+    from cc_mapreducer_spark.operators.similarity import (
+        _ND_TABLES,
+        _cosine_pair_udf,
+        _nd_table_bits_spark,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= min_vec_id
+    )
+    per_table = [
+        emb.select(
+            F.lit(t).alias("t"),
+            F.expr(_nd_table_bits_spark(t, nbits)).alias("bucket"),
+            F.col("vec_id").alias("new_vec"),
+            F.col("embedding").alias("eb"),
+        )
+        for t in range(_ND_TABLES)
+    ]
+    probes = per_table[0]
+    for df in per_table[1:]:
+        probes = probes.unionAll(df)
+    idx = spark.read.parquet(index_path).select(
+        "t", "bucket", F.col("vec_id").alias("corpus_vec"), F.col("embedding").alias("ea")
+    )
+    pairs = idx.join(probes, ["t", "bucket"]).filter(
+        F.col("corpus_vec") != F.col("new_vec")
+    )
+    return (
+        pairs.select(
+            "corpus_vec", "new_vec", _cosine_pair_udf("ea", "eb").alias("cosine")
+        )
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -154,3 +154,37 @@ def test_embedding_norm_outliers_parity(spark):
     total = out.count()
     # quantile gate must flag ~2% of a continuous-norm corpus
     assert 0 < flagged <= int(total * 0.03)
+
+
+def test_incremental_embedding_near_dups_match_batch_cross_pairs(spark):
+    """The incremental ANN probe must find exactly the batch path's
+    (corpus x new) near-dup pairs when the index is bucketed at the full
+    corpus width — same planes, width, threshold, and cosine rounding."""
+    import tempfile
+
+    from cc_mapreducer_spark.operators.incremental import (
+        build_signlsh_index,
+        incremental_embedding_near_dups,
+    )
+    from cc_mapreducer_spark.operators.similarity import embedding_near_dup_pairs
+    from cc_mapreducer_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    n_total = emb.count()
+    split = 400  # corpus: vec_id < 400; new batch: the rest
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = f"{d}/signlsh_idx"
+        nbits = build_signlsh_index(spark, sf, idx, n_rows=n_total, max_vec_id=split)
+        inc = {
+            (r.corpus_vec, r.new_vec, r.cosine)
+            for r in incremental_embedding_near_dups(spark, sf, idx, nbits, split).collect()
+        }
+    batch_cross = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_near_dup_pairs(emb, n_rows=n_total).collect()
+        if r.vec_a < split <= r.vec_b
+    }
+    assert inc == batch_cross
+    assert len(inc) > 0
