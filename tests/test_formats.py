@@ -119,3 +119,42 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     # pushdown reaches the ORC scan; projection prunes to the 2 used cols
     assert "PushedFilters" in plan and "o_orderstatus" in plan
+
+
+def test_events_nanos_fallback_scopes_conf(spark, tmp_path):
+    """A round-1 style INT64-nanos events file must read through the
+    tolerant fallback (nanosAsLong applied only AFTER the plain read
+    fails), normalize to correct micros wall-clock values, and leave
+    micros files readable in the same session."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cc_mapreducer_spark.tables import load_table
+
+    base_ns = 1_700_000_000_000_000_000
+    ts = pa.array([base_ns + i * 1_000_000_000 for i in range(10)], pa.timestamp("ns"))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(10), pa.int64()),
+            "user_id": pa.array([1] * 10, pa.int64()),
+            "event_type": pa.array(["view"] * 10),
+            "value": pa.array([1.0] * 10),
+            "ts": ts,
+        }
+    )
+    # store_schema=False drops the Arrow schema blob so Spark sees only
+    # the raw physical INT64 TIMESTAMP(NANOS) type, like the r1 driver files
+    pq.write_table(t, str(tmp_path / "events.parquet"), store_schema=False)
+    try:
+        df = load_table(spark, str(tmp_path), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        first = df.orderBy("event_id").first()
+        assert str(first.ts) == "2023-11-14 22:13:20"  # exact nanos->micros wall clock
+        assert df.count() == 10
+        # and a micros file still reads fine in the same session
+        micros = load_table(spark, "/root/testdata/sf0.001", "events")
+        assert dict(micros.dtypes)["ts"] == "timestamp"
+    finally:
+        # the fallback legitimately leaves the conf set; don't let that
+        # state leak into unrelated tests
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
