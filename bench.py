@@ -136,9 +136,11 @@ def scale_trend(spark, queries) -> dict:
             _synth_corpus(d, base_docs * k, base_vecs * k, seed=1000 + k)
             sizes.append(base_docs * k)
             # single-rep local timings swing 2-4x under GC/load spikes;
-            # min-of-2 stabilizes the fit. The largest factor stays
-            # single-rep to bound lane wall-clock.
-            reps = 2 if k < TREND_FACTORS[-1] else 1
+            # min-of-2 stabilizes the fit — at EVERY size: de-noising only
+            # the small points while the largest keeps full noise would
+            # bias the fitted exponent upward (and the lane exists to
+            # catch super-linearity, so the bias direction matters).
+            reps = 2
             for name in TREND_QUERIES:
                 best = float("inf")
                 for _ in range(reps):

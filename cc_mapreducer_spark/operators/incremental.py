@@ -119,37 +119,27 @@ def build_signlsh_index(
     max_vec_id: int | None = None,
 ) -> int:
     """Materialize the corpus sign-LSH bucket index to parquet:
-    (t, bucket, vec_id, embedding), one row per (vector, table). The
-    bucket width adapts to the FULL expected corpus size exactly like the
-    batch path (similarity.near_dup_bits_for), and is returned so probe
-    batches use the same width — a probe bucketed at a different width
-    would never collide. At scale: write bucketed by (t, bucket) so the
-    probe join needs no index-side shuffle."""
+    (t, bucket, vec_id, embedding), one row per (vector, table), built by
+    the same _nd_stacked layout the batch self-join uses. The bucket
+    width adapts to the FULL corpus size (n_rows defaults to the
+    UNfiltered table count even when max_vec_id restricts which vectors
+    are indexed — the batch path sizes on the whole corpus, and a
+    different width would never collide with batch buckets) and is
+    returned so probe batches reuse it. Like the MinHash twin above, the
+    local layout is plain parquet; at scale, write with
+    bucketBy(t, bucket) into a table so the probe join needs no
+    index-side shuffle."""
     from cc_mapreducer_spark.operators.similarity import (
-        _ND_TABLES,
-        _nd_table_bits_spark,
+        _nd_stacked,
         near_dup_bits_for,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    if max_vec_id is not None:
-        emb = emb.filter(F.col("vec_id") < max_vec_id)
+    full = load_table(spark, sf_dir, "embeddings")
     if n_rows is None:
-        n_rows = emb.count()
+        n_rows = full.count()
+    emb = full if max_vec_id is None else full.filter(F.col("vec_id") < max_vec_id)
     nbits = near_dup_bits_for(n_rows)
-    per_table = [
-        emb.select(
-            F.lit(t).alias("t"),
-            F.expr(_nd_table_bits_spark(t, nbits)).alias("bucket"),
-            "vec_id",
-            "embedding",
-        )
-        for t in range(_ND_TABLES)
-    ]
-    stacked = per_table[0]
-    for df in per_table[1:]:
-        stacked = stacked.unionAll(df)
-    stacked.write.mode("overwrite").parquet(index_path)
+    _nd_stacked(emb, nbits).write.mode("overwrite").parquet(index_path)
     return nbits
 
 
@@ -159,35 +149,33 @@ def incremental_embedding_near_dups(
     index_path: str,
     nbits: int,
     min_vec_id: int,
-    threshold: float = 0.35,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Near-duplicates of the NEW vector batch (vec_id >= min_vec_id)
     against the indexed corpus: bucket ONLY the batch at the index's
-    width, hash-join its (t, bucket) keys against the index, exact cosine
-    on candidates, dedup pairs that collide in several tables. Returns
-    (corpus_vec, new_vec, cosine). Only the new batch shuffles; the index
-    side arrives pre-partitioned from storage."""
+    width (same _nd_stacked layout), hash-join its (t, bucket) keys
+    against the index, exact cosine on candidates, dedup pairs that
+    collide in several tables. Returns (corpus_vec, new_vec, cosine);
+    the threshold defaults to the batch path's _NEAR_DUP_T so the two
+    paths cannot silently diverge. Only the new batch is re-bucketed per
+    ingest; with the plain-parquet local layout the join still shuffles
+    both sides on (t, bucket) — the bucketed-table write noted in
+    build_signlsh_index is what removes the index-side exchange at
+    scale."""
     from cc_mapreducer_spark.operators.similarity import (
-        _ND_TABLES,
+        _NEAR_DUP_T,
         _cosine_pair_udf,
-        _nd_table_bits_spark,
+        _nd_stacked,
     )
 
+    if threshold is None:
+        threshold = _NEAR_DUP_T
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") >= min_vec_id
     )
-    per_table = [
-        emb.select(
-            F.lit(t).alias("t"),
-            F.expr(_nd_table_bits_spark(t, nbits)).alias("bucket"),
-            F.col("vec_id").alias("new_vec"),
-            F.col("embedding").alias("eb"),
-        )
-        for t in range(_ND_TABLES)
-    ]
-    probes = per_table[0]
-    for df in per_table[1:]:
-        probes = probes.unionAll(df)
+    probes = _nd_stacked(emb, nbits).select(
+        "t", "bucket", F.col("vec_id").alias("new_vec"), F.col("embedding").alias("eb")
+    )
     idx = spark.read.parquet(index_path).select(
         "t", "bucket", F.col("vec_id").alias("corpus_vec"), F.col("embedding").alias("ea")
     )

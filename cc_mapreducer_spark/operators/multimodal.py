@@ -251,6 +251,15 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _frame_chunks(payload: bytes, n_frames: int) -> list[bytes]:
+    """THE frame-sampling chunk formula, shared by the pytest-pinned
+    sha surface (frame_sample_stub) and the hash-checked oracle surface
+    (_derive_media) so the two can never drift: n_frames equal slices of
+    step = max(1, len//n_frames) bytes; the tail remainder is dropped."""
+    step = max(1, len(payload) // n_frames)
+    return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+
 def frame_sample_stub(n_frames: int = 4):
     """mapInPandas stub for video frame sampling: emits n_frames rows per
     video payload (1:N explode through Arrow — the batch-shape contract a
@@ -267,10 +276,7 @@ def frame_sample_stub(n_frames: int = 4):
                 continue
             out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_sha": []}
             for _, row in vids.iterrows():
-                payload = bytes(row["payload"])
-                step = max(1, len(payload) // n_frames)
-                for i in range(n_frames):
-                    chunk = payload[i * step : (i + 1) * step]
+                for i, chunk in enumerate(_frame_chunks(bytes(row["payload"]), n_frames)):
                     out["doc_id"].append(row["doc_id"])
                     out["frame_idx"].append(i)
                     out["frame_len"].append(len(chunk))
@@ -464,9 +470,7 @@ def _derive_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 n_samples=meta.get("n_samples"), duration_ms=meta.get("duration_ms"),
             )
             if mt == "video/mp4":
-                step = max(1, len(payload) // n_frames)
-                for i in range(n_frames):
-                    chunk = payload[i * step : (i + 1) * step]
+                for i, chunk in enumerate(_frame_chunks(payload, n_frames)):
                     emit("frame", doc_id, mt, frame_idx=i, frame_len=len(chunk))
         yield pd.DataFrame(rows).astype(
             {

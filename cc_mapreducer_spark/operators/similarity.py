@@ -201,24 +201,60 @@ def _cosine_pair_udf(*cols):
     return _cosine_pair_cached(*cols)
 
 
-# Persisted LSH index frames, keyed by (applicationId, source, params):
-# the bucketed frame feeds several join branches per query AND repeated
-# invocations of the same query (bench reps, driver sweeps). Building a
-# fresh .persist() per invocation would accumulate cached copies for the
-# session lifetime (CacheManager holds plans until unpersist/clearCache);
-# reusing one keyed entry bounds the cache at one frame per source. At
-# 100 TB this is the materialized-parquet LSH index table; an external
-# clearCache() simply degrades reuse to recompute — never correctness.
+# Persisted LSH index frames, keyed by (applicationId, source files,
+# params): the bucketed frame feeds several join branches per query AND
+# repeated invocations of the same query (bench reps, driver sweeps).
+# Building a fresh .persist() per invocation would accumulate cached
+# copies for the session lifetime (CacheManager holds plans until
+# unpersist/clearCache); reusing one keyed entry bounds the cache at one
+# frame per source. At 100 TB this is the materialized-parquet LSH index
+# table. Correctness guards:
+# - the key includes the source's CURRENT file listing, so overwriting a
+#   path in-session misses the memo and rebuilds instead of serving the
+#   old files' rows (or their FileNotFound ghosts);
+# - entries for stopped sessions are evicted on access (one live session
+#   per process here), so dead-JVM plan handles don't accumulate;
+# - an externally cleared cache is re-persisted on next access rather
+#   than silently downgrading every later invocation to recompute.
 _PERSISTED: dict[tuple, DataFrame] = {}
 
 
 def _persisted(spark: SparkSession, key: tuple, build) -> DataFrame:
-    full_key = (spark.sparkContext.applicationId, *key)
+    from pyspark import StorageLevel
+
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _PERSISTED if k[0] != app]:
+        del _PERSISTED[k]
+    full_key = (app, *key)
     df = _PERSISTED.get(full_key)
     if df is None:
         df = build().persist()
         _PERSISTED[full_key] = df
+    elif df.storageLevel == StorageLevel.NONE:
+        df = df.persist()
+        _PERSISTED[full_key] = df
     return df
+
+
+def _nd_stacked(emb: DataFrame, nbits: int) -> DataFrame:
+    """(t, bucket, vec_id, embedding) — one row per (vector, table) with
+    the size-adaptive prefix bucket. THE near-dup blocking layout: the
+    batch self-join, the materialized index, and the incremental probe
+    (operators/incremental.py) all derive from this one builder so their
+    bucketing can never drift apart."""
+    per_table = [
+        emb.select(
+            F.lit(t).alias("t"),
+            F.expr(_nd_table_bits_spark(t, nbits)).alias("bucket"),
+            "vec_id",
+            "embedding",
+        )
+        for t in range(_ND_TABLES)
+    ]
+    out = per_table[0]
+    for df in per_table[1:]:
+        out = out.unionAll(df)
+    return out
 
 
 _ANN_SQL = f"""
@@ -262,8 +298,10 @@ def similarity_topk_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR join. Per-table key is 4 sign bits; scanned fraction on i.i.d.
     corpus ~ tables * 2^-bits; recall 1-(1-p)^tables (measured >= 0.25
     floor in tests/test_similarity.py vs brute force)."""
+    source = load_table(spark, sf_dir, "embeddings")
+
     def build():
-        e = load_table(spark, sf_dir, "embeddings")
+        e = source
         for t in range(_N_TABLES):
             e = e.withColumn(f"bkt{t}", F.expr(_table_bucket_spark(t)))
         return e
@@ -272,7 +310,7 @@ def similarity_topk_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 24 sign-bit folds over the whole corpus (6x the bucketing CPU —
     # negligible at local SF where per-stage overhead dominates, a real
     # 6x at 100 TB). See _persisted for the caching policy.
-    emb = _persisted(spark, ("signlsh", sf_dir), build)
+    emb = _persisted(spark, ("signlsh", tuple(sorted(source.inputFiles()))), build)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -393,26 +431,13 @@ def embedding_near_dup_pairs(
     if n_rows is None:
         n_rows = emb.count()  # count-star over parquet: metadata-cheap
     nbits = near_dup_bits_for(n_rows)
-
-    def build():
-        per_table = [
-            emb.select(
-                F.lit(t).alias("t"),
-                F.expr(_nd_table_bits_spark(t, nbits)).alias("bucket"),
-                "vec_id",
-                "embedding",
-            )
-            for t in range(_ND_TABLES)
-        ]
-        out = per_table[0]
-        for df in per_table[1:]:
-            out = out.unionAll(df)
-        return out
-
     if cache_key is not None:
-        stacked = _persisted(emb.sparkSession, (*cache_key, nbits), build)
+        files = tuple(sorted(emb.inputFiles()))
+        stacked = _persisted(
+            emb.sparkSession, (*cache_key, files, nbits), lambda: _nd_stacked(emb, nbits)
+        )
     else:
-        stacked = build()
+        stacked = _nd_stacked(emb, nbits)
     a = stacked.select(
         "t", "bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )

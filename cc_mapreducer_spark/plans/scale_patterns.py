@@ -25,7 +25,11 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8) -> N
 
 
 def salted_join(
-    big: DataFrame, small: DataFrame, key: str, n_salts: int = 8
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    positional: bool = False,
 ) -> DataFrame:
     """Skew-salted inner equi-join: the big (skewed) side gets a salt in
     [0, n_salts); the small side is exploded n_salts times so every
@@ -34,22 +38,29 @@ def salted_join(
     (AQE's skew-join handles post-hoc splitting; salting is the a-priori
     form that also works for aggregations.)
 
-    Salt derivation — why not the obvious two choices:
-    * rand(): re-drawn per task attempt, so a retried task can route the
-      same row to a different salt bucket mid-job (repo determinism rule).
-    * hash(row columns): deterministic, but a hot key whose rows are
-      FULL DUPLICATES (the classic log-skew case) hashes every row to one
-      salt — the skew survives untouched.
-    monotonically_increasing_id() is both: partition_id << 33 | row index,
-    reproduced exactly when a failed task recomputes its partition, and
-    distinct across duplicate rows. The salt never reaches the output
-    (dropped below), so cross-run id instability from upstream
-    repartitioning cannot leak into results."""
+    Salt derivation is a genuine three-way tradeoff; this exposes the two
+    sound corners and rejects the third:
+    * default (positional=False): hash of the row's own columns —
+      fully deterministic, so retries re-route every row identically and
+      the stage is never marked indeterminate. Limitation: a hot key
+      whose rows are FULL DUPLICATES all hash to one salt (the skew
+      survives); fine whenever any non-key column varies.
+    * positional=True: mixes in monotonically_increasing_id(), which
+      spreads even duplicate rows but is order-dependent — Spark marks
+      the stage indeterminate and must roll back and recompute the WHOLE
+      stage (not one task) if a retry invalidates shuffle output. Safe,
+      but failure recovery costs more; opt in for duplicate-heavy skew.
+    * rand() is neither: re-drawn per attempt WITHOUT the indeterminate
+      bookkeeping pre-Spark-3, the classic lost/duplicated-row bug.
+    The salt never reaches the output (dropped below), so neither mode
+    can leak instability into results."""
+    entropy = (
+        [F.col(key), F.monotonically_increasing_id()]
+        if positional
+        else [F.col(c) for c in big.columns]
+    )
     salted_big = big.withColumn(
-        "__salt",
-        F.pmod(F.hash(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts)).cast(
-            "int"
-        ),
+        "__salt", F.pmod(F.hash(*entropy), F.lit(n_salts)).cast("int")
     )
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

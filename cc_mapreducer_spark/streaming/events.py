@@ -59,7 +59,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_mapreducer_spark.tables import _normalize_event_ts, _read_events
 
     path = os.path.abspath(f"{sf_dir}/events.parquet")
-    schema_key = (spark.sparkContext.applicationId, path)
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _SCHEMAS if k[0] != app]:  # evict stopped sessions
+        del _SCHEMAS[k]
+    schema_key = (app, path)
     schema = _SCHEMAS.get(schema_key)
     if schema is None:
         schema = _read_events(spark, sf_dir).schema

@@ -148,8 +148,12 @@ def test_events_nanos_fallback_scopes_conf(spark, tmp_path):
     try:
         df = load_table(spark, str(tmp_path), "events")
         assert dict(df.dtypes)["ts"] == "timestamp"
-        first = df.orderBy("event_id").first()
-        assert str(first.ts) == "2023-11-14 22:13:20"  # exact nanos->micros wall clock
+        # format engine-side: collect() renders via the HOST timezone, so a
+        # str(ts) comparison would break on non-UTC developer machines
+        first = df.orderBy("event_id").select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s")
+        ).first()
+        assert first.s == "2023-11-14 22:13:20"  # exact nanos->micros wall clock
         assert df.count() == 10
         # and a micros file still reads fine in the same session
         micros = load_table(spark, "/root/testdata/sf0.001", "events")

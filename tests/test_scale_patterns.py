@@ -52,8 +52,31 @@ def test_salted_join_equivalent_and_spread(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plain = o.join(c, "o_custkey").groupBy("c_mktsegment").count()
-        salted = salted_join(o, c, "o_custkey").groupBy("c_mktsegment").count()
-        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+        expect = sorted(map(tuple, plain.collect()))
+        for positional in (False, True):  # both salt modes are equivalent
+            salted = (
+                salted_join(o, c, "o_custkey", positional=positional)
+                .groupBy("c_mktsegment")
+                .count()
+            )
+            assert sorted(map(tuple, salted.collect())) == expect
+        # positional mode spreads even fully-duplicate hot-key rows
+        from pyspark.sql import functions as F
+
+        dup = spark.range(1000).select(F.lit(7).alias("k"), F.lit("x").alias("v"))
+        tiny = spark.createDataFrame([(7, "dim")], "k long, d string")
+        n_salts = 8
+        salts = (
+            dup.withColumn(
+                "__salt",
+                F.pmod(F.hash(F.col("k"), F.monotonically_increasing_id()), F.lit(n_salts)),
+            )
+            .select("__salt")
+            .distinct()
+            .count()
+        )
+        assert salts > 1  # content-hash would give exactly 1 here
+        assert salted_join(dup, tiny, "k", positional=True).count() == 1000
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
