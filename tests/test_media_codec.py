@@ -209,3 +209,24 @@ def test_multimodal_derived_has_decoded_and_frame_legs(spark):
         r["width"] is not None or r["n_samples"] is not None or r["duration_ms"] is not None
         for r in decoded
     )
+
+
+def test_container_byte_size_formulas_match_oracle_constants():
+    """The multimodal_derived oracle re-derives frame byte counts from
+    closed-form container sizes (WAV: 44 + samples*block; MP4: 152 +
+    min(seed, 64), empty seed -> 1). Pin those formulas against the real
+    encoders so a codec layout change cannot silently diverge from the
+    SQL between driver runs."""
+    from cc_mapreducer_spark.functions import media_codec as mc
+    from cc_mapreducer_spark.operators.multimodal import _MP4_HEADER_BYTES, _frame_chunks
+
+    for ns, ch in [(64, 1), (100, 2), (191, 1), (1, 1)]:
+        assert len(mc.make_wav(ns, 8000, ch, b"s")) == 44 + ns * ch * 2
+    for seed in [b"x", b"y" * 10, b"z" * 64, b"w" * 200]:
+        assert len(mc.make_mp4(777, seed)) == _MP4_HEADER_BYTES + min(len(seed), 64)
+    assert len(mc.make_mp4(777, b"")) == _MP4_HEADER_BYTES + 1  # empty-seed fallback
+    assert _MP4_HEADER_BYTES == 152
+    # frame chunks: 4 equal slices of len//4 (payloads are always >= 4B)
+    p = mc.make_mp4(1234, b"q" * 30)
+    chunks = _frame_chunks(p, 4)
+    assert [len(c) for c in chunks] == [len(p) // 4] * 4
