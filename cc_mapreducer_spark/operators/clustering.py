@@ -122,16 +122,23 @@ def connected_components(
     return membership.unionAll(roots)
 
 
-def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def duplicate_clusters(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """End-to-end dedup-cluster resolution on the documents table:
-    MinHash-LSH pairs (jaccard >= 0.2) -> connected components ->
-    (doc_id, cluster_id, is_keeper). Keeper policy: lowest doc_id per
-    cluster (deterministic; swap in any scoring rank at the marked line).
+    MinHash-LSH pairs (jaccard >= dedup.NEAR_DUP_JACCARD) -> connected
+    components -> (doc_id, cluster_id, is_keeper). Keeper policy: lowest
+    doc_id per cluster (deterministic; swap in any scoring rank at the
+    marked line). Pass ``pairs`` (doc_a, doc_b, already thresholded) to
+    reuse a pair set another stage computed — the curation DAG shares one
+    LSH pass between clustering and contamination instead of running the
+    band join twice.
 
     Docs that never appear in a pair are their own singleton cluster —
     the output covers the FULL corpus, which is what a filter-stage
     consumer needs (``WHERE is_keeper``)."""
-    pairs = near_dedup_minhash(spark, sf_dir).filter(F.col("jaccard") >= 0.2)
+    if pairs is None:
+        pairs = near_dedup_minhash(spark, sf_dir)
     comp = connected_components(pairs, "doc_a", "doc_b")
     all_docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clustered = all_docs.join(

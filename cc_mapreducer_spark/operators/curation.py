@@ -25,7 +25,8 @@ def split_contamination(
     spark: SparkSession,
     sf_dir: str,
     weights: dict[str, float] | None = None,
-    threshold: float = 0.2,
+    threshold: float | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Detect evaluation-set contamination: test documents whose
     near-duplicate (word-shingle Jaccard >= threshold) exists in train.
@@ -39,9 +40,19 @@ def split_contamination(
     (test_doc, train_doc, jaccard).
 
     At 100 TB the split assignment is a zero-shuffle map column, so the
-    only cost over plain near-dedup is the final filter."""
+    only cost over plain near-dedup is the final filter. ``threshold`` is
+    passed INTO the LSH verify stage (not applied after it), so cuts
+    below the dedup default are honored; pass ``pairs`` to reuse a pair
+    set another stage computed (it is re-filtered at this threshold)."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
-    pairs = near_dedup_minhash(spark, sf_dir).filter(F.col("jaccard") >= threshold)
+    from cc_mapreducer_spark.operators.dedup import NEAR_DUP_JACCARD
+
+    if threshold is None:
+        threshold = NEAR_DUP_JACCARD
+    if pairs is None:
+        pairs = near_dedup_minhash(spark, sf_dir, threshold=threshold)
+    else:
+        pairs = pairs.filter(F.col("jaccard") >= threshold)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     splits = deterministic_split(docs, "doc_id", weights).select("doc_id", "split")
     a = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
@@ -270,7 +281,7 @@ def curate_corpus(
     between stages is a materialization point (write_stage), not a
     recompute."""
     from cc_mapreducer_spark.operators.clustering import duplicate_clusters
-    from cc_mapreducer_spark.operators.dedup import exact_dedup
+    from cc_mapreducer_spark.operators.dedup import near_dedup_minhash
     from cc_mapreducer_spark.operators.text_analysis import quality_score
 
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -289,10 +300,34 @@ def curate_corpus(
         ).select("doc_id")
         quality = quality.join(repetitive, "doc_id", "left_anti")
 
-    exact_keep = exact_dedup(spark, sf_dir).select(F.col("doc_id").alias("keep_id"))
-    near_keep = duplicate_clusters(spark, sf_dir).filter("is_keeper").select(
-        F.col("doc_id").alias("keep_id")
+    # Dedup AMONG quality survivors, as the documented sequencing says:
+    # electing keepers on the full corpus and intersecting with quality
+    # would silently drop any content group whose min-doc_id keeper fails
+    # the quality gate (the survivor is discarded as "a duplicate of" a
+    # doc that no longer exists downstream). Exact dedup re-groups the
+    # survivors directly; near-dup clusters keep full-corpus connectivity
+    # (B~A~C links B and C through a dropped bridge doc — still the same
+    # content family) but RE-ELECT each cluster's keeper as its lowest
+    # surviving doc_id.
+    survivors = docs.join(quality.select("doc_id"), "doc_id", "left_semi")
+    exact_keep = survivors.groupBy(F.sha2("text", 256).alias("content_sha")).agg(
+        F.min("doc_id").alias("keep_id")
+    ).select("keep_id")
+
+    # ONE LSH pass serves both cluster resolution and contamination
+    # detection (the band self-join + Jaccard verify is the expensive
+    # stage; running it twice per pipeline was pure waste).
+    pairs = near_dedup_minhash(
+        spark, sf_dir, threshold=min(dup_threshold, 0.2)
     )
+    clusters = duplicate_clusters(
+        spark, sf_dir, pairs=pairs.filter(F.col("jaccard") >= 0.2)
+    )
+    surviving_members = clusters.join(quality.select("doc_id"), "doc_id", "left_semi")
+    near_keep = surviving_members.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("keep_id")
+    ).select("keep_id")
+
     keepers = (
         quality.join(exact_keep, quality["doc_id"] == exact_keep["keep_id"], "left_semi")
         .join(near_keep, quality["doc_id"] == near_keep["keep_id"], "left_semi")
@@ -300,7 +335,9 @@ def curate_corpus(
     )
 
     splits = deterministic_split(keepers, "doc_id", weights)
-    contaminated_train = split_contamination(spark, sf_dir, weights, dup_threshold).select(
+    contaminated_train = split_contamination(
+        spark, sf_dir, weights, dup_threshold, pairs=pairs
+    ).select(
         F.col("train_doc").alias("doc_id")
     ).distinct()
     train = (

@@ -121,6 +121,38 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K = 8
 _BANDS = [(0, 1, 2, 3), (4, 5, 6, 7)]
 
+# The one near-duplicate Jaccard threshold: the verify filter here, the
+# cluster resolution (clustering.py), and contamination detection
+# (curation.py) all read it, so tuning it cannot silently desynchronize
+# the stages.
+NEAR_DUP_JACCARD = 0.2
+
+
+def minhash_bands(docs_shingled: DataFrame) -> DataFrame:
+    """doc_id -> one row per band: (doc_id, m0..m7, band, sig). THE
+    minhash/banding layout — the batch path below and the incremental
+    index/probe (operators/incremental.py) both call this one builder so
+    their candidates can never drift apart."""
+    sh = docs_shingled.select("doc_id", F.explode("ss").alias("s"))
+    mh = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}") for i in range(_K)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat(*[F.col(f"m{r}") for r in rows]).alias("sig"),
+            )
+            for bi, rows in enumerate(_BANDS)
+        ]
+    )
+    return mh.select(
+        "doc_id", *[f"m{i}" for i in range(_K)], F.explode(band_structs).alias("bs")
+    ).select(
+        "doc_id", *[f"m{i}" for i in range(_K)],
+        F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+    )
+
 _MINHASH_AGGS_SQL = ",\n    ".join(
     f"min(md5('{i}:' || s)) AS m{i}" for i in range(_K)
 )
@@ -158,34 +190,26 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.2
 )
 
 
-def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dedup_minhash(
+    spark: SparkSession, sf_dir: str, threshold: float | None = None
+) -> DataFrame:
     """MinHash-LSH near-dedup: shingle -> K=8 salted-md5 minhashes ->
     2 bands x 4 rows -> band-signature self-join -> exact-Jaccard verify.
 
     The minimum of md5(salt:shingle) hex strings is the minhash (string
     order over a uniform hash = random permutation min). Candidate pairs
     then get exact Jaccard on the shingle sets; only candidates are
-    verified, never the full n^2 space."""
+    verified, never the full n^2 space. ``threshold`` defaults to
+    NEAR_DUP_JACCARD; callers asking for a lower cut (contamination
+    screens) get it honored rather than silently clipped at the
+    default."""
+    if threshold is None:
+        threshold = NEAR_DUP_JACCARD
     # Materialize the shingle-set table once: three branches below (minhash
     # input + both verify sides) would otherwise re-tokenize the corpus —
     # at 100 TB this is an explicit parquet checkpoint, here a cache.
     sets = shingle_sets(spark, sf_dir).filter(F.size("ss") > 0).cache()
-    sh = sets.select("doc_id", F.explode("ss").alias("s"))
-    mh = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}") for i in range(_K)]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat(*[F.col(f"m{r}") for r in rows]).alias("sig"),
-            )
-            for bi, rows in enumerate(_BANDS)
-        ]
-    )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    bands = minhash_bands(sets).select("doc_id", "band", "sig")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -212,7 +236,7 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return verified.filter(F.col("jaccard") >= 0.2)
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------

@@ -21,31 +21,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cc_mapreducer_spark.operators.dedup import _BANDS, _K, shingle_sets
+from cc_mapreducer_spark.operators.dedup import _K, minhash_bands, shingle_sets
 from cc_mapreducer_spark.tables import load_table
 
-
-def _minhash_bands(docs_shingled: DataFrame) -> DataFrame:
-    """doc_id -> one row per band: (doc_id, m0..m7, band, sig). Same
-    hash family and banding as the batch path (dedup.py) so incremental
-    and batch candidates agree."""
-    sh = docs_shingled.select("doc_id", F.explode("ss").alias("s"))
-    mh = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}") for i in range(_K)]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat(*[F.col(f"m{r}") for r in rows]).alias("sig"),
-            )
-            for bi, rows in enumerate(_BANDS)
-        ]
-    )
-    return mh.select("doc_id", *[f"m{i}" for i in range(_K)], F.explode(band_structs).alias("bs")).select(
-        "doc_id", *[f"m{i}" for i in range(_K)],
-        F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
-    )
+# The band layout comes from dedup.minhash_bands — ONE builder for the
+# batch path, this index, and the probe, so their candidates agree by
+# construction (pinned in tests/test_incremental.py).
+_minhash_bands = minhash_bands
 
 
 def build_minhash_index(

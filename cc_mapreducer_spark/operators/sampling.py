@@ -76,13 +76,19 @@ def stratified_exact_sample(
 ) -> DataFrame:
     """EXACTLY ceil(fraction * n) rows per stratum (vs sampleBy's
     binomial noise): rank rows within each stratum by key hash and keep
-    the first ceil(fraction * n). One shuffle on the strata column."""
+    the first ceil(fraction * n). One shuffle on the strata column.
+
+    The target is ceil(round(n*f, 9)): raw IEEE n*f can land a hair
+    ABOVE the exact product (100 * 0.07 = 7.000000000000001), and a bare
+    ceil would then overshoot the contract by one row; a 1e-9 snap
+    restores real-number ceil for every representable fraction while
+    still rounding genuine fractional products up."""
     w = Window.partitionBy(strata).orderBy(_unit_hash(F.col(key), salt), key)
     n = Window.partitionBy(strata)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count("*").over(n))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .filter(F.col("__rn") <= F.ceil(F.round(F.col("__n") * F.lit(fraction), 9)))
         .drop("__rn", "__n")
     )
 

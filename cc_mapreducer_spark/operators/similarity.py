@@ -81,14 +81,17 @@ def _duck_dot(a: str, b: str) -> str:
 
 
 def _spark_plane(k: int) -> str:
-    vals = ", ".join(f"{v!r}D" for v in _HYPERPLANES[k])
+    # float(v) before repr: numpy 2.x scalar repr is 'np.float64(...)',
+    # which would silently generate unparseable SQL; Python float repr is
+    # shortest-round-trip, so the literal parses back to the same double.
+    vals = ", ".join(f"{float(v)!r}D" for v in _HYPERPLANES[k])
     return f"array({vals})"
 
 
 def _duck_plane(k: int) -> str:
     # Parenthesized: _duck_dot indexes the operand with [i], and DuckDB
     # won't parse an index directly on a `::DOUBLE[]` cast expression.
-    vals = ", ".join(repr(v) for v in _HYPERPLANES[k])
+    vals = ", ".join(repr(float(v)) for v in _HYPERPLANES[k])
     return f"([{vals}]::DOUBLE[])"
 
 
@@ -216,23 +219,32 @@ def _cosine_pair_udf(*cols):
 #   per process here), so dead-JVM plan handles don't accumulate;
 # - an externally cleared cache is re-persisted on next access rather
 #   than silently downgrading every later invocation to recompute.
-_PERSISTED: dict[tuple, DataFrame] = {}
+_PERSISTED: dict[tuple, tuple[tuple, DataFrame]] = {}
 
 
-def _persisted(spark: SparkSession, key: tuple, build) -> DataFrame:
+def _persisted(spark: SparkSession, logical: tuple, variant: tuple, build) -> DataFrame:
+    """One persisted frame per (session, logical source): ``variant``
+    captures everything the built frame depends on (current file
+    listing, bucket width); when it changes — path overwritten
+    in-session, corpus crossed a width boundary — the superseded frame
+    is unpersisted and replaced, not stranded in the CacheManager."""
     from pyspark import StorageLevel
 
     app = spark.sparkContext.applicationId
     for k in [k for k in _PERSISTED if k[0] != app]:
         del _PERSISTED[k]
-    full_key = (app, *key)
-    df = _PERSISTED.get(full_key)
-    if df is None:
-        df = build().persist()
-        _PERSISTED[full_key] = df
-    elif df.storageLevel == StorageLevel.NONE:
-        df = df.persist()
-        _PERSISTED[full_key] = df
+    key = (app, *logical)
+    hit = _PERSISTED.get(key)
+    if hit is not None and hit[0] == variant:
+        df = hit[1]
+        if df.storageLevel == StorageLevel.NONE:  # externally clearCache'd
+            df = df.persist()
+            _PERSISTED[key] = (variant, df)
+        return df
+    if hit is not None:
+        hit[1].unpersist()
+    df = build().persist()
+    _PERSISTED[key] = (variant, df)
     return df
 
 
@@ -310,7 +322,9 @@ def similarity_topk_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 24 sign-bit folds over the whole corpus (6x the bucketing CPU —
     # negligible at local SF where per-stage overhead dominates, a real
     # 6x at 100 TB). See _persisted for the caching policy.
-    emb = _persisted(spark, ("signlsh", tuple(sorted(source.inputFiles()))), build)
+    emb = _persisted(
+        spark, ("signlsh", sf_dir), (tuple(sorted(source.inputFiles())),), build
+    )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -432,9 +446,9 @@ def embedding_near_dup_pairs(
         n_rows = emb.count()  # count-star over parquet: metadata-cheap
     nbits = near_dup_bits_for(n_rows)
     if cache_key is not None:
-        files = tuple(sorted(emb.inputFiles()))
+        variant = (tuple(sorted(emb.inputFiles())), nbits)
         stacked = _persisted(
-            emb.sparkSession, (*cache_key, files, nbits), lambda: _nd_stacked(emb, nbits)
+            emb.sparkSession, cache_key, variant, lambda: _nd_stacked(emb, nbits)
         )
     else:
         stacked = _nd_stacked(emb, nbits)

@@ -65,6 +65,16 @@ def encode_tokens(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     per-document arrays. Order is restored with array_sort over
     (pos, id) structs — array_sort on structs is a plain collection
     function (codegen), and pos is first so the sort is positional."""
+    unk_rows = vocab.filter(F.col("word") == UNK).select("token_id").take(2)
+    if len(unk_rows) != 1:
+        # fail loudly: with zero <unk> rows the crossJoin below would
+        # silently produce an EMPTY result (every token row wiped), and
+        # with duplicates every token would fan out — both are total
+        # data corruption downstream, not recoverable defaults.
+        raise ValueError(
+            f"vocab must contain exactly one {UNK!r} row (found {len(unk_rows)}); "
+            "build it with build_vocab(..., specials=(..., UNK))"
+        )
     unk_id = vocab.filter(F.col("word") == UNK).select("token_id")
     toks = docs.select("doc_id", F.posexplode(F.expr(_SPARK_WORDS)).alias("pos", "word"))
     joined = (

@@ -135,7 +135,6 @@ def test_curate_corpus_invariants(spark):
     shrinkage, keeper subset relations, decontaminated train, packed
     set == train set."""
     from cc_mapreducer_spark.operators.curation import curate_corpus, split_contamination
-    from cc_mapreducer_spark.operators.dedup import exact_dedup
 
     stages = curate_corpus(spark, SF_ORACLE)
     stats = stages["stats"].first()
@@ -146,9 +145,23 @@ def test_curate_corpus_invariants(spark):
     quality = {r.doc_id for r in stages["quality"].collect()}
     assert keepers <= quality
 
-    # exact-dedup winners only
-    exact_winners = {r.doc_id for r in exact_dedup(spark, SF_ORACLE).collect()}
-    assert keepers <= exact_winners
+    # Keeper election happens AMONG QUALITY SURVIVORS (the round-3 review
+    # fix): keepers must be exactly the minimum surviving doc_id of every
+    # near-dup cluster that has survivors — no content family with a
+    # survivor may vanish just because its full-corpus min-doc_id keeper
+    # failed the quality gate, and no family contributes two keepers.
+    # (Identical-text groups are jaccard-1 subsets of clusters, so this
+    # single property covers the exact-dedup stage too.)
+    from cc_mapreducer_spark.operators.clustering import duplicate_clusters
+
+    cluster_of = {
+        r.doc_id: r.cluster_id for r in duplicate_clusters(spark, SF_ORACLE).collect()
+    }
+    expected_keepers = {}
+    for d in quality:
+        c = cluster_of[d]
+        expected_keepers[c] = min(expected_keepers.get(c, d), d)
+    assert keepers == set(expected_keepers.values())
 
     # train is decontaminated: no train doc appears as a contaminating side
     train = {r.doc_id for r in stages["train"].collect()}
