@@ -149,7 +149,9 @@ def parse_wav(b: bytes) -> dict | None:
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-        if cid == b"fmt " and clen >= 16:
+        # a declared fmt length the buffer can't back is corruption, not a
+        # crash: fall through and return None (truncated real-world files)
+        if cid == b"fmt " and clen >= 16 and pos + 24 <= len(b):
             fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
         elif cid == b"data":
             data_len = clen
@@ -191,6 +193,8 @@ def parse_mp4(b: bytes) -> dict | None:
             if version == 0:
                 timescale, duration = struct.unpack(">II", b[ilo + 12 : ilo + 20])
             else:
+                if ihi - ilo < 32:  # v1 layout needs 32 bytes, not v0's 24
+                    return None
                 timescale, duration = struct.unpack(">IQ", b[ilo + 20 : ilo + 32])
             if not timescale:
                 return None

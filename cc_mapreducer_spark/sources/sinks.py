@@ -40,10 +40,12 @@ def write_concat_text(df: DataFrame, column: str, out_dir: str) -> str:
     (the reference's OUTPUT_PATH/<runId>.txt). Returns the part-file path.
 
     coalesce(1) (not repartition(1)) — upstream stages keep their
-    parallelism; only the final write funnels to one task."""
-    df.select(F.col(column).cast("string").alias("value")).coalesce(1).write.mode(
-        "overwrite"
-    ).text(out_dir)
+    parallelism; only the final write funnels to one task. NULL values
+    render as empty lines: the text writer OMITS null rows entirely,
+    which would silently break the one-line-per-row contract."""
+    df.select(
+        F.coalesce(F.col(column).cast("string"), F.lit("")).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(out_dir)
     parts = glob.glob(os.path.join(out_dir, "part-*"))
     assert len(parts) == 1, f"expected one part file, got {parts}"
     return parts[0]

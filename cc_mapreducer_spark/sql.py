@@ -10,13 +10,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cc_mapreducer_spark.tables import TABLE_NAMES, load_table
 
+# The sf_dir whose views are CURRENTLY registered, per session:
+# re-registering all 10 tables on every ad-hoc sql() call would re-run 10
+# parquet analyses (plus the events schema probe) per query for identical
+# views. One slot per session (views are globally named, so only one
+# sf_dir can be active at a time) — switching dirs re-registers, and
+# switching BACK re-registers again rather than serving the wrong tables.
+_ACTIVE_SF_DIR: dict[str, str] = {}
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
+
+def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
     """Expose every driver table as a temp view (same names DuckDB's
     oracle layer uses), including the events nanos->micros normalization
-    from load_table."""
+    from load_table. Idempotent while sf_dir is unchanged; pass
+    force=True after replacing the files at sf_dir in-session."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _ACTIVE_SF_DIR if k != app]:  # evict stopped sessions
+        del _ACTIVE_SF_DIR[k]
+    if _ACTIVE_SF_DIR.get(app) == sf_dir and not force:
+        return
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _ACTIVE_SF_DIR[app] = sf_dir
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -312,12 +312,16 @@ def streaming_dedup_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
     per distinct tuple and the watermark bounds it to the late-data
     horizon. Over a finite replay the kept-key set equals batch
     DISTINCT (asserted in tests)."""
-    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    keyed = stream.select(
+    # Watermark AFTER the projection, on the surviving event-time column:
+    # date_trunc's output does not inherit the eventTime metadata a
+    # pre-projection withWatermark("ts", ...) attached, so the dedup
+    # state would never be evicted on an unbounded stream (verified:
+    # keyed.schema["minute"].metadata comes back empty the other way).
+    keyed = _events_stream(spark, sf_dir).select(
         "user_id",
         "event_type",
         F.date_trunc("minute", "ts").alias("minute"),
-    )
+    ).withWatermark("minute", "1 hour")
     deduped = keyed.dropDuplicates(["user_id", "event_type", "minute"])
     result = _run_to_memory(deduped, "append")
     return result.select(
@@ -331,19 +335,28 @@ def stream_events_to_partitioned_parquet(
     spark: SparkSession, sf_dir: str, out_path: str, checkpoint_path: str
 ) -> None:
     """Exactly-once file sink via foreachBatch + dynamic partition
-    overwrite: each micro-batch rewrites exactly the event_date
-    partitions it contains, so re-processing a batch after a failure (or
-    replaying the whole stream) converges to the same files instead of
-    appending duplicates — idempotence IS the exactly-once guarantee for
-    object-store sinks. The checkpoint dir carries source progress; the
-    partition overwrite carries sink atomicity."""
+    overwrite, partitioned by (event_date, batch_id): re-processing a
+    batch after a failure rewrites exactly that batch's partitions and
+    converges to the same files instead of appending duplicates —
+    idempotence IS the exactly-once guarantee for object-store sinks.
+    The checkpoint dir carries source progress; the partition overwrite
+    carries sink atomicity.
+
+    batch_id MUST be a partition column: dynamic overwrite keyed on
+    event_date alone is idempotent only for re-running the SAME batch —
+    when one date spans several micro-batches, a later batch would
+    silently REPLACE the earlier batches' rows for that date. Scoping
+    every partition to its writing batch makes the overwrite per-batch
+    idempotent and cross-batch append-safe; readers still prune on the
+    leading event_date directory."""
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             df.withColumn("event_date", F.to_date("ts"))
+            .withColumn("batch_id", F.lit(epoch_id))
             .write.mode("overwrite")
-            .partitionBy("event_date")
+            .partitionBy("event_date", "batch_id")
             .parquet(out_path)
         )
 

@@ -230,3 +230,22 @@ def test_container_byte_size_formulas_match_oracle_constants():
     p = mc.make_mp4(1234, b"q" * 30)
     chunks = _frame_chunks(p, 4)
     assert [len(c) for c in chunks] == [len(p) // 4] * 4
+
+
+def test_parsers_return_none_on_truncated_headers():
+    """Corrupt/truncated containers must yield None (the sniff contract),
+    never raise — a struct.error would kill the Spark task mid-batch."""
+    import struct
+
+    from cc_mapreducer_spark.functions import media_codec as mc
+
+    # WAV declaring a 16-byte fmt chunk the buffer can't back
+    wav = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x02"
+    assert mc.parse_wav(wav) is None
+    assert mc.sniff_and_parse(wav) is None
+    # MP4 v1 mvhd with only a v0-sized (24-byte) payload
+    mvhd = b"\x01" + b"\x00" * 23
+    moov = struct.pack(">I", 8 + 8 + len(mvhd)) + b"moov" + struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    mp4 = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4 + moov
+    assert mc.parse_mp4(mp4) is None
+    assert mc.sniff_and_parse(mp4) is None

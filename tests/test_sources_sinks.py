@@ -78,3 +78,15 @@ def test_write_stage_partitioned(spark, tmp_path):
     assert os.path.isdir(os.path.join(out, "k=a"))
     back = spark.read.parquet(out)
     assert back.count() == 3
+
+
+def test_write_concat_text_preserves_null_rows(spark, tmp_path):
+    """NULL column values must still produce a line (empty), keeping the
+    one-line-per-row contract — the text writer silently omits null rows."""
+    from cc_mapreducer_spark.sources.sinks import write_concat_text
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "v string")
+    part = write_concat_text(df, "v", str(tmp_path / "out"))
+    with open(part) as f:
+        lines = f.read().splitlines()
+    assert sorted(lines) == ["", "a", "b"]

@@ -70,3 +70,44 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     for uid, emissions in per_user.items():
         final = max(emissions)
         assert final == batch[uid], f"user {uid}: {final} != {batch[uid]}"
+
+
+def test_partitioned_sink_keeps_rows_across_batches(spark, tmp_path):
+    """The exactly-once file sink must not lose earlier batches' rows when
+    one event_date spans several micro-batches: dynamic overwrite keyed on
+    event_date alone would REPLACE the date's partition per batch; the
+    per-batch partition scoping keeps every row exactly once."""
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "ev_parts")
+    # 3 files over the SAME date range -> every date spans all 3 batches
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    def write_batch(df, epoch_id):
+        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            df.withColumn("event_date", F.to_date("ts"))
+            .withColumn("batch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("event_date", "batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert back.select("batch_id").distinct().count() > 1  # really multi-batch
+    assert back.count() == events.count()  # no batch overwrote another
+    assert sorted(r.event_id for r in back.collect()) == sorted(
+        r.event_id for r in events.collect()
+    )
