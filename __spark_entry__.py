@@ -32,8 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return registry.all_queries()
+    """The driver-facing roster (≤50 keys; the driver caps its correctness
+    table at 50 rows). Individually-registered singles that roll up into a
+    suite key are excluded here but still parity-checked by pytest
+    (tests/test_oracle_parity.py iterates registry.all_queries())."""
+    return registry.driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return registry.all_oracles()
+    return registry.driver_oracles()

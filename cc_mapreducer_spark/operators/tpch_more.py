@@ -28,7 +28,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
-@register("q6_forecast_revenue", oracle=_Q6_SQL)
+@register("q6_forecast_revenue", oracle=_Q6_SQL, driver=False)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan + conjunctive filter + sum. The whole
     WHERE clause must reach the parquet scan as PushedFilters; there is
@@ -292,7 +292,7 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
 """
 
 
-@register("q14_promo_share", oracle=_Q14_SQL)
+@register("q14_promo_share", oracle=_Q14_SQL, driver=False)
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional revenue share ('ECONOMY' standing in
     for PROMO%). Both numerator and denominator are exact decimal sums;
@@ -327,7 +327,7 @@ WHERE CAST(l.l_quantity AS DOUBLE) < 0.5 * a.avg_qty
 """
 
 
-@register("q17_small_quantity", oracle=_Q17_SQL)
+@register("q17_small_quantity", oracle=_Q17_SQL, driver=False)
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: rows below half their part's average quantity —
     aggregate subquery joined back to the fact (self-join on l_partkey)."""
@@ -358,7 +358,7 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
 """
 
 
-@register("q19_disjunctive_revenue", oracle=_Q19_SQL)
+@register("q19_disjunctive_revenue", oracle=_Q19_SQL, driver=False)
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
     bands — the join stays an equi-join on partkey with the disjunction as
@@ -388,3 +388,41 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(revenue).cast("double").alias("revenue"),
         F.count("*").alias("n_rows"),
     )
+
+
+def _scalar_digest(name: str, df: DataFrame, value_col: str) -> DataFrame:
+    return df.select(
+        F.lit(name).alias("query"),
+        F.col(value_col).alias("value"),
+        F.col("n_rows"),
+    )
+
+
+_SCALAR_SUITE_SQL = f"""
+SELECT 'q6_forecast_revenue' AS query, revenue AS value, n_rows FROM ({_Q6_SQL})
+UNION ALL
+SELECT 'q14_promo_share', promo_revenue_pct, n_rows FROM ({_Q14_SQL})
+UNION ALL
+SELECT 'q17_small_quantity', avg_yearly, n_rows FROM ({_Q17_SQL})
+UNION ALL
+SELECT 'q19_disjunctive_revenue', revenue, n_rows FROM ({_Q19_SQL})
+"""
+
+
+@register("tpch_scalar_suite", oracle=_SCALAR_SUITE_SQL)
+def tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver digest of the four single-row TPC-H aggregates (Q6/Q14/Q17/
+    Q19) as (query, value, n_rows) rows — every scalar still lands in the
+    driver's value hash while occupying only one roster slot. The singles remain
+    individually registered (driver=False) so pytest parity-checks each
+    full-schema result."""
+    parts = [
+        _scalar_digest("q6_forecast_revenue", q6_forecast_revenue(spark, sf_dir), "revenue"),
+        _scalar_digest("q14_promo_share", q14_promo_share(spark, sf_dir), "promo_revenue_pct"),
+        _scalar_digest("q17_small_quantity", q17_small_quantity(spark, sf_dir), "avg_yearly"),
+        _scalar_digest("q19_disjunctive_revenue", q19_disjunctive_revenue(spark, sf_dir), "revenue"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

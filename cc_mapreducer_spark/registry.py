@@ -23,6 +23,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+# Keys kept out of the driver-facing roster (the driver caps its
+# correctness table at 50 rows). These are still first-class queries —
+# pytest's parity gate (tests/test_oracle_parity.py) checks every
+# registered pair — but the driver sees their consolidated suite key
+# (e.g. the nine tpch_full singles roll up into `tpch_suite_extra`).
+_PYTEST_ONLY: set[str] = set()
 
 
 def _tune_session(spark: SparkSession) -> None:
@@ -41,10 +47,14 @@ def _tune_session(spark: SparkSession) -> None:
         pass  # a locked-down conf is not worth failing the query over
 
 
-def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: Optional[str] = None, driver: bool = True
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query registration: {name}")
+        if not driver:
+            _PYTEST_ONLY.add(name)
 
         def tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
             _tune_session(spark)
@@ -68,6 +78,18 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
     return dict(_ORACLES)
+
+
+def driver_queries() -> dict[str, QueryFn]:
+    """The ≤50-key roster the driver hash-checks (suite keys cover the
+    pytest-only singles)."""
+    _ensure_loaded()
+    return {k: v for k, v in _QUERIES.items() if k not in _PYTEST_ONLY}
+
+
+def driver_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {k: v for k, v in _ORACLES.items() if k not in _PYTEST_ONLY}
 
 
 _loaded = False

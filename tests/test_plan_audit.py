@@ -18,6 +18,13 @@ ALLOWED_NESTED_LOOP = {
     "join_exotics",  # intentional theta join over two dim tables (cross_theta branch)
     "similarity_topk_bruteforce",  # intentional query-block broadcast cross join
     "near_dedup_pairs",  # bounded all-pairs VERIFY stage (ngram branch; candidates come from LSH in production)
+    # scalar-subquery pattern: a SINGLE-row aggregate broadcast against the
+    # fact (threshold / grand-total compare). A one-row nested loop is
+    # O(n·1) — the canonical Catalyst plan for an uncorrelated scalar
+    # subquery, not an accidental cartesian.
+    "q11_important_parts",
+    "q22_global_sales_opportunity",
+    "tpch_suite_extra",  # contains the q11/q22 scalar-subquery branches
 }
 ALLOWED_PYTHON_EVAL = {
     "multimodal_derived",  # Arrow-batched mapInPandas by design
