@@ -16,19 +16,21 @@ toward the final star graph (one edge per non-root node), and lineage is
 truncated every round with localCheckpoint — on a cluster you would
 checkpoint to durable storage instead (documented inline).
 
-Not a registered query: the driver roster is capped at 50 keys
-(operators/consolidated.py) and the iteration count is data-dependent,
-which a single DuckDB SQL string cannot express. DuckDB *can* verify the
-semantics via a recursive CTE — tests/test_clustering.py does exactly
-that, plus a pure-Python union-find cross-check on adversarial graphs
-(long chains force multiple star rounds).
+Driver-hashed since round 3: the ITERATION SCHEDULE is data-dependent,
+but the RESULT (min-node component labeling) is a pure function of the
+edge set, so the DuckDB oracle states the semantics declaratively as a
+recursive-CTE transitive closure over the same MinHash pair SQL —
+different engine, different algorithm, same fixpoint.
+tests/test_clustering.py additionally union-find cross-checks adversarial
+graphs (long chains force multiple star rounds).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from cc_mapreducer_spark.operators.dedup import near_dedup_minhash
+from cc_mapreducer_spark.operators.dedup import _NEAR_DEDUP_SQL, near_dedup_minhash
+from cc_mapreducer_spark.registry import register
 from cc_mapreducer_spark.tables import load_table
 
 
@@ -122,6 +124,26 @@ def connected_components(
     return membership.unionAll(roots)
 
 
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{_NEAR_DEDUP_SQL}
+), bi AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+), reach(n, m) AS (
+    SELECT a, a FROM (SELECT a FROM bi UNION SELECT b FROM bi)
+    UNION
+    SELECT bi.b, reach.m FROM reach JOIN bi ON bi.a = reach.n
+), comp AS (
+    SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+@register("duplicate_clusters", oracle=_DUP_CLUSTERS_SQL)
 def duplicate_clusters(
     spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
 ) -> DataFrame:

@@ -1,0 +1,171 @@
+"""SemDeDup-style semantic deduplication over the embeddings table
+(Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication", 2023 — public method): partition the corpus into
+centroid cells, then inside each cell drop every vector that is
+semantically redundant with a kept lower-id vector.
+
+Where near_dup_embeddings (operators/similarity.py) finds NEAR-IDENTICAL
+vectors (cosine >= 0.35) with LSH recall, semantic dedup prunes at a much
+LOWER similarity bar (eps = 0.25 here) where LSH recall collapses — the
+published method therefore scopes the quadratic pair comparison to
+k-means cells and bounds cell size by growing k with the corpus.
+
+Scale shape:
+- cell assignment: zero-shuffle map — every embedding dotted against the
+  literal centroid pool inside whole-stage codegen, argmax via
+  array_position (first-max = deterministic tie-break).
+- within-cell pairs: ONE shuffle keyed by cell; n_cells_for(n) keeps
+  expected cell occupancy <= _CELL_TARGET rows, so within-cell pairs grow
+  ~linearly in n (same sizing discipline as near_dup_bits_for). The
+  literal pool caps at 64 cells ~ 4k rows at target occupancy — past
+  that, extend the seeded pool (centroids are literals, so the DuckDB
+  oracle stays verbatim-mirrorable at any k), or swap in the trained IVF
+  codebook (similarity.py:ivf_centroids) which is the production path:
+  train k ≈ n/_CELL_TARGET centroids offline on a sample, broadcast,
+  assignment stays this exact distributed plan.
+
+Keeper policy ("kept lower-id" rather than the paper's greedy sweep): a
+vector is dropped iff SOME lower-vec_id vector in its cell has
+cosine >= eps with it. The paper's sequential greedy (re-check against
+survivors only) cannot be expressed as one parallel pass; the lower-id
+rule is order-free, strictly more aggressive (drops a superset), and
+deterministic under retries — the right trade for a distributed pruning
+stage, and exactly hashable cross-engine.
+
+Determinism: centroids are unit-normalized seeded Gaussians frozen to 6dp
+literals in BOTH engines; every dot product is the same sequential fold
+(identical IEEE result), rounded to 9dp before any compare.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cc_mapreducer_spark.operators.similarity import (
+    _ROUND,
+    _cosine_pair_udf,
+    _duck_dot,
+)
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table
+
+_SEM_EPS = 0.25
+_CELL_TARGET = 64    # target rows per cell
+_POOL_K = 64         # literal centroid pool (grows with corpus at scale)
+_CELL_STEPS = (8, 16, 32, 64)
+
+# Unit-normalized seeded Gaussian centroids, frozen to 6dp literals.
+# Seed 7 is disjoint from the hyperplane pool's seed 42 — sharing draws
+# would correlate cell boundaries with LSH buckets.
+_pool = np.random.RandomState(7).randn(_POOL_K, 64)
+_CENTROIDS = np.round(_pool / np.linalg.norm(_pool, axis=1, keepdims=True), 6)
+
+
+def n_cells_for(n_rows: int) -> int:
+    """Smallest step count c with n_rows <= _CELL_TARGET * c — integer
+    comparisons only, so the DuckDB CASE chain reproduces it exactly."""
+    for c in _CELL_STEPS:
+        if n_rows <= _CELL_TARGET * c:
+            return c
+    return _CELL_STEPS[-1]
+
+
+def _n_cells_duck() -> str:
+    cases = " ".join(
+        f"WHEN count(*) <= {_CELL_TARGET * c} THEN {c}" for c in _CELL_STEPS[:-1]
+    )
+    return f"SELECT CASE {cases} ELSE {_CELL_STEPS[-1]} END AS n_cells FROM embeddings"
+
+
+_SPARK_DOT = (
+    "aggregate(zip_with(embedding, {cent}, (x, y) -> cast(x as double) * y),"
+    " 0D, (acc, v) -> acc + v)"
+)
+
+
+def _spark_centroid(k: int) -> str:
+    vals = ", ".join(f"{float(v)!r}D" for v in _CENTROIDS[k])
+    return f"array({vals})"
+
+
+def _duck_centroid(k: int) -> str:
+    vals = ", ".join(repr(float(v)) for v in _CENTROIDS[k])
+    return f"([{vals}]::DOUBLE[])"
+
+
+def _scores_spark() -> F.Column:
+    return F.array(
+        *[
+            F.round(F.expr(_SPARK_DOT.format(cent=_spark_centroid(k))), _ROUND)
+            for k in range(_POOL_K)
+        ]
+    )
+
+
+def _scores_duck() -> str:
+    return "[" + ", ".join(
+        f"round({_duck_dot('embedding', _duck_centroid(k))}, {_ROUND})"
+        for k in range(_POOL_K)
+    ) + "]"
+
+
+_SEMANTIC_SQL = f"""
+WITH p AS (
+    {_n_cells_duck()}
+), scored AS (
+    SELECT vec_id, embedding, {_scores_duck()} AS scores FROM embeddings
+), assign AS (
+    SELECT vec_id, embedding,
+           CAST(list_position(scores[1:n_cells], list_max(scores[1:n_cells])) - 1 AS INT) AS cell
+    FROM scored CROSS JOIN p
+), dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round({_duck_dot("a.embedding", "b.embedding")}
+            / (sqrt({_duck_dot("a.embedding", "a.embedding")})
+               * sqrt({_duck_dot("b.embedding", "b.embedding")})), {_ROUND}) >= {_SEM_EPS}
+)
+SELECT a.vec_id, a.cell, d.vec_id IS NULL AS is_kept
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+def semantic_dedup(emb: DataFrame, n_rows: int | None = None) -> DataFrame:
+    """(vec_id, cell, is_kept) for any (vec_id, embedding) frame — the
+    full corpus labeled, so a consumer filters ``WHERE is_kept``."""
+    if n_rows is None:
+        n_rows = emb.count()  # count-star over parquet: metadata-cheap
+    n_cells = n_cells_for(n_rows)
+    scores = _scores_spark()
+    trimmed = F.slice(scores, 1, n_cells)
+    assign = emb.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(trimmed, F.array_max(trimmed)) - 1).cast("int").alias("cell"),
+    )
+    a = assign.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = assign.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_cosine_pair_udf("ea", "eb") >= _SEM_EPS)
+        .select(F.col("id_b").alias("dropped_id"))
+        .distinct()
+    )
+    return assign.join(
+        dropped, assign["vec_id"] == dropped["dropped_id"], "left"
+    ).select(
+        "vec_id", "cell", F.col("dropped_id").isNull().alias("is_kept")
+    )
+
+
+@register("semantic_dedup_embeddings", oracle=_SEMANTIC_SQL)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface: semantic dedup over the embeddings table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb)

@@ -34,6 +34,7 @@ ALLOWED_PYTHON_EVAL = {
     "similarity_topk_bruteforce",
     "similarity_topk_signlsh",
     "near_dup_embeddings",
+    "semantic_dedup_embeddings",  # same Arrow-batched cosine kernel as near_dup
 }
 # streaming queries materialize through a memory sink; their batch plan is
 # not the interesting one and building them is slow — audited separately
