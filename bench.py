@@ -41,8 +41,12 @@ HEADLINE = [
     "similarity_topk_signlsh",   # embedding search (multi-table LSH)
     "near_dup_embeddings",       # embedding near-dup (adaptive blocking)
     "q18_large_volume_customers",# fact-fact semi-join agg
+    "q9_product_type_profit",    # 5-way join profit rollup (TPC-H Q9 shape)
+    "q21_blocking_suppliers",    # EXISTS/NOT-EXISTS double correlation
     "text_profile",              # per-doc text measures (wide merge)
     "event_sessionize",          # windows + sessionization
+    "semantic_dedup_embeddings", # centroid cells + within-cell cosine prune
+    "duplicate_clusters",        # iterative connected components
 ]
 
 

@@ -273,22 +273,43 @@ FROM sane s FULL OUTER JOIN faithful f ON s.word = f.word
 def q_word_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-word profile: sane-mode count, faithful-mode count (the
     reference's first-apostrophe-only tokenizer, src/index.js:50), and the
-    sorted-letter anagram signature (§2.3) — a FULL OUTER join of the two
-    tokenizer modes (they agree on apostrophe-free corpora and diverge
-    exactly as the reference does on real text)."""
-    sane = q_tokenize_wordcount(spark, sf_dir).select(
-        F.col("word").alias("s_word"), F.col("cnt").alias("cnt_sane")
+    sorted-letter anagram signature (§2.3). The modes agree on
+    apostrophe-free corpora and diverge exactly as the reference does on
+    real text.
+
+    Plan shape (round-3 rewrite): ONE scan of documents emits both
+    tokenizations as a tagged token array (mode flag per token), so the
+    full-outer merge of the two modes becomes conditional sums under a
+    single word-keyed Exchange — 1 scan + 1 shuffle where the previous
+    full-outer-join plan took 2 scans + 3 shuffles. At 100 TB that halves
+    the corpus reads and removes the join entirely; a word seen by only
+    one mode naturally gets 0 in the other (what the outer join's
+    coalesce did)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # faithful mode: remove ONLY the first apostrophe — prefix before it
+    # + remainder after (src/index.js:50's missing `g` flag).
+    stripped = F.expr(
+        "concat(substring_index(lower(text), \"'\", 1),"
+        " substring(lower(text), length(substring_index(lower(text), \"'\", 1)) + 2))"
     )
-    faithful = q_tokenize_wordcount_faithful(spark, sf_dir).select(
-        F.col("word").alias("f_word"), F.col("cnt").alias("cnt_faithful")
+    faithful_toks = F.split(F.regexp_replace(stripped, "[^a-z]+", " "), " ")
+    tag = lambda arr, flag: F.transform(  # noqa: E731
+        arr, lambda w: F.struct(F.lit(flag).alias("sane"), w.alias("word"))
     )
-    j = sane.join(faithful, sane.s_word == faithful.f_word, "full_outer")
-    word = F.coalesce("s_word", "f_word")
-    return j.select(
-        word.alias("word"),
-        F.coalesce("cnt_sane", F.lit(0)).alias("cnt_sane"),
-        F.coalesce("cnt_faithful", F.lit(0)).alias("cnt_faithful"),
-        anagram_signature(word).alias("signature"),
+    tagged = docs.select(
+        F.explode(
+            F.concat(tag(tokens(F.col("text")), 1), tag(faithful_toks, 0))
+        ).alias("t")
+    ).select(F.col("t.sane").alias("sane"), F.col("t.word").alias("word"))
+    words = op_filter_stopwords(tagged.filter(F.length("word") > 1))
+    return words.groupBy("word").agg(
+        F.sum("sane").cast("bigint").alias("cnt_sane"),
+        F.sum(F.lit(1) - F.col("sane")).cast("bigint").alias("cnt_faithful"),
+    ).select(
+        "word",
+        "cnt_sane",
+        "cnt_faithful",
+        anagram_signature(F.col("word")).alias("signature"),
     )
 
 
