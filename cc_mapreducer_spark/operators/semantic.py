@@ -131,19 +131,63 @@ FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 """
 
 
-def semantic_dedup(emb: DataFrame, n_rows: int | None = None) -> DataFrame:
-    """(vec_id, cell, is_kept) for any (vec_id, embedding) frame — the
-    full corpus labeled, so a consumer filters ``WHERE is_kept``."""
-    if n_rows is None:
-        n_rows = emb.count()  # count-star over parquet: metadata-cheap
-    n_cells = n_cells_for(n_rows)
-    scores = _scores_spark()
-    trimmed = F.slice(scores, 1, n_cells)
-    assign = emb.select(
-        "vec_id",
-        "embedding",
-        (F.array_position(trimmed, F.array_max(trimmed)) - 1).cast("int").alias("cell"),
+def _assign_cells_trained(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Distributed cell assignment against an arbitrary-k trained
+    codebook: one numpy argmax per Arrow batch (the k x dim matrix rides
+    into the closure — a few MB even at k=100k, the standard broadcast).
+    First-max tie-break matches np.argmax == array_position semantics."""
+    import pandas as pd
+
+    # used exactly as given — callers pass unit-normalized centroids
+    # (argmax dot == argmax cosine only when rows share a norm), and NOT
+    # re-normalizing here keeps the pool-codebook path bit-compatible
+    # with the literal-expression path (scores land on the same 9dp grid)
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).values)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "embedding": pdf["embedding"].values,
+                    "cell": np.argmax(np.round(m @ cent.T, 9), axis=1).astype("int32"),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, embedding array<double>, cell int"
     )
+
+
+def semantic_dedup(
+    emb: DataFrame, n_rows: int | None = None, centroids: np.ndarray | None = None
+) -> DataFrame:
+    """(vec_id, cell, is_kept) for any (vec_id, embedding) frame — the
+    full corpus labeled, so a consumer filters ``WHERE is_kept``.
+
+    ``centroids=None`` (the registered path) assigns against the literal
+    seeded pool — fully codegen'd and DuckDB-mirrorable, capped at
+    _POOL_K cells. Pass a TRAINED codebook (e.g. k-means on a sample, as
+    similarity.py:ivf_centroids does) for the production path: arbitrary
+    k, so cell occupancy stays bounded at any corpus size; assignment
+    becomes an Arrow-batched argmax with identical tie-break semantics
+    (tests pin pool-codebook equivalence between the two paths)."""
+    if centroids is not None:
+        assign = _assign_cells_trained(emb, centroids)
+    else:
+        if n_rows is None:
+            n_rows = emb.count()  # count-star over parquet: metadata-cheap
+        n_cells = n_cells_for(n_rows)
+        scores = _scores_spark()
+        trimmed = F.slice(scores, 1, n_cells)
+        assign = emb.select(
+            "vec_id",
+            "embedding",
+            (F.array_position(trimmed, F.array_max(trimmed)) - 1).cast("int").alias("cell"),
+        )
     a = assign.select(
         "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
     )

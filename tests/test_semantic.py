@@ -62,6 +62,32 @@ def test_planted_duplicates_dropped_originals_kept(emb_frame):
         assert not kept_dup, f"planted dup of {j} must be dropped"
 
 
+def test_trained_codebook_path_matches_literal_pool(emb_frame):
+    """The production path (arbitrary-k trained codebook, Arrow-batched
+    argmax) must reproduce the literal-pool path exactly when handed the
+    same centroids — proving the two assignment engines share tie-break
+    and rounding semantics, so swapping in a trained k = n/_CELL_TARGET
+    codebook at scale changes capacity, not meaning."""
+    n_cells = n_cells_for(emb_frame.count())
+    lit = sorted(map(tuple, semantic_dedup(emb_frame).collect()))
+    trained = sorted(
+        map(tuple, semantic_dedup(emb_frame, centroids=_CENTROIDS[:n_cells]).collect())
+    )
+    assert lit == trained
+
+
+def test_trained_codebook_scales_cell_count(emb_frame):
+    """With k beyond the literal pool, assignment must use every cell —
+    the capacity knob the 100 TB path turns."""
+    rng = np.random.RandomState(3)
+    big = rng.randn(128, 64)
+    big = big / np.linalg.norm(big, axis=1, keepdims=True)
+    out = semantic_dedup(emb_frame, centroids=big).collect()
+    cells = {r["cell"] for r in out}
+    assert max(cells) >= 64  # beyond the literal pool's ceiling
+    assert len(out) == 25
+
+
 def test_lower_id_rule_is_order_free(emb_frame):
     """Repartitioning must not change the keeper set (determinism under
     retries / different parallelism)."""
