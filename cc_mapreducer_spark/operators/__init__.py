@@ -7,6 +7,7 @@ import cc_mapreducer_spark.operators.consolidated  # noqa: F401
 import cc_mapreducer_spark.operators.semantic  # noqa: F401
 import cc_mapreducer_spark.operators.dedup  # noqa: F401
 import cc_mapreducer_spark.operators.multimodal  # noqa: F401
+import cc_mapreducer_spark.operators.quality_lm  # noqa: F401
 import cc_mapreducer_spark.operators.relational  # noqa: F401
 import cc_mapreducer_spark.operators.relational_extra  # noqa: F401
 import cc_mapreducer_spark.operators.sessionize  # noqa: F401

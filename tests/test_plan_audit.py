@@ -25,6 +25,7 @@ ALLOWED_NESTED_LOOP = {
     "q11_important_parts",
     "q22_global_sales_opportunity",
     "tpch_suite_extra",  # contains the q11/q22 scalar-subquery branches
+    "lm_perplexity",  # one-row broadcasts: (n_total, n_vocab) consts + ppl tertile thresholds
 }
 ALLOWED_PYTHON_EVAL = {
     "multimodal_derived",  # Arrow-batched mapInPandas by design
