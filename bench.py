@@ -44,6 +44,7 @@ HEADLINE = [
     "q9_product_type_profit",    # 5-way join profit rollup (TPC-H Q9 shape)
     "q21_blocking_suppliers",    # EXISTS/NOT-EXISTS double correlation
     "text_profile",              # per-doc text measures (wide merge)
+    "lm_perplexity",             # bigram-LM perplexity + CCNet buckets
     "event_sessionize",          # windows + sessionization
     "semantic_dedup_embeddings", # centroid cells + within-cell cosine prune
     "duplicate_clusters",        # iterative connected components

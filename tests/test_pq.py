@@ -1,0 +1,101 @@
+"""Product quantization: code size/compression, determinism,
+reconstruction-error bounds, ADC approximation quality, and recall vs
+the exact scan. Float argmin ties make PQ unsuitable for the DuckDB
+hash gate (like IVF), so these pins are its correctness story."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cc_mapreducer_spark.operators.pq import (
+    _PQ_M,
+    pq_encode,
+    pq_reconstruct,
+    pq_train,
+    similarity_topk_pq,
+)
+from cc_mapreducer_spark.operators.similarity import similarity_topk_bruteforce
+from cc_mapreducer_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _unit_matrix(emb_df):
+    rows = sorted(emb_df.select("vec_id", "embedding").collect())
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    return ids, x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_codes_are_m_bytes_32x_smaller(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = pq_train(spark, SF_SMOKE)
+    codes = pq_encode(emb, books)
+    lens = codes.select(F.length("codes").alias("n")).distinct().collect()
+    assert [r["n"] for r in lens] == [_PQ_M]
+    dim = len(emb.select("embedding").first()[0])
+    assert dim * 4 / _PQ_M == 16.0  # float32 bytes -> M code bytes
+
+
+def test_encode_deterministic_across_runs(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = pq_train(spark, SF_SMOKE)
+    a = {r["vec_id"]: bytes(r["codes"]) for r in pq_encode(emb, books).collect()}
+    b = {r["vec_id"]: bytes(r["codes"]) for r in pq_encode(emb, books).collect()}
+    assert a == b
+    books2 = pq_train(spark, SF_SMOKE)
+    assert np.array_equal(books, books2)
+
+
+def test_reconstruction_error_bounded(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = pq_train(spark, SF_SMOKE)
+    ids, x = _unit_matrix(emb)
+    code_rows = {r["vec_id"]: bytes(r["codes"]) for r in pq_encode(emb, books).collect()}
+    codes = np.stack([np.frombuffer(code_rows[i], dtype=np.uint8) for i in ids]).astype(int)
+    recon = pq_reconstruct(codes, books)
+    mse = float(((x - recon) ** 2).sum(axis=1).mean())  # vs ||x||^2 == 1
+    # trained quantizer must beat shuffled-code assignment by a wide margin
+    rng = np.random.RandomState(7)
+    rand_codes = rng.randint(0, books.shape[1], size=codes.shape)
+    rand_mse = float(((x - pq_reconstruct(rand_codes, books)) ** 2).sum(axis=1).mean())
+    assert mse < 0.5, mse  # keeps >half the unit energy
+    assert mse < 0.5 * rand_mse, (mse, rand_mse)
+
+
+def test_adc_tracks_exact_scores(spark):
+    """Raw compressed-domain scores (no re-rank) must approximate the
+    true cosine closely — they are what ranks the shortlist."""
+    from cc_mapreducer_spark.operators.pq import pq_adc_scores
+    from cc_mapreducer_spark.operators.similarity import _query_matrix
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ids, x = _unit_matrix(emb)
+    qids, qm = _query_matrix(spark, SF_SMOKE)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    books = pq_train(spark, SF_SMOKE)
+    adc = pq_adc_scores(spark, SF_SMOKE, books).collect()
+    err = [
+        abs(float(qm[int(r["query_id"])] @ x[pos[r["vec_id"]]]) - r["cosine"])
+        for r in adc
+    ]
+    assert max(err) < 0.35, max(err)
+    assert sum(err) / len(err) < 0.1, sum(err) / len(err)
+
+
+def test_recall_floor_vs_bruteforce(spark):
+    """ADC shortlist + exact re-rank: recall@10 >= 0.9 (measured 1.0 at
+    M=16, K=32, shortlist 100 — floor leaves noise margin)."""
+    brute = similarity_topk_bruteforce(spark, SF_SMOKE).collect()
+    pq = similarity_topk_pq(spark, SF_SMOKE).collect()
+    by_q_exact: dict[int, set[int]] = {}
+    for r in brute:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    by_q_pq: dict[int, set[int]] = {}
+    for r in pq:
+        by_q_pq.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(by_q_exact) == set(by_q_pq)
+    recalls = [
+        len(by_q_exact[q] & by_q_pq[q]) / len(by_q_exact[q]) for q in by_q_exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls

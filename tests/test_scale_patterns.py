@@ -192,3 +192,75 @@ def test_range_sorted_layout_files_near_disjoint(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
     # round trip intact
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def _file_span_fractions(path, col_name):
+    """Per-file (max-min) footer span for col_name, as a fraction of the
+    global span — the footer-stats skipping power for that column (1.0
+    means a predicate can never skip the file)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    per_file = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        idx = md.schema.names.index(col_name)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        per_file.append((min(mins), max(maxs)))
+    glo = min(lo for lo, _ in per_file)
+    ghi = max(hi for _, hi in per_file)
+    span = float(ghi - glo) or 1.0
+    return [float(hi - lo) / span for lo, hi in per_file]
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    from cc_mapreducer_spark.plans.scale_patterns import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "orders_z")
+    write_zordered(orders, zpath, "o_custkey", "o_totalprice", n_files=16)
+    spath = str(tmp_path / "orders_s")
+    write_range_sorted(orders, spath, "o_custkey", n_files=16)
+
+    z_a = _file_span_fractions(zpath, "o_custkey")
+    z_b = _file_span_fractions(zpath, "o_totalprice")
+    s_b = _file_span_fractions(spath, "o_totalprice")
+
+    # BOTH dimensions localized under Z-order (~sqrt(n_files) strips per
+    # dimension), while the 1-D sorted layout leaves the second column's
+    # per-file ranges near-global.
+    avg = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert len(z_a) >= 8
+    assert avg(z_a) <= 0.5, avg(z_a)
+    assert avg(z_b) <= 0.5, avg(z_b)
+    assert avg(z_b) < 0.7 * avg(s_b), (avg(z_b), avg(s_b))
+    # layout change only — content intact
+    assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from cc_mapreducer_spark.plans.scale_patterns import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3)], "a int, b int"
+    ).select(
+        "a", "b", zorder_value(F.col("a"), F.col("b"), 0, 3, 0, 3, bits=2).alias("z")
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in df.collect()}
+    # grid 0..3 on both axes: a bits land even, b bits odd
+    assert got[(0, 0)] == 0
+    assert got[(3, 0)] == 0b0101
+    assert got[(0, 3)] == 0b1010
+    assert got[(3, 3)] == 0b1111
