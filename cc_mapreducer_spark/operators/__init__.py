@@ -2,10 +2,13 @@
 pair with cc_mapreducer_spark.registry (side-effect imports below)."""
 
 import cc_mapreducer_spark.operators.anagram  # noqa: F401
+import cc_mapreducer_spark.operators.cdc  # noqa: F401
 import cc_mapreducer_spark.operators.clustering  # noqa: F401
 import cc_mapreducer_spark.operators.consolidated  # noqa: F401
 import cc_mapreducer_spark.operators.semantic  # noqa: F401
 import cc_mapreducer_spark.operators.dedup  # noqa: F401
+import cc_mapreducer_spark.operators.dq  # noqa: F401
+import cc_mapreducer_spark.operators.graph  # noqa: F401
 import cc_mapreducer_spark.operators.multimodal  # noqa: F401
 import cc_mapreducer_spark.operators.quality_lm  # noqa: F401
 import cc_mapreducer_spark.operators.relational  # noqa: F401

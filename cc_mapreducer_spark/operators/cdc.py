@@ -1,0 +1,285 @@
+"""Change-data-capture semantics: changelog -> snapshot, SCD2 history,
+and copy-on-write MERGE into a partitioned parquet table.
+
+The reference engine (/root/reference/src/index.js) is strictly
+append-only batch — it has no notion of updates. A production corpus is
+not: crawl re-fetches, label fixes, and takedown requests all arrive as
+keyed changes, and a 100 TB table cannot be rebuilt per batch. These
+operators supply the standard lakehouse answers as plain DataFrame
+compositions:
+
+  cdc_snapshot   changelog -> current state: latest version per key wins,
+                 delete ops tombstone the key. ONE shuffle on the key
+                 (row_number + per-key count share the same Exchange).
+  scd2_history   type-2 slowly-changing dimension: consecutive runs of a
+                 per-key attribute collapse into [valid_from, valid_to)
+                 versions with an is_current flag. ONE shuffle on user_id
+                 (the run-id cumsum, the run groupBy, and the valid_to
+                 lead all reuse the user_id partitioning — groupBy
+                 (user_id, run_id) is satisfied by HashPartitioning
+                 (user_id), so Catalyst inserts no second Exchange).
+  merge_upsert   generic keyed COW merge: base rows whose key appears in
+                 the update batch are replaced (anti-join + union);
+                 deletes drop the key.
+  merge_into_partitioned
+                 the 100 TB form: only partitions the update batch
+                 actually touches are read (partition-pruned scan,
+                 asserted in tests) and rewritten (stage-and-swap, the
+                 replaceWhere shape) — untouched partition files stay
+                 byte- and mtime-identical on disk.
+
+The events table acts as the changelog: key = (user_id, item k from
+props), version order = (ts, event_id), op = DELETE for 'error' events
+(stand-in for a tombstone type), UPSERT otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+# --------------------------------------------------------------------------
+# changelog -> snapshot
+# --------------------------------------------------------------------------
+
+_CDC_SNAPSHOT_SQL = f"""
+WITH keyed AS (
+    SELECT user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_k,
+           event_type, value, ts, event_id
+    FROM events
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id, item_k
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id, item_k) AS n_versions
+    FROM keyed
+)
+SELECT user_id, item_k,
+       event_type AS last_event_type,
+       value AS last_value,
+       strftime(ts, '{_TS_FMT_DUCK}') AS last_ts,
+       n_versions
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register("cdc_snapshot", oracle=_CDC_SNAPSHOT_SQL, driver=False)
+def cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve a changelog to its current snapshot: per key (user_id,
+    item_k), the highest-version row wins; keys whose latest op is a
+    delete ('error') are tombstoned out entirely.
+
+    Scale: one Exchange on the key. row_number and the per-key version
+    count are windows over the SAME partition key, so they share it; no
+    driver state, no join. At 100 TB this is the standard compaction job
+    shape — AQE coalesces the post-shuffle partitions.
+    """
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item_k"),
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+    )
+    key = Window.partitionBy("user_id", "item_k")
+    ranked = keyed.select(
+        "*",
+        F.row_number()
+        .over(key.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn"),
+        F.count("*").over(key).alias("n_versions"),
+    )
+    return ranked.filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    ).select(
+        "user_id",
+        "item_k",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("last_ts"),
+        "n_versions",
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 history
+# --------------------------------------------------------------------------
+
+_SCD2_SQL = f"""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+), runs AS (
+    SELECT *,
+           sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM ordered
+), versions AS (
+    SELECT user_id, run_id,
+           min(event_type) AS state,
+           min(ts) AS valid_from_ts,
+           count(*) AS n_events
+    FROM runs
+    GROUP BY user_id, run_id
+)
+SELECT user_id,
+       CAST(run_id AS BIGINT) AS version,
+       state,
+       strftime(valid_from_ts, '{_TS_FMT_DUCK}') AS valid_from,
+       strftime(lead(valid_from_ts) OVER (PARTITION BY user_id
+                                          ORDER BY run_id),
+                '{_TS_FMT_DUCK}') AS valid_to,
+       lead(valid_from_ts) OVER (PARTITION BY user_id
+                                 ORDER BY run_id) IS NULL AS is_current,
+       n_events
+FROM versions
+"""
+
+
+@register("scd2_history", oracle=_SCD2_SQL, driver=False)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension over each user's event_type:
+    consecutive runs of the same type collapse into one versioned row
+    with [valid_from, valid_to) and is_current on the open version.
+
+    Run detection is the standard gaps-and-islands cumsum (lag -> change
+    flag -> running sum). Scale: ONE Exchange on user_id — the lag
+    window, the cumsum window, the (user_id, run_id) groupBy, and the
+    valid_to lead all reuse that partitioning (plan-asserted in tests).
+    """
+    e = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(order))
+        .withColumn(
+            "run_id",
+            F.sum(
+                F.when(
+                    F.col("prev_type").isNull()
+                    | (F.col("prev_type") != F.col("event_type")),
+                    1,
+                ).otherwise(0)
+            ).over(order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    versions = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from_ts"),
+        F.count("*").alias("n_events"),
+    )
+    nxt = Window.partitionBy("user_id").orderBy("run_id")
+    valid_to_ts = F.lead("valid_from_ts").over(nxt)
+    return versions.select(
+        "user_id",
+        F.col("run_id").cast("bigint").alias("version"),
+        "state",
+        F.date_format("valid_from_ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(valid_to_ts, _TS_FMT_SPARK).alias("valid_to"),
+        valid_to_ts.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# keyed COW merge
+# --------------------------------------------------------------------------
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    op_col: str = "_op",
+) -> DataFrame:
+    """MERGE a keyed update batch into a base snapshot, copy-on-write:
+
+    * base rows whose key appears in ``updates`` are dropped (LEFT ANTI
+      on the key — broadcast when the batch is small, which it is by
+      construction in CDC),
+    * update rows with op 'U' are inserted,
+    * update rows with op 'D' only tombstone (their key vanishes).
+
+    ``updates`` must carry the base schema plus ``op_col``. The result
+    has exactly the base schema. No window, no sort: two scans and one
+    (usually broadcast) join — the shape Delta/Iceberg MERGE lowers to.
+    """
+    update_keys = updates.select(*key_cols).dropDuplicates(key_cols)
+    survivors = base.join(F.broadcast(update_keys), key_cols, "left_anti")
+    inserts = updates.filter(F.col(op_col) == "U").select(*base.columns)
+    return survivors.unionByName(inserts)
+
+
+def merge_into_partitioned(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    op_col: str = "_op",
+) -> list:
+    """Partition-pruned copy-on-write MERGE into a hive-partitioned
+    parquet table — the form that survives 100 TB:
+
+    1. collect the DISTINCT partition values the update batch touches
+       (a handful of scalars — the one legitimate driver collect),
+    2. read ONLY those partitions (an IN filter the scan prunes on;
+       PartitionFilters asserted in tests),
+    3. merge_upsert within them,
+    4. stage the merged partitions to a sibling directory, then swap
+       each touched partition dir into place — untouched partitions are
+       never read OR rewritten (byte- and mtime-identical on disk).
+
+    Stage-and-swap rather than dynamic partition overwrite, for two
+    reasons: overwriting the path being read races the lazy scan, and
+    dynamic mode only replaces partitions PRESENT in the output — a
+    delete that empties a partition would leave its stale files behind.
+    The swap is the local-FS rendition of Delta/Iceberg replaceWhere; on
+    an object store the same shape runs through the table format's
+    commit protocol instead of rename.
+
+    Returns the touched partition values.
+    """
+    import shutil
+    import uuid
+
+    touched = [
+        r[0]
+        for r in updates.select(partition_col).dropDuplicates().collect()
+    ]
+    base = spark.read.parquet(base_path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = merge_upsert(base, updates, key_cols, op_col=op_col)
+    staging = f"{base_path.rstrip('/')}_merge_{uuid.uuid4().hex[:8]}"
+    try:
+        (
+            merged.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(staging)
+        )
+        for v in touched:
+            dst = os.path.join(base_path, f"{partition_col}={v}")
+            src = os.path.join(staging, f"{partition_col}={v}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):  # absent = partition emptied by deletes
+                shutil.move(src, dst)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return touched

@@ -212,3 +212,36 @@ def write_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark, path: str, out_path: str, target_file_mb: int = 128
+) -> int:
+    """Bin-pack a fragmented parquet table (the debris CDC merges and
+    incremental appends leave behind) into ~target-size files. Small
+    files are the classic silent killer at 100 TB: a 1 KB-file table
+    turns every scan into per-file open/footer overhead and floods the
+    driver with task metadata.
+
+    File count = ceil(on-disk bytes / target) from the source listing —
+    no data-dependent collect. coalesce(), not repartition(): packing
+    wants NO shuffle, just fewer, bigger write tasks (each output task
+    reads several input files sequentially). Returns the file count.
+    """
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ module)
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(jvm_path)
+        if f.getPath().getName().endswith(".parquet")
+        or f.getPath().getName().startswith("part-")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(
+        out_path
+    )
+    return n_files

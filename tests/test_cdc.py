@@ -1,0 +1,144 @@
+"""CDC operators: snapshot resolution, SCD2 history, COW merge.
+
+Oracle parity for cdc_snapshot / scd2_history runs in
+test_oracle_parity.py (registered pairs). Here: semantic pins on planted
+changelogs, single-Exchange plan assertions, and the partition-pruned
+merge's on-disk immutability guarantee."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row, functions as F
+
+from cc_mapreducer_spark.operators.cdc import (
+    cdc_snapshot,
+    merge_into_partitioned,
+    merge_upsert,
+    scd2_history,
+)
+from cc_mapreducer_spark.plans.inspect import formatted_plan
+from tests.conftest import SF_ORACLE
+
+
+def test_cdc_snapshot_latest_wins_and_tombstones(spark):
+    df = cdc_snapshot(spark, SF_ORACLE)
+    pdf = df.toPandas()
+    # snapshot grain: one row per surviving key
+    assert not pdf.duplicated(subset=["user_id", "item_k"]).any()
+    # tombstoned keys (latest op = delete) are absent entirely
+    assert (pdf["last_event_type"] != "error").all()
+    # n_versions counts ALL changelog entries for the key, not just upserts
+    assert (pdf["n_versions"] >= 1).all()
+
+
+def test_scd2_versions_partition_time_per_user(spark):
+    pdf = scd2_history(spark, SF_ORACLE).toPandas()
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values("version")
+        # versions are 1..n dense per user
+        assert list(g["version"]) == list(range(1, len(g) + 1))
+        # exactly one open (is_current) version: the last
+        assert list(g["is_current"]) == [False] * (len(g) - 1) + [True]
+        # each version closes exactly where the next opens (no gaps/overlap)
+        assert list(g["valid_to"][:-1]) == list(g["valid_from"][1:])
+        # consecutive versions change state (runs were maximal)
+        states = list(g["state"])
+        assert all(a != b for a, b in zip(states, states[1:]))
+
+
+def test_scd2_single_exchange(spark):
+    # lag window, run-id cumsum, (user_id, run_id) groupBy, and the
+    # valid_to lead all reuse the user_id hash partitioning
+    plan = formatted_plan(scd2_history(spark, SF_ORACLE))
+    hash_exchanges = sum(
+        1 for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+    )
+    assert hash_exchanges == 1
+
+
+def test_cdc_snapshot_single_exchange(spark):
+    plan = formatted_plan(cdc_snapshot(spark, SF_ORACLE))
+    hash_exchanges = sum(
+        1 for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+    )
+    assert hash_exchanges == 1
+
+
+def _base_rows():
+    return [
+        Row(k=1, part="a", val="base1"),
+        Row(k=2, part="a", val="base2"),
+        Row(k=3, part="b", val="base3"),
+        Row(k=4, part="c", val="base4"),
+    ]
+
+
+def test_merge_upsert_semantics(spark):
+    base = spark.createDataFrame(_base_rows())
+    updates = spark.createDataFrame(
+        [
+            Row(k=2, part="a", val="upd2", _op="U"),   # update existing
+            Row(k=5, part="b", val="new5", _op="U"),   # insert new
+            Row(k=3, part="b", val=None, _op="D"),     # delete
+        ]
+    )
+    got = {
+        r["k"]: r["val"]
+        for r in merge_upsert(base, updates, ["k"]).collect()
+    }
+    assert got == {1: "base1", 2: "upd2", 4: "base4", 5: "new5"}
+
+
+def test_merge_into_partitioned_rewrites_only_touched(spark, tmp_path):
+    path = str(tmp_path / "table")
+    base = spark.createDataFrame(_base_rows())
+    base.repartition("part").write.partitionBy("part").parquet(path)
+
+    before = {
+        f: os.stat(os.path.join(path, "part=c", f))
+        for f in os.listdir(os.path.join(path, "part=c"))
+        if f.endswith(".parquet")
+    }
+    updates = spark.createDataFrame(
+        [
+            Row(k=2, part="a", val="upd2", _op="U"),
+            Row(k=3, part="b", val=None, _op="D"),
+        ]
+    )
+    touched = merge_into_partitioned(spark, path, updates, ["k"], "part")
+    assert sorted(touched) == ["a", "b"]
+
+    # untouched partition: same files, byte-identical, never rewritten
+    after = {
+        f: os.stat(os.path.join(path, "part=c", f))
+        for f in os.listdir(os.path.join(path, "part=c"))
+        if f.endswith(".parquet")
+    }
+    assert before.keys() == after.keys()
+    for f in before:
+        assert before[f].st_mtime_ns == after[f].st_mtime_ns
+        assert before[f].st_size == after[f].st_size
+
+    got = {
+        r["k"]: (r["part"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("a", "base1"),
+        2: ("a", "upd2"),
+        4: ("c", "base4"),
+    }
+
+
+def test_merge_base_scan_prunes_partitions(spark, tmp_path):
+    # the IN-filter on the partition column must prune at planning time:
+    # the merge's base read over a 3-partition table with 2 touched
+    # partitions shows PartitionFilters with the isin predicate
+    path = str(tmp_path / "table2")
+    spark.createDataFrame(_base_rows()).write.partitionBy("part").parquet(path)
+    pruned = spark.read.parquet(path).filter(F.col("part").isin(["a", "b"]))
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "part#" in plan
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert " IN " in scan or "in(part" in scan

@@ -264,3 +264,24 @@ def test_zorder_value_interleaves_bits(spark):
     assert got[(3, 0)] == 0b0101
     assert got[(0, 3)] == 0b1010
     assert got[(3, 3)] == 0b1111
+
+
+def test_compact_small_files_repacks_without_shuffle(spark, tmp_path):
+    from cc_mapreducer_spark.plans.scale_patterns import compact_small_files
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    # 64 tiny files
+    spark.range(0, 10_000).withColumn("v", F.col("id") * 2).repartition(
+        64
+    ).write.parquet(src)
+    import os
+
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 64
+    n_target = compact_small_files(spark, src, dst, target_file_mb=128)
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst == n_target == 1  # tiny table fits one target file
+    # same data, order-insensitive
+    a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == list(range(10_000))
