@@ -20,5 +20,6 @@ import cc_mapreducer_spark.operators.tpch_full  # noqa: F401
 import cc_mapreducer_spark.operators.tpch_more  # noqa: F401
 import cc_mapreducer_spark.operators.similarity  # noqa: F401
 import cc_mapreducer_spark.operators.text_analysis  # noqa: F401
+import cc_mapreducer_spark.operators.winnow  # noqa: F401
 import cc_mapreducer_spark.streaming.events  # noqa: F401
 import cc_mapreducer_spark.streaming.stateful  # noqa: F401
