@@ -248,6 +248,62 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# equi-width histogram
+# --------------------------------------------------------------------------
+
+_H_LO, _H_HI, _H_BINS = 0.0, 120_000.0, 24
+_H_W = (_H_HI - _H_LO) / _H_BINS
+
+_VALUE_HISTOGRAM_SQL = f"""
+SELECT bin,
+       {_H_LO} + bin * {_H_W} AS bin_lo,
+       {_H_LO} + (bin + 1) * {_H_W} AS bin_hi,
+       count(*) AS n
+FROM (
+    SELECT CAST(least({_H_BINS - 1},
+                      greatest(0, floor((l_extendedprice - {_H_LO}) / {_H_W})))
+           AS BIGINT) AS bin
+    FROM lineitem
+)
+GROUP BY bin
+"""
+
+
+@register("value_histogram", oracle=_VALUE_HISTOGRAM_SQL, driver=False)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice over a fixed domain
+    (fixed edges = ONE scan; data-derived edges would cost a min/max
+    pre-pass). Out-of-domain values clamp into the edge bins. Bin
+    edges are exact multiples of the width, so the cross-engine hash
+    is bit-stable with no rounding grid. Map-side partial aggregation
+    makes this scan-speed at any scale — the shuffle carries at most
+    n_bins rows per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = (
+        F.least(
+            F.lit(_H_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("l_extendedprice") - _H_LO) / _H_W),
+            ),
+        )
+        .cast("bigint")
+        .alias("bin")
+    )
+    return (
+        li.select(bin_col)
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            (F.lit(_H_LO) + F.col("bin") * _H_W).alias("bin_lo"),
+            (F.lit(_H_LO) + (F.col("bin") + 1) * _H_W).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # key-skew profiler
 # --------------------------------------------------------------------------
 
