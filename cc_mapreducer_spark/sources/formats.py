@@ -41,3 +41,17 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     # columnar + self-describing: no schema argument needed (unlike
     # CSV/JSONL where schema-on-read would cost an inference scan)
     return spark.read.orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (a long-lived ingest adds columns over time). mergeSchema
+    unions the per-file footers: files predating a column surface NULLs
+    for it, so consumers keep one logical schema across years of files.
+
+    Cost note: schema merging reads every file footer at planning time —
+    fine for a table's worth of files, wrong as a default (Spark's
+    default off is deliberate). At 100 TB, pin the merged schema in a
+    metastore and pass it explicitly; this helper is the
+    migration-window form."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

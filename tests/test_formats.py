@@ -162,3 +162,19 @@ def test_events_nanos_fallback_scopes_conf(spark, tmp_path):
         # the fallback legitimately leaves the conf set; don't let that
         # state leak into unrelated tests
         spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
+def test_parquet_schema_evolution_merges_and_backfills_null(spark, tmp_path):
+    from cc_mapreducer_spark.sources.formats import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        path
+    )
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+    df = read_parquet_evolved(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.5)}
