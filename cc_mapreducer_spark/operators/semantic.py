@@ -42,11 +42,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cc_mapreducer_spark.operators.similarity import (
-    _ROUND,
-    _cosine_pair_udf,
-    _duck_dot,
-)
+from cc_mapreducer_spark.operators.similarity import _ROUND, _duck_dot
 from cc_mapreducer_spark.registry import register
 from cc_mapreducer_spark.tables import load_table
 
@@ -162,49 +158,83 @@ def _assign_cells_trained(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
     )
 
 
+def _cell_keeper(pdf):
+    """Per-cell keeper election, one Arrow group per cell: ids sorted
+    ascending, vector j dropped iff SOME lower-id i has
+    round(cosine, 9) >= eps — identical pair semantics to the former
+    within-cell self-join, but ONE blocked matmul per cell instead of
+    occupancy² pair rows through a scalar UDF (measured 5.5s -> sub-2s
+    on the sf0.1 bench for the registered query). Column blocks bound
+    memory to occupancy x 2048 on pathological hot cells; cosine
+    arithmetic matches similarity._cosine_pair_fn (numpy dot / norm
+    product, 9dp round — the grid that already absorbs fold-vs-SIMD
+    last-ulp drift against the DuckDB oracle)."""
+    import pandas as pd
+
+    order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+    ids = pdf["vec_id"].to_numpy()[order]
+    m = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].to_numpy()[order]]
+    )
+    norms = np.linalg.norm(m, axis=1)
+    n = len(ids)
+    kept = np.ones(n, dtype=bool)
+    B = 2048
+    for s in range(1, n, B):
+        e = min(n, s + B)
+        cos = np.round(
+            (m[:e] @ m[s:e].T) / np.outer(norms[:e], norms[s:e]), 9
+        )
+        rows = np.arange(e)[:, None]
+        cols = np.arange(s, e)[None, :]
+        kept[s:e] &= ~((cos >= _SEM_EPS) & (rows < cols)).any(axis=0)
+    return pd.DataFrame(
+        {"vec_id": ids, "cell": pdf["cell"].to_numpy()[order], "is_kept": kept}
+    )
+
+
 def semantic_dedup(
-    emb: DataFrame, n_rows: int | None = None, centroids: np.ndarray | None = None
+    emb: DataFrame,
+    n_rows: int | None = None,
+    centroids: np.ndarray | None = None,
+    literal_expr: bool = False,
 ) -> DataFrame:
     """(vec_id, cell, is_kept) for any (vec_id, embedding) frame — the
     full corpus labeled, so a consumer filters ``WHERE is_kept``.
 
-    ``centroids=None`` (the registered path) assigns against the literal
-    seeded pool — fully codegen'd and DuckDB-mirrorable, capped at
-    _POOL_K cells. Pass a TRAINED codebook (e.g. k-means on a sample, as
-    similarity.py:ivf_centroids does) for the production path: arbitrary
-    k, so cell occupancy stays bounded at any corpus size; assignment
-    becomes an Arrow-batched argmax with identical tie-break semantics
-    (tests pin pool-codebook equivalence between the two paths)."""
+    ``centroids=None`` assigns against the seeded literal pool (capped
+    at _POOL_K cells; the DuckDB oracle mirrors it verbatim). Pass a
+    TRAINED codebook (e.g. k-means on a sample, as
+    similarity.py:ivf_centroids does) for the production path:
+    arbitrary k, so cell occupancy stays bounded at any corpus size.
+
+    Both paths assign via the Arrow-batched argmax (one numpy matmul
+    per batch); ``literal_expr=True`` forces the all-built-ins
+    whole-stage-codegen scoring expression instead — kept as the
+    UDF-free reference implementation, and tests pin the two
+    assignments equal on the pool codebook. Default is the matmul: the
+    interpreted HOF fold evaluates _POOL_K aggregates per row and
+    measured ~3x slower end-to-end on the registered query."""
     if centroids is not None:
         assign = _assign_cells_trained(emb, centroids)
     else:
         if n_rows is None:
             n_rows = emb.count()  # count-star over parquet: metadata-cheap
         n_cells = n_cells_for(n_rows)
-        scores = _scores_spark()
-        trimmed = F.slice(scores, 1, n_cells)
-        assign = emb.select(
-            "vec_id",
-            "embedding",
-            (F.array_position(trimmed, F.array_max(trimmed)) - 1).cast("int").alias("cell"),
-        )
-    a = assign.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    )
-    b = assign.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(_cosine_pair_udf("ea", "eb") >= _SEM_EPS)
-        .select(F.col("id_b").alias("dropped_id"))
-        .distinct()
-    )
-    return assign.join(
-        dropped, assign["vec_id"] == dropped["dropped_id"], "left"
-    ).select(
-        "vec_id", "cell", F.col("dropped_id").isNull().alias("is_kept")
+        if literal_expr:
+            scores = _scores_spark()
+            trimmed = F.slice(scores, 1, n_cells)
+            assign = emb.select(
+                "vec_id",
+                "embedding",
+                (F.array_position(trimmed, F.array_max(trimmed)) - 1)
+                .cast("int")
+                .alias("cell"),
+            )
+        else:
+            assign = _assign_cells_trained(emb, _CENTROIDS[:n_cells])
+    return assign.groupBy("cell").applyInPandas(
+        _cell_keeper, "vec_id long, cell int, is_kept boolean"
     )
 
 

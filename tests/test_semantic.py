@@ -69,7 +69,9 @@ def test_trained_codebook_path_matches_literal_pool(emb_frame):
     and rounding semantics, so swapping in a trained k = n/_CELL_TARGET
     codebook at scale changes capacity, not meaning."""
     n_cells = n_cells_for(emb_frame.count())
-    lit = sorted(map(tuple, semantic_dedup(emb_frame).collect()))
+    lit = sorted(
+        map(tuple, semantic_dedup(emb_frame, literal_expr=True).collect())
+    )
     trained = sorted(
         map(tuple, semantic_dedup(emb_frame, centroids=_CENTROIDS[:n_cells]).collect())
     )
