@@ -564,3 +564,42 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", _cosine_pair_udf("qe", "embedding").alias("cosine")
     )
     return _topk(scored)
+
+
+# --------------------------------------------------------------------------
+# retrieval: top-k neighbors joined back to their documents
+# --------------------------------------------------------------------------
+
+_RETRIEVE_SQL = f"""
+WITH topk AS (
+{_BRUTE_SQL}
+)
+SELECT t.query_id, t.rn AS rank, t.vec_id AS doc_id, t.cosine,
+       d.source, d.lang, substr(d.text, 1, 40) AS snippet
+FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+"""
+
+
+@register("similar_documents", oracle=_RETRIEVE_SQL, driver=False)
+def similar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval: exact top-k neighbors (the brute-force ANN
+    baseline) joined back to the documents table for display fields —
+    the RAG-shaped read path. The top-k result is a few rows per query,
+    so IT is the broadcast side against the (at scale, enormous)
+    documents table: the fact side never shuffles (plan-asserted in
+    tests). vec_id == doc_id by construction of the driver tables."""
+    topk = similarity_topk_bruteforce(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.substring("text", 1, 40).alias("snippet")
+    )
+    return docs.join(
+        F.broadcast(topk), docs.doc_id == topk.vec_id
+    ).select(
+        "query_id",
+        F.col("rn").alias("rank"),
+        "doc_id",
+        "cosine",
+        "source",
+        "lang",
+        "snippet",
+    )

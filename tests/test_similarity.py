@@ -211,3 +211,16 @@ def test_near_dup_blocking_finds_planted_duplicates(spark):
     }
     hits = sum((j, 1000 + j) in found for j in range(n_pairs))
     assert hits >= int(0.9 * n_pairs), f"only {hits}/{n_pairs} planted pairs found"
+
+
+def test_similar_documents_broadcasts_topk_not_docs(spark):
+    from cc_mapreducer_spark.operators.similarity import similar_documents
+    from cc_mapreducer_spark.plans.inspect import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = formatted_plan(similar_documents(spark, SF_ORACLE))
+    # the tiny top-k result broadcasts; the documents side never shuffles
+    assert "BroadcastHashJoin" in plan
+    rows = similar_documents(spark, SF_ORACLE).collect()
+    assert len(rows) == 50  # 5 queries x top-10
+    assert all(r["snippet"] is not None for r in rows)
