@@ -45,17 +45,12 @@ MIN_PAIR_COUNT = 2
 
 def word_freq_table(docs: DataFrame) -> DataFrame:
     """(word, cnt) over the tokenized corpus — the only corpus-sized
-    job in training; everything after runs on distinct words."""
-    words = docs.select(
-        F.explode(
-            F.filter(
-                F.split(
-                    F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "
-                ),
-                lambda x: x != F.lit(""),
-            )
-        ).alias("word")
-    )
+    job in training; everything after runs on distinct words. Uses the
+    repo's shared tokenizer expression (text_analysis._SPARK_WORDS) so
+    BPE sees exactly the words every other text operator sees."""
+    from cc_mapreducer_spark.operators.text_analysis import _SPARK_WORDS
+
+    words = docs.select(F.explode(F.expr(_SPARK_WORDS)).alias("word"))
     return words.groupBy("word").agg(F.count("*").alias("cnt"))
 
 
@@ -149,13 +144,24 @@ def encode_bpe(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame
         return out
 
     def run(batches):
+        # per-task memo: words repeat heavily (the same fact that lets
+        # training collapse to the distinct-word table), so encode each
+        # distinct word once per task, not once per occurrence
+        memo: dict[str, list[str]] = {}
+
+        def enc_cached(w: str) -> list[str]:
+            t = memo.get(w)
+            if t is None:
+                t = memo[w] = enc_word(w)
+            return t
+
         for pdf in batches:
             toks = []
             for text in pdf["text"]:
                 words = [w for w in _normalize(text).split(" ") if w]
                 doc_tokens: list[str] = []
                 for w in words:
-                    doc_tokens.extend(enc_word(w))
+                    doc_tokens.extend(enc_cached(w))
                 toks.append(doc_tokens)
             yield pd.DataFrame(
                 {
@@ -187,8 +193,16 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     merges = train_bpe(docs)
     enc = encode_bpe(docs, merges)
-    per_doc = docs.select("doc_id", "source").join(enc, "doc_id")
+    from cc_mapreducer_spark.operators.text_analysis import _SPARK_WORDS
+
+    per_doc = docs.select(
+        "doc_id", "source", F.size(F.expr(_SPARK_WORDS)).alias("n_words")
+    ).join(enc, "doc_id")
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens") / F.sum("n_words").cast("double"), 6
+        ).alias("tokens_per_word"),
     )

@@ -121,3 +121,7 @@ def test_bpe_stats_compression_sane(spark):
     assert stats  # per-source rows exist
     for r in stats.values():
         assert r["total_tokens"] > 0
+        # subword tokens per word: >= 1 always (EOW marker), and well
+        # under raw chars-per-word once merges have been learned
+        assert 1.0 <= r["tokens_per_word"] < 7.0
+        assert r["total_words"] > 0

@@ -218,9 +218,10 @@ def test_similar_documents_broadcasts_topk_not_docs(spark):
     from cc_mapreducer_spark.plans.inspect import formatted_plan
     from tests.conftest import SF_ORACLE
 
-    plan = formatted_plan(similar_documents(spark, SF_ORACLE))
+    df = similar_documents(spark, SF_ORACLE)
+    plan = formatted_plan(df)
     # the tiny top-k result broadcasts; the documents side never shuffles
     assert "BroadcastHashJoin" in plan
-    rows = similar_documents(spark, SF_ORACLE).collect()
+    rows = df.collect()
     assert len(rows) == 50  # 5 queries x top-10
     assert all(r["snippet"] is not None for r in rows)
