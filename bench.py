@@ -48,6 +48,9 @@ HEADLINE = [
     "event_sessionize",          # windows + sessionization
     "semantic_dedup_embeddings", # centroid cells + within-cell cosine prune
     "duplicate_clusters",        # iterative connected components
+    "cdc_snapshot",              # changelog -> latest-per-key snapshot
+    "shared_passages",           # winnowing passage-level dedup
+    "key_skew_profile",          # rows-per-key skew diagnostics
 ]
 
 
