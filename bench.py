@@ -75,6 +75,7 @@ TREND_QUERIES = [
     "near_dedup_minhash",   # MinHash band join + exact-Jaccard verify
     "simhash_near_pairs",   # 64-bit fingerprint block-pair probing
     "near_dup_embeddings",  # size-adaptive multi-table sign-LSH
+    "shared_passages",      # winnowing fingerprints + hash-key pair join
 ]
 
 
@@ -143,12 +144,15 @@ def scale_trend(spark, queries) -> dict:
             os.makedirs(d, exist_ok=True)
             _synth_corpus(d, base_docs * k, base_vecs * k, seed=1000 + k)
             sizes.append(base_docs * k)
-            # single-rep local timings swing 2-4x under GC/load spikes;
-            # min-of-2 stabilizes the fit — at EVERY size: de-noising only
-            # the small points while the largest keeps full noise would
+            # single-rep local timings swing 2-4x under GC/load spikes
+            # (measured: x30 minhash 30.4s cold / 9.5s warm in the same
+            # session); min-of-3 with a forced full GC between sizes
+            # stabilizes the fit — at EVERY size: de-noising only the
+            # small points while the largest keeps full noise would
             # bias the fitted exponent upward (and the lane exists to
             # catch super-linearity, so the bias direction matters).
-            reps = 2
+            spark.sparkContext._jvm.System.gc()
+            reps = 3
             for name in TREND_QUERIES:
                 best = float("inf")
                 for _ in range(reps):
