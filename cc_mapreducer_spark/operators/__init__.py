@@ -13,6 +13,7 @@ import cc_mapreducer_spark.operators.graph  # noqa: F401
 import cc_mapreducer_spark.operators.multimodal  # noqa: F401
 import cc_mapreducer_spark.operators.quality_lm  # noqa: F401
 import cc_mapreducer_spark.operators.relational  # noqa: F401
+import cc_mapreducer_spark.operators.search  # noqa: F401
 import cc_mapreducer_spark.operators.relational_extra  # noqa: F401
 import cc_mapreducer_spark.operators.sessionize  # noqa: F401
 import cc_mapreducer_spark.operators.stateful  # noqa: F401

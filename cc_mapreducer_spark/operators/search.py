@@ -1,0 +1,165 @@
+"""Lexical (keyword) search: BM25 ranking over the documents corpus.
+
+The retrieval stack so far is vector-only (brute-force / sign-LSH / IVF /
+PQ over embeddings); production search is hybrid, and the lexical leg is
+BM25 (Robertson/Sparck Jones; the Lucene-standard positive-idf variant).
+Everything here is plain aggregations over the shared tokenizer's word
+stream — no index structure is needed because Spark IS the inverted
+index: tf is a (doc, word) groupBy, df a word groupBy, and scoring a
+broadcast join against the (tiny) query-term table.
+
+Determinism across engines (the usual discipline):
+- query terms derive from the corpus itself (top-_N_TERMS by total
+  frequency, count-desc / word-asc) — both engines compute the same
+  list, no fixture.
+- per-term contributions round to 9dp; the per-document score is a
+  FIXED-ORDER sum over term ranks (coalesce(c1)+coalesce(c2)+...), not
+  an unordered SQL SUM — floating addition order is pinned, so the 6dp
+  output grid only has to absorb libm-vs-JVM ln() last-ulp drift (the
+  lm_perplexity precedent).
+- ranking ties break on doc_id.
+
+Scale shape: two shuffles over the word stream (tf, then df) — both
+near-uniform (the shared tokenizer's words; a stop-word-heavy corpus
+would pre-filter exactly like the anagram pipeline) — then broadcast
+joins of the 3-row term table and the 1-row corpus stats. Top-k is a
+window over scored docs; at 100 TB you partition the window by a query
+id, exactly as similarity._topk does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table, spread
+
+_N_TERMS = 3
+_TOPK = 10
+_K1 = 1.2
+_B = 0.75
+
+_DUCK_WORDS = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),"
+    " w -> w <> '')"
+)
+
+_BM25_SQL = f"""
+WITH words AS (
+    SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents
+), tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+), dl AS (
+    SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM words GROUP BY doc_id
+), stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           sum(dl) / count(*) AS avgdl
+    FROM dl
+), qterms AS (
+    SELECT word, row_number() OVER (ORDER BY sum(tf) DESC, word) AS r
+    FROM tf GROUP BY word
+    ORDER BY sum(tf) DESC, word LIMIT {_N_TERMS}
+), df AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), contrib AS (
+    SELECT t.doc_id, q.r,
+           round(
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * t.tf / (t.tf + {_K1} * (1.0 - {_B} + {_B} * l.dl / s.avgdl)),
+             9) AS c
+    FROM tf t
+    JOIN qterms q ON q.word = t.word
+    JOIN df d ON d.word = t.word
+    JOIN dl l ON l.doc_id = t.doc_id
+    CROSS JOIN stats s
+), scored AS (
+    SELECT doc_id,
+           round(coalesce(max(CASE WHEN r = 1 THEN c END), 0.0)
+               + coalesce(max(CASE WHEN r = 2 THEN c END), 0.0)
+               + coalesce(max(CASE WHEN r = 3 THEN c END), 0.0), 6) AS score,
+           CAST(count(*) AS BIGINT) AS n_matched
+    FROM contrib GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, score, n_matched
+FROM scored
+ORDER BY score DESC, doc_id LIMIT {_TOPK}
+"""
+
+
+@register("bm25_search", oracle=_BM25_SQL, driver=False)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by BM25 for the corpus's three most frequent
+    terms (self-derived so the query needs no fixture and stays
+    non-empty at every SF)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from cc_mapreducer_spark.operators.text_analysis import _SPARK_WORDS
+
+    words = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_WORDS)).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = words.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    qterms = (
+        tf.groupBy("word")
+        .agg(F.sum("tf").alias("total"))
+        .select(
+            "word",
+            F.row_number()
+            .over(Window.orderBy(F.desc("total"), "word"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= _N_TERMS)
+    )
+    df = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(F.broadcast(df.join(qterms, "word").select("word", "df")), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "r",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ).alias("c"),
+        )
+    )
+
+    def _rank_case(r: int):
+        return F.coalesce(
+            F.max(F.when(F.col("r") == r, F.col("c"))), F.lit(0.0)
+        )
+
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(_rank_case(1) + _rank_case(2) + _rank_case(3), 6).alias(
+            "score"
+        ),
+        F.count("*").cast("bigint").alias("n_matched"),
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "doc_id",
+            "score",
+            "n_matched",
+        )
+        .filter(F.col("rank") <= _TOPK)
+    )

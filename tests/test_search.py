@@ -1,0 +1,61 @@
+"""BM25 search: ranking properties on planted corpora + plan shape.
+Oracle parity runs in test_oracle_parity.py (bm25_search)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cc_mapreducer_spark.operators.search import bm25_search
+from cc_mapreducer_spark.plans.inspect import formatted_plan
+from tests.conftest import SF_ORACLE
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_tf_saturation_and_length_normalization(spark, tmp_path):
+    # corpus where 'zebra' is the (only) frequent term; the short doc
+    # with a high zebra density must beat the long diluted one, and a
+    # doc without the term scores 0 matches
+    # 'zebra' is the only repeated word, so it is the top query term;
+    # fillers are DISTINCT singletons (repeating them would outvote
+    # zebra in the frequency-derived term list)
+    filler = " ".join(f"w{i:03d}" for i in range(120))
+    sf = _write_docs(
+        tmp_path,
+        [
+            "zebra zebra zebra lion",   # dense, short
+            "zebra " + filler,          # diluted, long
+            "qqq rrr sss",              # no query terms at all
+        ],
+    )
+    rows = {r["doc_id"]: r for r in bm25_search(spark, sf).collect()}
+    assert rows[0]["score"] > rows[1]["score"]
+    # every returned doc matched at least one query term
+    assert all(r["n_matched"] >= 1 for r in rows.values())
+
+
+def test_rank_is_dense_and_deterministic(spark):
+    a = [(r["rank"], r["doc_id"]) for r in bm25_search(spark, SF_ORACLE).collect()]
+    b = [(r["rank"], r["doc_id"]) for r in bm25_search(spark, SF_ORACLE).collect()]
+    assert a == b
+    assert [r for r, _ in a] == list(range(1, len(a) + 1))
+
+
+def test_term_and_stats_tables_broadcast(spark):
+    plan = formatted_plan(bm25_search(spark, SF_ORACLE))
+    # the 3-row query-term table, df and the 1-row stats must broadcast;
+    # only the word-stream aggregations shuffle
+    assert plan.count("BroadcastExchange") >= 2
