@@ -163,3 +163,78 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# hybrid search: reciprocal-rank fusion of the lexical and vector legs
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard fusion constant (Cormack et al., SIGIR'09)
+
+
+def _vector_leg_sql() -> str:
+    from cc_mapreducer_spark.operators.similarity import _BRUTE_SQL
+
+    return _BRUTE_SQL
+
+
+def _hybrid_sql() -> str:
+    # query_id 0's neighbors stand in for "the vector leg" of one search;
+    # the BM25 leg is corpus-wide. RRF score = sum over legs of
+    # 1/(k + rank), FIXED ORDER (lex + vec), absent leg contributes 0 —
+    # integer ranks make the only float work two divisions and one add.
+    return f"""
+WITH lex AS (
+{_BM25_SQL}
+), vec_all AS (
+{_vector_leg_sql()}
+), vec AS (
+    SELECT vec_id AS doc_id, rn AS rank FROM vec_all WHERE query_id = 0
+), ids AS (
+    SELECT doc_id FROM lex UNION SELECT doc_id FROM vec
+)
+SELECT i.doc_id,
+       round(coalesce(1.0 / ({_RRF_K} + l.rank), 0.0)
+           + coalesce(1.0 / ({_RRF_K} + v.rank), 0.0), 9) AS rrf_score,
+       l.rank AS lex_rank, v.rank AS vec_rank
+FROM ids i
+LEFT JOIN lex l ON l.doc_id = i.doc_id
+LEFT JOIN vec v ON v.doc_id = i.doc_id
+"""
+
+
+@register("hybrid_search_rrf", oracle=_hybrid_sql(), driver=False)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (1/(k+rank), k=60) of
+    the BM25 lexical top-k and the exact vector top-k for query 0 —
+    the standard way to combine heterogeneous rankers without score
+    calibration. Both legs are the already-verified queries; fusion
+    itself is a two-sided outer join of two tiny rank tables (both
+    broadcast), so the added cost at any scale is nil. Integer ranks
+    keep the fusion deterministic: two divisions and one fixed-order
+    add per doc, on a 9dp grid."""
+    from cc_mapreducer_spark.operators.similarity import (
+        similarity_topk_bruteforce,
+    )
+
+    lex = bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    vec = (
+        similarity_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rn").alias("vec_rank"))
+    )
+    ids = lex.select("doc_id").unionAll(vec.select("doc_id")).distinct()
+    j = ids.join(F.broadcast(lex), "doc_id", "left").join(
+        F.broadcast(vec), "doc_id", "left"
+    )
+    leg = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (_RRF_K + F.col(c)), F.lit(0.0)
+    )
+    return j.select(
+        "doc_id",
+        F.round(leg("lex_rank") + leg("vec_rank"), 9).alias("rrf_score"),
+        "lex_rank",
+        "vec_rank",
+    )
