@@ -217,6 +217,29 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_LANE", "1") != "0":
+        # measured (not inferred) shuffle/spill per headline query from
+        # the post-AQE plan's SQLMetrics — the number that explodes
+        # first when a plan regresses at scale
+        from cc_mapreducer_spark.plans.inspect import execution_metrics
+
+        shuffle = {}
+        # iterative queries truncate lineage per round (localCheckpoint),
+        # so the final plan's metrics would under-report their per-round
+        # shuffles — exclude rather than publish a misleading number
+        skip_shuffle = {"duplicate_clusters"}
+        for name in [h for h in HEADLINE if h not in skip_shuffle]:
+            try:
+                m = execution_metrics(queries[name](spark, SF_DIR))
+                shuffle[name] = {
+                    "written_mb": round(m["shuffle_bytes_written"] / 1e6, 3),
+                    "records": m["shuffle_records_written"],
+                    "spill_mb": round(m["spill_bytes"] / 1e6, 3),
+                }
+            except Exception as e:  # metrics must never fail the bench
+                shuffle[name] = {"error": str(e)[:120]}
+            spark.catalog.clearCache()
+        out["shuffle"] = shuffle
     if os.environ.get("SPARK_GRAFT_SCALE_TREND", "1") != "0":
         out["scale_trend"] = scale_trend(spark, queries)
     print(json.dumps(out))

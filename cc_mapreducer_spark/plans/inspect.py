@@ -31,3 +31,47 @@ def executed_plan(df: DataFrame) -> str:
     up as '*(n)' markers only once AQE has finalized the plan."""
     df.collect()
     return df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+
+
+def execution_metrics(df: DataFrame) -> dict:
+    """Execute ``df`` (collect) and sum the post-AQE plan's SQLMetrics:
+    actual shuffle bytes/records written, shuffle bytes read, and spill.
+    This is measured evidence, not plan-shape inference — the number
+    that proves 'the dims broadcast and only 5 aggregated rows crossed
+    the wire', and the one that explodes first when a plan regresses at
+    scale. Used by bench.py's shuffle lane and the shuffle-budget tests.
+    """
+    df.collect()
+    root = df._jdf.queryExecution().executedPlan()  # type: ignore[attr-defined]
+
+    nodes: list = []
+
+    def _walk(node) -> None:
+        nodes.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            _walk(ch.apply(i))
+        cls = node.getClass().getSimpleName()
+        # AQE hides materialized subtrees behind stage wrappers
+        if cls.endswith("QueryStageExec"):
+            _walk(node.plan())
+        if cls == "AdaptiveSparkPlanExec":
+            _walk(node.executedPlan())
+
+    _walk(root)
+    keep = {
+        "shuffleBytesWritten": "shuffle_bytes_written",
+        "shuffleRecordsWritten": "shuffle_records_written",
+        "localBytesRead": "shuffle_bytes_read_local",
+        "remoteBytesRead": "shuffle_bytes_read_remote",
+        "spillSize": "spill_bytes",
+    }
+    out = {v: 0 for v in keep.values()}
+    for n in nodes:
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            k = str(kv._1())
+            if k in keep:
+                out[keep[k]] += kv._2().value()
+    return out

@@ -107,3 +107,23 @@ def test_pivot_summary_broadcasts_dims(spark):
     plan = formatted_plan(Q["pivot_segment_summary"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_byte_budgets_measured(spark):
+    """Measured shuffle volume (post-AQE SQLMetrics), not plan-shape
+    inference: the snowflake join must move only aggregated rows (dims
+    broadcast + partial agg), and exact dedup must shuffle 32-byte
+    hashes, never document bodies."""
+    from cc_mapreducer_spark.plans.inspect import execution_metrics
+
+    m = execution_metrics(Q["q5_local_supplier_volume"](spark, SF_ORACLE))
+    # sf0.01: a handful of (nation, revenue) partials — bytes, not MBs
+    assert m["shuffle_records_written"] < 1000
+    assert m["shuffle_bytes_written"] < 100_000
+    assert m["spill_bytes"] == 0
+
+    m = execution_metrics(Q["exact_dedup"](spark, SF_ORACLE))
+    # 500 docs -> ~1 hash record per doc (plus partial-agg rows), far
+    # below what shuffling text bodies (~500 x 1-2KB) would cost
+    assert m["shuffle_bytes_written"] < 200_000
+    assert m["spill_bytes"] == 0
