@@ -283,3 +283,64 @@ def merge_into_partitioned(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return touched
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join
+# --------------------------------------------------------------------------
+
+_PIT_SQL = f"""
+WITH hist AS (
+{_SCD2_SQL}
+), purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+       h.state AS state_at_purchase,
+       h.version AS state_version
+FROM purchases p JOIN hist h
+  ON h.user_id = p.user_id
+ AND strftime(p.ts, '{_TS_FMT_DUCK}') >= h.valid_from
+ AND (h.valid_to IS NULL OR strftime(p.ts, '{_TS_FMT_DUCK}') < h.valid_to)
+"""
+
+
+@register("scd2_point_in_time", oracle=_PIT_SQL, driver=False)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the feature-store correctness read: each
+    purchase event tagged with the SCD2 state version that was valid AT
+    the event's timestamp (training a model on the CURRENT state leaks
+    the future; this is the leak-free form).
+
+    Plan shape: an equi-join on user_id carries the shuffle; the
+    [valid_from, valid_to) range condition is a join-side filter, so
+    Catalyst plans a hash join, never a nested loop (the same shape as
+    temporal.interval_join_after_purchase). Comparing the 26-char
+    formatted timestamps is order-isomorphic to comparing the
+    timestamps themselves and keeps both engines on identical
+    string semantics.
+
+    The purchase's own event is part of the history it joins against
+    (every event opens or extends a run), so every purchase matches
+    exactly one version — tested, along with a planted leak check.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"),
+        F.col("user_id").alias("p_user"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+    )
+    h = scd2_history(spark, sf_dir)
+    return p.join(
+        h,
+        (h.user_id == p.p_user)
+        & (p.purchase_ts >= h.valid_from)
+        & (h.valid_to.isNull() | (p.purchase_ts < h.valid_to)),
+    ).select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.col("state").alias("state_at_purchase"),
+        F.col("version").alias("state_version"),
+    )

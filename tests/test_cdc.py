@@ -142,3 +142,41 @@ def test_merge_base_scan_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "part#" in plan
     scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert " IN " in scan or "in(part" in scan
+
+
+def test_point_in_time_every_purchase_matches_one_version(spark):
+    from cc_mapreducer_spark.operators.cdc import scd2_point_in_time
+
+    pit = scd2_point_in_time(spark, SF_ORACLE).toPandas()
+    n_purchases = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    # exactly one state version valid at each purchase timestamp
+    assert len(pit) == n_purchases
+    assert not pit.duplicated(subset=["event_id"]).any()
+    # the version valid at a purchase is a 'purchase' run by construction
+    # (the purchase event itself opens or extends that run)
+    assert (pit["state_at_purchase"] == "purchase").all()
+
+
+def test_point_in_time_does_not_leak_future_state(spark, tmp_path):
+    from cc_mapreducer_spark.operators.cdc import scd2_point_in_time
+
+    # user history: purchase at t1, then a LATER state change at t2 —
+    # the purchase must join to the t1 version, never the future one
+    rows = [
+        (1, "2024-01-01 00:00:00", 5, "purchase", 1.0, '{"k": 1}'),
+        (2, "2024-01-01 01:00:00", 5, "error", 0.0, '{"k": 1}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    pit = scd2_point_in_time(spark, str(tmp_path)).collect()
+    assert len(pit) == 1
+    assert pit[0]["state_at_purchase"] == "purchase"
+    assert pit[0]["state_version"] == 1  # not the later 'error' version
