@@ -26,6 +26,8 @@ ALLOWED_NESTED_LOOP = {
     "q22_global_sales_opportunity",
     "tpch_suite_extra",  # contains the q11/q22 scalar-subquery branches
     "lm_perplexity",  # one-row broadcasts: (n_total, n_vocab) consts + ppl tertile thresholds
+    "bm25_search",  # one-row broadcast: the (n_docs, avgdl) corpus-stats row
+    "hybrid_search_rrf",  # contains the bm25 leg above
 }
 ALLOWED_PYTHON_EVAL = {
     "multimodal_derived",  # Arrow-batched mapInPandas by design
