@@ -281,3 +281,74 @@ def event_windowed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
     )
     return tumbling.unionAll(sliding)
+
+
+# --------------------------------------------------------------------------
+# cohort retention (driver=False — roster cap; full oracle)
+# --------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH firsts AS (
+    SELECT user_id, time_bucket(INTERVAL '1 day', min(ts)) AS cohort_day
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           CAST(date_diff('day', f.cohort_day,
+                          time_bucket(INTERVAL '1 day', e.ts)) AS BIGINT) AS day_n
+    FROM events e JOIN firsts f USING (user_id)
+), sizes AS (
+    SELECT cohort_day, count(*) AS cohort_size FROM firsts GROUP BY cohort_day
+)
+SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+       a.day_n,
+       count(*) AS n_active,
+       s.cohort_size,
+       round(count(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM activity a JOIN sizes s USING (cohort_day)
+GROUP BY a.cohort_day, a.day_n, s.cohort_size
+"""
+
+
+@register("cohort_retention", oracle=_COHORT_SQL, driver=False)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, then for
+    each later day the fraction of the cohort still active — the
+    standard growth-analytics triangle.
+
+    Two aggregations over events (first-touch per user; distinct active
+    days per user), both keyed on user_id so they share one Exchange
+    pattern; the cohort-size table is tiny and broadcasts into the
+    final rollup. The retention ratio is one integer division on a 6dp
+    grid."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_n"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_day", "day_n")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_n",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )
