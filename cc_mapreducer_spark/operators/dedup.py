@@ -517,3 +517,101 @@ def near_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ngram").alias("method"), "doc_a", "doc_b", "jaccard"
     )
     return mh.unionAll(ng)
+
+
+# --------------------------------------------------------------------------
+# fuzzy string matching: edit-distance-1 pairs via deletion neighborhoods
+# --------------------------------------------------------------------------
+
+_FUZZY_SQL = """
+WITH base AS (
+    SELECT DISTINCT unnest(
+        list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                    w -> len(w) >= 3)) AS w
+    FROM documents
+), vocab AS (
+    SELECT w FROM base
+    UNION
+    SELECT substr(w, 2) FROM base WHERE len(w) >= 4
+), variants AS (
+    SELECT w, unnest(list_append(
+        [substr(w, 1, i - 1) || substr(w, i + 1) for i in range(1, len(w) + 1)],
+        w)) AS v
+    FROM vocab
+), cand AS (
+    SELECT DISTINCT a.w AS word_a, b.w AS word_b
+    FROM variants a JOIN variants b ON a.v = b.v AND a.w < b.w
+)
+SELECT word_a, word_b,
+       CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(word_a, word_b) <= 1
+"""
+
+
+@register("fuzzy_word_pairs", oracle=_FUZZY_SQL, driver=False)
+def fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 string pairs via FastSS deletion-neighborhood
+    blocking (Bocek et al. 2007, public method): each word emits itself
+    plus every single-character deletion; two words within edit
+    distance 1 MUST share a variant (insert/delete pairs share the
+    shorter word itself; substitution pairs share the deletion at the
+    substituted position), so the equi-join on variant is a complete
+    blocking and `levenshtein` verifies candidates only — the same
+    block-then-verify shape as every LSH family here, for the entity-
+    resolution / spell-normalization leg of corpus cleaning.
+
+    The vocabulary is the corpus's distinct words UNION their
+    first-char-dropped forms — the driver corpus's tiny synthetic vocab
+    has no natural distance-1 pairs, and an empty-vs-empty hash is no
+    evidence (the anagram-HAVING lesson from round 2): the augmented
+    vocab derives identically in both engines and guarantees real rows.
+
+    Scale: candidates join on near-unique variant strings (vocab-sized
+    data, not corpus-sized); a word of length L emits L+1 variants, so
+    the blowup is bounded by mean word length. One distinct word table
+    at 100 TB is millions of rows — this runs anywhere.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "
+                    ),
+                    lambda w: F.length(w) >= 3,
+                )
+            ).alias("w")
+        )
+        .distinct()
+    )
+    vocab = base.unionByName(
+        base.filter(F.length("w") >= 4).select(
+            F.expr("substring(w, 2)").alias("w")
+        )
+    ).distinct()
+    variants = vocab.select(
+        "w",
+        F.explode(
+            F.concat(
+                F.expr(
+                    "transform(sequence(1, length(w)), "
+                    "i -> concat(substring(w, 1, i - 1), substring(w, i + 1)))"
+                ),
+                F.array(F.col("w")),
+            )
+        ).alias("v"),
+    )
+    a = variants.select(F.col("w").alias("word_a"), "v")
+    b = variants.select(F.col("w").alias("word_b"), F.col("v").alias("v2"))
+    cand = (
+        a.join(b, (a.v == b.v2) & (a.word_a < b.word_b))
+        .select("word_a", "word_b")
+        .distinct()
+    )
+    return cand.select(
+        "word_a",
+        "word_b",
+        F.levenshtein("word_a", "word_b").cast("bigint").alias("dist"),
+    ).filter(F.col("dist") <= 1)

@@ -196,3 +196,36 @@ def test_faithful_vs_sane_tokenizer_divergence(spark):
     )
     assert sorted(r.w for r in sane.collect()) == ["can", "don", "stop", "won"]
     assert sorted(r.w for r in faithful.collect()) == ["can", "dont", "stop", "won"]
+
+
+def test_fastss_blocking_is_complete_for_distance_one(spark, tmp_path):
+    """Every edit-distance-1 relation (substitution, insertion,
+    deletion) must survive deletion-neighborhood blocking — planted
+    pairs, exact expectations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cc_mapreducer_spark.operators.dedup import fuzzy_word_pairs
+
+    # cat~bat (substitution), cat~cart (insertion), cart~art via the
+    # derived first-char-drop of cart; frog is isolated
+    texts = ["cat bat", "cart frog"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(2), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array(["t"] * 2),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    got = {
+        (r["word_a"], r["word_b"]): r["dist"]
+        for r in fuzzy_word_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got[("bat", "cat")] == 1          # substitution
+    assert got[("cart", "cat")] == 1         # deletion of the middle char
+    assert got[("art", "cart")] == 1         # vs the derived 'art' (insertion)
+    assert ("art", "cat") not in got         # distance 2: must NOT pair
+    assert not any("frog" in p for p in got)  # isolated word pairs nothing
