@@ -228,4 +228,6 @@ def test_fastss_blocking_is_complete_for_distance_one(spark, tmp_path):
     assert got[("cart", "cat")] == 1         # deletion of the middle char
     assert got[("art", "cart")] == 1         # vs the derived 'art' (insertion)
     assert ("art", "cat") not in got         # distance 2: must NOT pair
-    assert not any("frog" in p for p in got)  # isolated word pairs nothing
+    # an isolated word pairs ONLY with its own derived drop-first form
+    assert got[("frog", "rog")] == 1
+    assert sum(1 for p in got if "frog" in p) == 1
