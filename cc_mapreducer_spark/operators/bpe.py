@@ -156,23 +156,28 @@ def encode_bpe(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame
             return t
 
         for pdf in batches:
-            toks = []
+            toks, word_counts = [], []
             for text in pdf["text"]:
                 words = [w for w in _normalize(text).split(" ") if w]
                 doc_tokens: list[str] = []
                 for w in words:
                     doc_tokens.extend(enc_cached(w))
                 toks.append(doc_tokens)
+                word_counts.append(len(words))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "tokens": toks,
                     "n_tokens": [len(t) for t in toks],
+                    # words are already split here — emitting the count
+                    # saves consumers (bpe_token_stats) a second full
+                    # tokenization pass over the corpus
+                    "n_words": word_counts,
                 }
             )
 
     return docs.select("doc_id", "text").mapInPandas(
-        run, "doc_id long, tokens array<string>, n_tokens int"
+        run, "doc_id long, tokens array<string>, n_tokens int, n_words int"
     )
 
 
@@ -192,12 +197,8 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a pure-Python reference in pytest)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     merges = train_bpe(docs)
-    enc = encode_bpe(docs, merges)
-    from cc_mapreducer_spark.operators.text_analysis import _SPARK_WORDS
-
-    per_doc = docs.select(
-        "doc_id", "source", F.size(F.expr(_SPARK_WORDS)).alias("n_words")
-    ).join(enc, "doc_id")
+    enc = encode_bpe(docs, merges)  # carries n_words: no second tokenize pass
+    per_doc = docs.select("doc_id", "source").join(enc, "doc_id")
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_words"),

@@ -290,19 +290,39 @@ def merge_into_partitioned(
 # --------------------------------------------------------------------------
 
 _PIT_SQL = f"""
-WITH hist AS (
-{_SCD2_SQL}
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+), runs AS (
+    SELECT *,
+           sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM ordered
+), versions AS (
+    SELECT user_id, run_id,
+           min(event_type) AS state,
+           min({{'t': ts, 'i': event_id}}) AS start_key
+    FROM runs GROUP BY user_id, run_id
+), bounded AS (
+    SELECT *,
+           lead(start_key) OVER (PARTITION BY user_id
+                                 ORDER BY run_id) AS next_key
+    FROM versions
 ), purchases AS (
     SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
 )
 SELECT p.event_id, p.user_id,
        strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
-       h.state AS state_at_purchase,
-       h.version AS state_version
-FROM purchases p JOIN hist h
-  ON h.user_id = p.user_id
- AND strftime(p.ts, '{_TS_FMT_DUCK}') >= h.valid_from
- AND (h.valid_to IS NULL OR strftime(p.ts, '{_TS_FMT_DUCK}') < h.valid_to)
+       b.state AS state_at_purchase,
+       CAST(b.run_id AS BIGINT) AS state_version
+FROM purchases p JOIN bounded b
+  ON b.user_id = p.user_id
+ AND {{'t': p.ts, 'i': p.event_id}} >= b.start_key
+ AND (b.next_key IS NULL OR {{'t': p.ts, 'i': p.event_id}} < b.next_key)
 """
 
 
@@ -310,37 +330,70 @@ FROM purchases p JOIN hist h
 def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join — the feature-store correctness read: each
     purchase event tagged with the SCD2 state version that was valid AT
-    the event's timestamp (training a model on the CURRENT state leaks
-    the future; this is the leak-free form).
+    the event (training a model on the CURRENT state leaks the future;
+    this is the leak-free form).
 
-    Plan shape: an equi-join on user_id carries the shuffle; the
-    [valid_from, valid_to) range condition is a join-side filter, so
-    Catalyst plans a hash join, never a nested loop (the same shape as
-    temporal.interval_join_after_purchase). Comparing the 26-char
-    formatted timestamps is order-isomorphic to comparing the
-    timestamps themselves and keeps both engines on identical
-    string semantics.
+    Version boundaries compare on the COMPOSITE (ts, event_id) run-start
+    key, not the timestamp alone: with ts-only half-open intervals, two
+    same-microsecond events straddling a run boundary give the
+    purchase's own run an empty [valid_from, valid_to) and the purchase
+    would bind to the NEXT version — a future leak exactly at the tie
+    instant (regression-tested with a planted collision). Both engines
+    compare the composite as a lexicographic struct.
+
+    Plan shape: an equi-join on user_id carries the shuffle; the range
+    condition is a join-side filter, so Catalyst plans a hash join,
+    never a nested loop (same shape as temporal's interval join).
 
     The purchase's own event is part of the history it joins against
     (every event opens or extends a run), so every purchase matches
-    exactly one version — tested, along with a planted leak check.
+    exactly ONE version — its own run — even under timestamp ties.
     """
     e = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(order))
+        .withColumn(
+            "run_id",
+            F.sum(
+                F.when(
+                    F.col("prev_type").isNull()
+                    | (F.col("prev_type") != F.col("event_type")),
+                    1,
+                ).otherwise(0)
+            ).over(order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    versions = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min(
+            F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i"))
+        ).alias("start_key"),
+    )
+    bounded = versions.withColumn(
+        "next_key",
+        F.lead("start_key").over(
+            Window.partitionBy("user_id").orderBy("run_id")
+        ),
+    )
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id"),
         F.col("user_id").alias("p_user"),
         F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i")).alias(
+            "p_key"
+        ),
     )
-    h = scd2_history(spark, sf_dir)
     return p.join(
-        h,
-        (h.user_id == p.p_user)
-        & (p.purchase_ts >= h.valid_from)
-        & (h.valid_to.isNull() | (p.purchase_ts < h.valid_to)),
+        bounded,
+        (bounded.user_id == p.p_user)
+        & (p.p_key >= bounded.start_key)
+        & (bounded.next_key.isNull() | (p.p_key < bounded.next_key)),
     ).select(
         "event_id",
         "user_id",
         "purchase_ts",
         F.col("state").alias("state_at_purchase"),
-        F.col("version").alias("state_version"),
+        F.col("run_id").cast("bigint").alias("state_version"),
     )

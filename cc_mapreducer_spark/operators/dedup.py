@@ -523,11 +523,12 @@ def near_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fuzzy string matching: edit-distance-1 pairs via deletion neighborhoods
 # --------------------------------------------------------------------------
 
-_FUZZY_SQL = """
+from cc_mapreducer_spark.operators.text_analysis import _DUCK_WORDS as _TA_DUCK_WORDS  # noqa: E402
+from cc_mapreducer_spark.operators.text_analysis import _SPARK_WORDS as _TA_SPARK_WORDS  # noqa: E402
+
+_FUZZY_SQL = f"""
 WITH base AS (
-    SELECT DISTINCT unnest(
-        list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
-                    w -> len(w) >= 3)) AS w
+    SELECT DISTINCT unnest(list_filter({_TA_DUCK_WORDS}, w -> len(w) >= 3)) AS w
     FROM documents
 ), vocab AS (
     SELECT w FROM base
@@ -576,12 +577,7 @@ def fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         docs.select(
             F.explode(
-                F.filter(
-                    F.split(
-                        F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "
-                    ),
-                    lambda w: F.length(w) >= 3,
-                )
+                F.filter(F.expr(_TA_SPARK_WORDS), lambda w: F.length(w) >= 3)
             ).alias("w")
         )
         .distinct()

@@ -39,9 +39,18 @@ _TOPK = 10
 _K1 = 1.2
 _B = 0.75
 
-_DUCK_WORDS = (
-    "list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),"
-    " w -> w <> '')"
+# the repo's ONE tokenizer pair — importing rather than re-inlining keeps
+# the BM25 word stream identical to every other text operator's
+from cc_mapreducer_spark.operators.text_analysis import (  # noqa: E402
+    _DUCK_WORDS,
+    _SPARK_WORDS,
+)
+
+# fixed-order sum over term ranks, generated from _N_TERMS so a term-count
+# change cannot silently drop contributions (both engines from one source)
+_RANK_CASES_SQL = "\n               + ".join(
+    f"coalesce(max(CASE WHEN r = {r} THEN c END), 0.0)"
+    for r in range(1, _N_TERMS + 1)
 )
 
 _BM25_SQL = f"""
@@ -74,9 +83,7 @@ WITH words AS (
     CROSS JOIN stats s
 ), scored AS (
     SELECT doc_id,
-           round(coalesce(max(CASE WHEN r = 1 THEN c END), 0.0)
-               + coalesce(max(CASE WHEN r = 2 THEN c END), 0.0)
-               + coalesce(max(CASE WHEN r = 3 THEN c END), 0.0), 6) AS score,
+           round({_RANK_CASES_SQL}, 6) AS score,
            CAST(count(*) AS BIGINT) AS n_matched
     FROM contrib GROUP BY doc_id
 )
@@ -93,8 +100,6 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms (self-derived so the query needs no fixture and stays
     non-empty at every SF)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    from cc_mapreducer_spark.operators.text_analysis import _SPARK_WORDS
-
     words = docs.select(
         "doc_id", F.explode(F.expr(_SPARK_WORDS)).alias("word")
     )
@@ -147,10 +152,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("r") == r, F.col("c"))), F.lit(0.0)
         )
 
+    score_expr = _rank_case(1)
+    for r in range(2, _N_TERMS + 1):  # fixed order, generated from _N_TERMS
+        score_expr = score_expr + _rank_case(r)
     scored = contrib.groupBy("doc_id").agg(
-        F.round(_rank_case(1) + _rank_case(2) + _rank_case(3), 6).alias(
-            "score"
-        ),
+        F.round(score_expr, 6).alias("score"),
         F.count("*").cast("bigint").alias("n_matched"),
     )
     w = Window.orderBy(F.desc("score"), "doc_id")

@@ -34,15 +34,21 @@ def executed_plan(df: DataFrame) -> str:
 
 
 def execution_metrics(df: DataFrame) -> dict:
-    """Execute ``df`` (collect) and sum the post-AQE plan's SQLMetrics:
-    actual shuffle bytes/records written, shuffle bytes read, and spill.
+    """Execute ``df`` and sum the post-AQE plan's SQLMetrics: actual
+    shuffle bytes/records written, shuffle bytes read, and spill.
     This is measured evidence, not plan-shape inference — the number
     that proves 'the dims broadcast and only 5 aggregated rows crossed
     the wire', and the one that explodes first when a plan regresses at
     scale. Used by bench.py's shuffle lane and the shuffle-budget tests.
+
+    Execution runs executor-side through the QueryExecution's own RDD
+    (count of InternalRows) — NOT collect(): the bench's no-driver-
+    materialization rule holds, so a row-heavy query at a big SF can't
+    OOM the driver just to read its metrics.
     """
-    df.collect()
-    root = df._jdf.queryExecution().executedPlan()  # type: ignore[attr-defined]
+    qe = df._jdf.queryExecution()  # type: ignore[attr-defined]
+    qe.toRdd().count()  # executes the SAME QueryExecution; rows stay executor-side
+    root = qe.executedPlan()
 
     nodes: list = []
 

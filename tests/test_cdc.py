@@ -180,3 +180,25 @@ def test_point_in_time_does_not_leak_future_state(spark, tmp_path):
     assert len(pit) == 1
     assert pit[0]["state_at_purchase"] == "purchase"
     assert pit[0]["state_version"] == 1  # not the later 'error' version
+
+
+def test_point_in_time_timestamp_tie_binds_to_own_run(spark, tmp_path):
+    from cc_mapreducer_spark.operators.cdc import scd2_point_in_time
+
+    # purchase and a different-type event at the SAME microsecond: the
+    # composite (ts, event_id) boundary must bind the purchase to its
+    # own run, not the next one (the ts-only interval-join failure mode)
+    rows = [
+        (1, "2024-01-01 00:00:00", 5, "purchase", 1.0, '{"k": 1}'),
+        (2, "2024-01-01 00:00:00", 5, "error", 0.0, '{"k": 1}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    pit = scd2_point_in_time(spark, str(tmp_path)).collect()
+    assert len(pit) == 1
+    assert pit[0]["state_at_purchase"] == "purchase"
+    assert pit[0]["state_version"] == 1

@@ -31,19 +31,22 @@ def test_tf_saturation_and_length_normalization(spark, tmp_path):
     # doc without the term scores 0 matches
     # 'zebra' is the only repeated word, so it is the top query term;
     # fillers are DISTINCT singletons (repeating them would outvote
-    # zebra in the frequency-derived term list)
+    # zebra in the frequency-derived term list). The top-3 terms are
+    # zebra + the two alphabetically-first singletons (lion, w000), so
+    # doc 2's words are chosen to sort AFTER every filler — it matches
+    # no query term and must be absent from the result entirely.
     filler = " ".join(f"w{i:03d}" for i in range(120))
     sf = _write_docs(
         tmp_path,
         [
             "zebra zebra zebra lion",   # dense, short
             "zebra " + filler,          # diluted, long
-            "qqq rrr sss",              # no query terms at all
+            "xxx yyy zzz",              # sorts after fillers: no query terms
         ],
     )
     rows = {r["doc_id"]: r for r in bm25_search(spark, sf).collect()}
     assert rows[0]["score"] > rows[1]["score"]
-    # every returned doc matched at least one query term
+    assert 2 not in rows  # zero matched terms -> not returned at all
     assert all(r["n_matched"] >= 1 for r in rows.values())
 
 
