@@ -352,3 +352,78 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# rolling z-score anomaly detection (driver=False — roster cap; full oracle)
+# --------------------------------------------------------------------------
+
+_ANOM_WIN = 20   # trailing baseline rows (current row excluded)
+_ANOM_MIN = 5    # minimum baseline rows before scoring
+_ANOM_Z = 2.0
+
+_ANOMALY_SQL = f"""
+WITH framed AS (
+    SELECT event_id, user_id, event_type, value,
+           count(value) OVER w AS n,
+           sum(value) OVER w AS s1,
+           sum(value * value) OVER w AS s2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                 ROWS BETWEEN {_ANOM_WIN} PRECEDING AND 1 PRECEDING)
+), scored AS (
+    SELECT event_id, user_id, event_type, value, n,
+           (s2 - s1 * s1 / n) / (n - 1) AS var
+    , s1 / n AS mean
+    FROM framed WHERE n >= {_ANOM_MIN}
+)
+SELECT event_id, user_id, event_type, value,
+       round((value - mean) / sqrt(var), 6) AS zscore
+FROM scored
+WHERE var > 0 AND abs(round((value - mean) / sqrt(var), 6)) > {_ANOM_Z}
+"""
+
+
+@register("event_anomalies", oracle=_ANOMALY_SQL, driver=False)
+def event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each event's value scored against
+    the trailing {_ANOM_WIN}-row baseline of its (user, event_type)
+    stream — the streaming-metrics outlier gate, as ONE window pass.
+
+    The baseline frame EXCLUDES the current row (an outlier must not
+    dilute its own baseline) and needs >= {_ANOM_MIN} prior rows.
+    Moments are computed explicitly from windowed sum / sum-of-squares
+    with the identical formula in both engines — built-in stddev
+    implementations (Welford vs sum-of-squares) are NOT cross-engine
+    bit-stable, the explicit form is; the 6dp grid absorbs sliding-
+    window summation-order ulps. One Exchange on (user_id, event_type).
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ANOM_WIN, -1)
+    )
+    framed = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.count("value").over(w).alias("n"),
+        F.sum("value").over(w).alias("s1"),
+        F.sum(F.col("value") * F.col("value")).over(w).alias("s2"),
+    ).filter(F.col("n") >= _ANOM_MIN)
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    return framed.filter(var > 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        z.alias("zscore"),
+    ).filter(F.abs(F.col("zscore")) > _ANOM_Z)
