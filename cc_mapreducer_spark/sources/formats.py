@@ -55,3 +55,16 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     metastore and pass it explicitly; this helper is the
     migration-window form."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_parquet_tolerant(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory skipping corrupt files (truncated
+    uploads, partial writes from dead executors). At 100 TB some file
+    WILL be damaged; the default fail-fast read turns one bad file into
+    a dead pipeline. Scoped via DataFrameReader option — not the
+    session-wide conf, which would silently mask corruption for every
+    other read in the session (the nanosAsLong lesson from ADVICE r2).
+
+    Use for salvage/quarantine jobs; production tables pair this with a
+    dq_checks row-count reconciliation so silent data loss is loud."""
+    return spark.read.option("ignoreCorruptFiles", "true").parquet(path)

@@ -178,3 +178,29 @@ def test_parquet_schema_evolution_merges_and_backfills_null(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 0.5)}
+
+
+def test_tolerant_read_skips_corrupt_file(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import AnalysisException  # noqa: F401
+
+    from cc_mapreducer_spark.sources.formats import read_parquet_tolerant
+
+    path = str(tmp_path / "damaged")
+    spark.createDataFrame([(i,) for i in range(100)], "id long").coalesce(
+        1
+    ).write.parquet(path)
+    # plant a corrupt member alongside the good file
+    with open(f"{path}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet file")
+
+    import pytest
+
+    with pytest.raises(Exception):
+        spark.read.parquet(path).count()  # fail-fast default dies
+    got = read_parquet_tolerant(spark, path)
+    assert got.count() == 100  # good file survives, corrupt one skipped
+    # the option is reader-scoped: the session default is untouched
+    assert (
+        spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+        == "false"
+    )
