@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cc_mapreducer_spark.operators.dedup import near_dedup_minhash
 from cc_mapreducer_spark.operators.sampling import deterministic_split
-from cc_mapreducer_spark.tables import load_table
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table, spread
 
 # --------------------------------------------------------------------------
 # train/test contamination
@@ -369,3 +370,96 @@ def curate_corpus(
         "packed": packed,
         "stats": stats,
     }
+
+
+# --------------------------------------------------------------------------
+# document chunking (embedding-pipeline front end)
+# --------------------------------------------------------------------------
+
+_CHUNK_LEN = 32   # words per chunk
+_CHUNK_STRIDE = 24  # stride (overlap = len - stride = 8 words)
+
+_CHUNKS_SQL = f"""
+WITH words AS (
+    SELECT doc_id, {{DUCK_WORDS}} AS ws FROM documents
+), sized AS (
+    SELECT doc_id, ws, len(ws) AS n FROM words WHERE len(ws) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(ws[1 + i * {_CHUNK_STRIDE} :
+                          least(n, i * {_CHUNK_STRIDE} + {_CHUNK_LEN})], ' ')
+         AS chunk_text,
+       CAST(least(n, i * {_CHUNK_STRIDE} + {_CHUNK_LEN})
+            - i * {_CHUNK_STRIDE} AS BIGINT) AS n_words
+FROM sized, LATERAL (
+    SELECT unnest(range(0, CASE WHEN n <= {_CHUNK_LEN} THEN 1
+        ELSE 1 + CAST(ceil((n - {_CHUNK_LEN}) / {_CHUNK_STRIDE}.0) AS BIGINT)
+        END)) AS i
+) t
+"""
+
+
+def chunk_documents(
+    docs, chunk_len: int = _CHUNK_LEN, stride: int = _CHUNK_STRIDE
+):
+    """Sliding-window document chunks: (doc_id, chunk_id, chunk_text,
+    n_words) with `chunk_len`-word windows advancing by `stride` (the
+    overlap keeps passage boundaries from splitting semantic units —
+    the standard embedding-pipeline front end; pair with
+    similarity/pq indexing over per-chunk vectors).
+
+    Chunk count per doc = 1 + ceil((n - len)/stride) for n > len, else
+    1 — every word lands in at least one chunk, the tail chunk is
+    short rather than dropped. Pure built-ins (slice over the shared
+    tokenizer's array), zero shuffle, zero UDF."""
+    from cc_mapreducer_spark.operators.text_analysis import _SPARK_WORDS
+
+    sized = docs.select(
+        "doc_id", F.expr(_SPARK_WORDS).alias("ws")
+    ).select("doc_id", "ws", F.size("ws").alias("n")).filter(F.col("n") > 0)
+    n_chunks = F.when(F.col("n") <= chunk_len, F.lit(1)).otherwise(
+        1 + F.ceil((F.col("n") - chunk_len) / float(stride)).cast("int")
+    )
+    return (
+        sized.select(
+            "doc_id",
+            "ws",
+            "n",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice(
+                    F.col("ws"),
+                    F.col("i") * stride + 1,
+                    F.least(
+                        F.lit(chunk_len),
+                        F.col("n") - F.col("i") * stride,
+                    ),
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_len), F.col("n") - F.col("i") * stride
+            ).cast("bigint").alias("n_words"),
+        )
+    )
+
+
+@register(
+    "document_chunks",
+    oracle=_CHUNKS_SQL.format(
+        DUCK_WORDS=(
+            "list_filter(string_split(regexp_replace(lower(text), "
+            "'[^a-z]+', ' ', 'g'), ' '), w -> w != '')"
+        )
+    ),
+    driver=False,
+)
+def document_chunks(spark, sf_dir):
+    """Registered surface: overlapping chunks over the documents table."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return chunk_documents(docs)

@@ -178,3 +178,37 @@ def test_curate_corpus_invariants(spark):
     # packing drops zero-token docs only
     assert packed_docs <= train
     assert len(train - packed_docs) <= stats.n_train - stats.n_packed_docs
+
+
+def test_chunking_covers_every_word_with_overlap(spark):
+    from cc_mapreducer_spark.operators.curation import chunk_documents
+
+    # letter-only words: the shared tokenizer treats digits as breaks
+    import itertools
+
+    w = ["".join(p) for p in itertools.product("abcdefghij", repeat=2)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(w[:100])),                      # 100 words
+         (1, "short doc only"),                        # < chunk_len
+         (2, " ".join("x" + c for c in w[:32]))],      # exactly chunk_len
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 100 words, len 32, stride 24 -> 1 + ceil(68/24) = 4 chunks
+    assert len(by_doc[0]) == 4
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_words"] == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_words"] == 32
+    # coverage: every word appears in at least one chunk, in order
+    seen = set()
+    for r in sorted(by_doc[0], key=lambda r: r["chunk_id"]):
+        words = r["chunk_text"].split(" ")
+        assert len(words) == r["n_words"] <= 32
+        seen.update(words)
+    assert seen == set(w[:100])
+    # overlap: consecutive chunks share len - stride = 8 words
+    c0 = by_doc[0][0]["chunk_text"].split(" ")
+    c1 = [r for r in by_doc[0] if r["chunk_id"] == 1][0]["chunk_text"].split(" ")
+    assert c0[-8:] == c1[:8]
