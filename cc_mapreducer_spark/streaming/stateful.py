@@ -93,3 +93,98 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(updated, "update")
+
+
+# --------------------------------------------------------------------------
+# streaming rolling z-score anomalies (custom windowed state)
+# --------------------------------------------------------------------------
+
+from pyspark.sql.types import ArrayType, StringType  # noqa: E402
+
+ANOM_STATE_SCHEMA = StructType(
+    [StructField("recent", ArrayType(DoubleType()))]
+)
+
+ANOM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+_ANOM_WIN = 20
+_ANOM_MIN = 5
+_ANOM_Z = 2.0
+
+
+def _update_anomaly_state(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Trailing-window z-score per (user_id, event_type): the state is
+    the last <= _ANOM_WIN values IN EVENT ORDER; each incoming row is
+    scored against the window BEFORE being appended (an outlier must
+    not dilute its own baseline — same contract as the batch
+    event_anomalies). Moments are a left-to-right Python fold, the same
+    sequential op order as the batch window sum, so a finite in-order
+    replay reproduces the batch flags exactly.
+
+    State is O(window) doubles per live key — bounded regardless of
+    stream age, the property that lets this run forever."""
+    import math
+
+    recent = list(state.get[0]) if state.exists else []
+    rows = pd.concat(list(batches))
+    rows = rows.sort_values(["ts", "event_id"])  # per-batch event order
+    out = {c.name: [] for c in ANOM_OUTPUT_SCHEMA.fields}
+    for r in rows.itertuples():
+        n = len(recent)
+        if n >= _ANOM_MIN:
+            s1 = 0.0
+            for v in recent:
+                s1 += v
+            s2 = 0.0
+            for v in recent:
+                s2 += v * v
+            mean = s1 / n
+            var = (s2 - s1 * s1 / n) / (n - 1)
+            if var > 0:
+                z = round((r.value - mean) / math.sqrt(var), 6)
+                if abs(z) > _ANOM_Z:
+                    out["event_id"].append(r.event_id)
+                    out["user_id"].append(key[0])
+                    out["event_type"].append(key[1])
+                    out["value"].append(r.value)
+                    out["zscore"].append(z)
+        recent.append(float(r.value))
+        if len(recent) > _ANOM_WIN:
+            recent.pop(0)
+    state.update((recent,))
+    yield pd.DataFrame(out)
+
+
+def streaming_event_anomalies(
+    spark: SparkSession, source_path: str, schema, max_files_per_trigger=None
+) -> DataFrame:
+    """Run the rolling-anomaly operator over a file-source replay of
+    ``source_path`` (pytest-only: the registered batch twin is
+    event_anomalies; the parity test replays time-sliced files and
+    asserts identical flags — SURVEY's streaming==batch discipline)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    flagged = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update_anomaly_state,
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(flagged, "update")

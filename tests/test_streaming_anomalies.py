@@ -1,0 +1,96 @@
+"""Streaming rolling-anomaly operator: multi-micro-batch replay over
+time-sliced files must reproduce the batch event_anomalies flags
+exactly (streaming == batch discipline), with state carrying the
+trailing window across batch boundaries."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from cc_mapreducer_spark.operators.sessionize import event_anomalies
+from cc_mapreducer_spark.streaming.stateful import streaming_event_anomalies
+from cc_mapreducer_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _write_time_slices(spark, events, src, n_slices=3):
+    """Write events as n time-ordered parquet files with ascending
+    mtimes so the file source replays them in event-time order —
+    required for exact batch parity (the operator is order-sensitive
+    by definition; production pairs it with a watermark + source that
+    preserves per-key order, e.g. a keyed log)."""
+    rows = events.orderBy("ts", "event_id").collect()
+    os.makedirs(src, exist_ok=True)
+    per = (len(rows) + n_slices - 1) // n_slices
+    for i in range(n_slices):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        path = f"{src}/slice_{i:02d}.parquet"
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/_tmp_{i}")
+        part = [
+            f
+            for f in os.listdir(f"{src}/_tmp_{i}")
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(f"{src}/_tmp_{i}/{part}", path)
+        import shutil
+
+        shutil.rmtree(f"{src}/_tmp_{i}")
+        ts = time.time() + i  # strictly ascending mtimes
+        os.utime(path, (ts, ts))
+
+
+def test_streaming_anomalies_match_batch_flags(spark, tmp_path):
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "slices")
+    _write_time_slices(spark, events, src, n_slices=3)
+
+    got = streaming_event_anomalies(
+        spark, src, events.schema, max_files_per_trigger=1
+    )
+    stream_rows = {
+        r["event_id"]: (r["user_id"], r["event_type"], r["zscore"])
+        for r in got.collect()
+    }
+    batch_rows = {
+        r["event_id"]: (r["user_id"], r["event_type"], r["zscore"])
+        for r in event_anomalies(spark, SF_SMOKE).collect()
+    }
+    # identical flag SETS, identical keys, zscores equal to the 6dp grid
+    assert set(stream_rows) == set(batch_rows)
+    for eid, (u, t, z) in batch_rows.items():
+        su, st, sz = stream_rows[eid]
+        assert (su, st) == (u, t)
+        assert abs(sz - z) < 1e-9
+
+
+def test_streaming_anomalies_state_spans_batches(spark, tmp_path):
+    # one user, constant baseline then a spike in the LAST slice: the
+    # spike is only flaggable if the baseline window survived earlier
+    # micro-batches in state
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "view", 10.0 + (i % 3) * 0.5, "{}")
+        for i in range(12)
+    ] + [(99, "2024-01-01 00:59:00", 1, "view", 999.0, "{}")]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "slices")
+    _write_time_slices(spark, events, src, n_slices=3)
+    got = streaming_event_anomalies(
+        spark, src, events.schema, max_files_per_trigger=1
+    ).collect()
+    flagged = {r["event_id"] for r in got}
+    assert 99 in flagged  # the spike, scored against cross-batch state
