@@ -202,3 +202,123 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", _cosine_pair_udf("qe", "embedding").alias("cosine"))
     )
     return _topk(exact)
+
+
+# --------------------------------------------------------------------------
+# index persistence: the PQ index as a table on disk
+# --------------------------------------------------------------------------
+
+
+def pq_save_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> np.ndarray:
+    """Materialize the PQ index: codebooks (tiny, one row per
+    (subspace, centroid) with the centroid's floats) and the code table
+    (one 16-byte binary per vector) as parquet. This is the artifact a
+    serving fleet loads — training happens once, search jobs only read
+    the index. Returns the trained codebooks."""
+    import pandas as pd
+
+    books = pq_train(spark, sf_dir)
+    rows = [
+        (m, k, books[m][k].tolist())
+        for m in range(_PQ_M)
+        for k in range(_PQ_K)
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["subspace", "centroid", "vec"]),
+        "subspace int, centroid int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq_encode(emb, books).write.mode("overwrite").parquet(
+        f"{index_path}/codes"
+    )
+    return books
+
+
+def pq_load_codebooks(spark: SparkSession, index_path: str) -> np.ndarray:
+    """Rebuild the (M, K, dim/M) codebook tensor from the saved table —
+    a few KB, collected once per search job and shipped in the task
+    closure like any broadcast constant."""
+    rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    dim_m = len(rows[0]["vec"])
+    books = np.zeros((_PQ_M, _PQ_K, dim_m))
+    for r in rows:
+        books[r["subspace"], r["centroid"]] = r["vec"]
+    return books
+
+
+def similarity_topk_pq_from_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """The serving path: ADC-scan the SAVED code table (never touching
+    raw floats corpus-wide), shortlist, exact re-rank — identical
+    results to the train-in-process path by test. The scan reads
+    16 B/vector from parquet; the only full-precision reads are the
+    n_queries x shortlist re-rank rows."""
+    from pyspark.sql import Window
+
+    from cc_mapreducer_spark.operators.similarity import (
+        _N_QUERIES,
+        _cosine_pair_udf,
+        _query_matrix,
+        _topk,
+    )
+
+    books = pq_load_codebooks(spark, index_path)
+    qids, qm = _query_matrix(spark, sf_dir)  # raw queries, like pq_adc_scores
+    dim_m = books.shape[2]
+    # per-query ADC lookup tables: (n_q, M, K) dot products
+    luts = np.einsum(
+        "qmd,mkd->qmk",
+        qm.reshape(len(qids), _PQ_M, dim_m),
+        books,
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(
+                pdf["codes"].map(
+                    lambda b: np.frombuffer(b, dtype=np.uint8)
+                ).values
+            )
+            n = len(pdf)
+            out_ids, out_q, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                s = np.zeros(n)
+                for m in range(_PQ_M):
+                    s += luts[qi, m][codes[:, m]]
+                out_ids.extend(pdf["vec_id"].values.tolist())
+                out_q.extend([qid] * n)
+                out_s.extend(np.round(s, _ROUND).tolist())
+            frame = pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_ids, "cosine": out_s}
+            )
+            yield frame[frame.query_id != frame.vec_id]  # like pq_adc_scores
+
+    adc = (
+        spark.read.parquet(f"{index_path}/codes")
+        .mapInPandas(score, "query_id long, vec_id long, cosine double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    shortlist = (
+        adc.select("query_id", "vec_id", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") <= _PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_emb = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _cosine_pair_udf("qe", "embedding").alias("cosine"),
+        )
+    )
+    return _topk(exact)

@@ -99,3 +99,39 @@ def test_recall_floor_vs_bruteforce(spark):
         len(by_q_exact[q] & by_q_pq[q]) / len(by_q_exact[q]) for q in by_q_exact
     ]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_saved_index_serving_path_matches_in_process(spark, tmp_path):
+    from cc_mapreducer_spark.operators.pq import (
+        pq_load_codebooks,
+        pq_save_index,
+        similarity_topk_pq,
+        similarity_topk_pq_from_index,
+    )
+
+    idx = str(tmp_path / "pq_index")
+    books = pq_save_index(spark, SF_SMOKE, idx)
+    # codebooks roundtrip bit-exactly
+    import numpy as np
+
+    loaded = pq_load_codebooks(spark, idx)
+    assert np.array_equal(books, loaded)
+    # the serving path over the saved code table returns the identical
+    # top-k (same shortlist, same exact re-rank)
+    a = sorted(
+        map(tuple, similarity_topk_pq(spark, SF_SMOKE).collect())
+    )
+    b = sorted(
+        map(tuple, similarity_topk_pq_from_index(spark, SF_SMOKE, idx).collect())
+    )
+    assert a == b
+    # the code table really is the compressed artifact: ~16B/vector
+    import os
+
+    code_bytes = sum(
+        os.path.getsize(os.path.join(idx, "codes", f))
+        for f in os.listdir(os.path.join(idx, "codes"))
+        if f.endswith(".parquet")
+    )
+    n_vecs = spark.read.parquet(f"{idx}/codes").count()
+    assert code_bytes / n_vecs < 120  # 16B codes + parquet overhead
