@@ -415,6 +415,10 @@ def chunk_documents(
     tokenizer's array), zero shuffle, zero UDF."""
     from cc_mapreducer_spark.operators.text_analysis import _SPARK_WORDS
 
+    if stride <= 0 or stride > chunk_len:
+        # stride > len silently skips words (breaking the every-word
+        # coverage invariant); fail fast instead of corrupting a corpus
+        raise ValueError(f"stride must be in [1, chunk_len]: {stride}")
     sized = docs.select(
         "doc_id", F.expr(_SPARK_WORDS).alias("ws")
     ).select("doc_id", "ws", F.size("ws").alias("n")).filter(F.col("n") > 0)
@@ -449,14 +453,12 @@ def chunk_documents(
     )
 
 
+from cc_mapreducer_spark.operators.text_analysis import _DUCK_WORDS  # noqa: E402
+
+
 @register(
     "document_chunks",
-    oracle=_CHUNKS_SQL.format(
-        DUCK_WORDS=(
-            "list_filter(string_split(regexp_replace(lower(text), "
-            "'[^a-z]+', ' ', 'g'), ' '), w -> w != '')"
-        )
-    ),
+    oracle=_CHUNKS_SQL.format(DUCK_WORDS=_DUCK_WORDS),
     driver=False,
 )
 def document_chunks(spark, sf_dir):

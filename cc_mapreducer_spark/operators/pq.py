@@ -129,20 +129,21 @@ def pq_reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
     return np.concatenate([books[m][codes[:, m]] for m in range(_PQ_M)], axis=1)
 
 
-def pq_adc_scores(spark: SparkSession, sf_dir: str, books: np.ndarray) -> DataFrame:
-    """ADC scores: approximate dot product between each query and every
-    database vector, computed purely over the M-byte codes. Per query the
-    LUT is lut[m, k] = <q_m, books[m, k]>; a database vector's score is
-    sum_m lut[m, code_m]. One mapInPandas scan of the codes table (the
-    query LUT stack rides in the closure), zero shuffle."""
-    qids, qm = _query_matrix(spark, sf_dir)
+def _query_luts(qids, qm: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n_queries, M, K) ADC lookup tables: lut[q, m, k] = <q_m, books[m, k]>.
+    ONE einsum shared by the in-process and serving paths — the LUT (and
+    therefore every downstream score bit) cannot diverge between them."""
     sub = qm.shape[1] // _PQ_M
-    # (n_queries, M, K): einsum over each query's subvectors x codebooks
-    luts = np.einsum(
-        "qms,mks->qmk", qm.reshape(len(qids), _PQ_M, sub), books
-    )
-    emb = load_table(spark, sf_dir, "embeddings")
-    codes_df = pq_encode(emb, books)
+    return np.einsum("qms,mks->qmk", qm.reshape(len(qids), _PQ_M, sub), books)
+
+
+def _adc_scan(codes_df: DataFrame, qids, luts: np.ndarray) -> DataFrame:
+    """Score every (query, vector) pair purely over the M-byte codes:
+    one mapInPandas pass, LUT stack in the closure, zero shuffle.
+    Shared verbatim by pq_adc_scores and the saved-index serving path so
+    the two use the IDENTICAL summation order (np.sum pairwise) — a
+    hand-rolled sequential fold here measurably differs in final ulps
+    and can flip a 9dp rounding, shifting shortlist membership."""
     marange = np.arange(_PQ_M)
 
     def score(batches):
@@ -171,21 +172,17 @@ def pq_adc_scores(spark: SparkSession, sf_dir: str, books: np.ndarray) -> DataFr
     return codes_df.mapInPandas(score, "query_id long, vec_id long, cosine double")
 
 
-def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ANN top-k = compressed-domain ADC scan -> per-query shortlist
-    -> EXACT re-rank on the shortlist's raw vectors (the refine stage:
-    a broadcast hash join retrieves only n_queries * _PQ_SHORTLIST
-    embeddings, then the shared Arrow-batched cosine rescores them).
-    Raw ADC ranks with ~0.6 recall@10 at this code rate; the refine
-    stage lifts it to 1.0 on the driver corpus while still never
-    scanning raw floats corpus-wide. Output schema matches the other
-    similarity_topk_* variants."""
+def _shortlist_rerank(spark: SparkSession, sf_dir: str, adc: DataFrame) -> DataFrame:
+    """ADC scores -> per-query shortlist -> EXACT re-rank on the
+    shortlist's raw vectors (broadcast joins retrieve only
+    n_queries x _PQ_SHORTLIST embeddings). Shared by both PQ paths."""
     from pyspark.sql import Window
 
-    from cc_mapreducer_spark.operators.similarity import _N_QUERIES, _cosine_pair_udf
+    from cc_mapreducer_spark.operators.similarity import (
+        _N_QUERIES,
+        _cosine_pair_udf,
+    )
 
-    books = pq_train(spark, sf_dir)
-    adc = pq_adc_scores(spark, sf_dir, books)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     shortlist = (
         adc.select("query_id", "vec_id", F.row_number().over(w).alias("__rn"))
@@ -204,6 +201,25 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(exact)
 
 
+def pq_adc_scores(spark: SparkSession, sf_dir: str, books: np.ndarray) -> DataFrame:
+    """ADC scores over freshly-encoded codes (the in-process path)."""
+    qids, qm = _query_matrix(spark, sf_dir)
+    luts = _query_luts(qids, qm, books)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _adc_scan(pq_encode(emb, books), qids, luts)
+
+
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN top-k = compressed-domain ADC scan -> per-query shortlist
+    -> EXACT re-rank on the shortlist's raw vectors. Raw ADC ranks with
+    ~0.6 recall@10 at this code rate; the refine stage lifts it to 1.0
+    on the driver corpus while still never scanning raw floats
+    corpus-wide. Output schema matches the other similarity_topk_*
+    variants."""
+    books = pq_train(spark, sf_dir)
+    return _shortlist_rerank(spark, sf_dir, pq_adc_scores(spark, sf_dir, books))
+
+
 # --------------------------------------------------------------------------
 # index persistence: the PQ index as a table on disk
 # --------------------------------------------------------------------------
@@ -217,8 +233,6 @@ def pq_save_index(
     (one 16-byte binary per vector) as parquet. This is the artifact a
     serving fleet loads — training happens once, search jobs only read
     the index. Returns the trained codebooks."""
-    import pandas as pd
-
     books = pq_train(spark, sf_dir)
     rows = [
         (m, k, books[m][k].tolist())
@@ -239,8 +253,15 @@ def pq_save_index(
 def pq_load_codebooks(spark: SparkSession, index_path: str) -> np.ndarray:
     """Rebuild the (M, K, dim/M) codebook tensor from the saved table —
     a few KB, collected once per search job and shipped in the task
-    closure like any broadcast constant."""
+    closure like any broadcast constant. A partial table (interrupted
+    overwrite) fails fast: zero-filled centroids would silently corrupt
+    every downstream ADC score."""
     rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    if len(rows) != _PQ_M * _PQ_K:
+        raise ValueError(
+            f"codebooks table at {index_path} has {len(rows)} rows, "
+            f"expected {_PQ_M * _PQ_K} — partial/corrupt index"
+        )
     dim_m = len(rows[0]["vec"])
     books = np.zeros((_PQ_M, _PQ_K, dim_m))
     for r in rows:
@@ -253,72 +274,12 @@ def similarity_topk_pq_from_index(
 ) -> DataFrame:
     """The serving path: ADC-scan the SAVED code table (never touching
     raw floats corpus-wide), shortlist, exact re-rank — identical
-    results to the train-in-process path by test. The scan reads
-    16 B/vector from parquet; the only full-precision reads are the
-    n_queries x shortlist re-rank rows."""
-    from pyspark.sql import Window
-
-    from cc_mapreducer_spark.operators.similarity import (
-        _N_QUERIES,
-        _cosine_pair_udf,
-        _query_matrix,
-        _topk,
-    )
-
+    results to the train-in-process path by test, guaranteed by sharing
+    _query_luts/_adc_scan/_shortlist_rerank verbatim with it. The scan
+    reads 16 B/vector from parquet; the only full-precision reads are
+    the n_queries x shortlist re-rank rows."""
     books = pq_load_codebooks(spark, index_path)
     qids, qm = _query_matrix(spark, sf_dir)  # raw queries, like pq_adc_scores
-    dim_m = books.shape[2]
-    # per-query ADC lookup tables: (n_q, M, K) dot products
-    luts = np.einsum(
-        "qmd,mkd->qmk",
-        qm.reshape(len(qids), _PQ_M, dim_m),
-        books,
-    )
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            codes = np.stack(
-                pdf["codes"].map(
-                    lambda b: np.frombuffer(b, dtype=np.uint8)
-                ).values
-            )
-            n = len(pdf)
-            out_ids, out_q, out_s = [], [], []
-            for qi, qid in enumerate(qids):
-                s = np.zeros(n)
-                for m in range(_PQ_M):
-                    s += luts[qi, m][codes[:, m]]
-                out_ids.extend(pdf["vec_id"].values.tolist())
-                out_q.extend([qid] * n)
-                out_s.extend(np.round(s, _ROUND).tolist())
-            frame = pd.DataFrame(
-                {"query_id": out_q, "vec_id": out_ids, "cosine": out_s}
-            )
-            yield frame[frame.query_id != frame.vec_id]  # like pq_adc_scores
-
-    adc = (
-        spark.read.parquet(f"{index_path}/codes")
-        .mapInPandas(score, "query_id long, vec_id long, cosine double")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-    shortlist = (
-        adc.select("query_id", "vec_id", F.row_number().over(w).alias("__rn"))
-        .filter(F.col("__rn") <= _PQ_SHORTLIST)
-        .select("query_id", "vec_id")
-    )
-    emb = load_table(spark, sf_dir, "embeddings")
-    q_emb = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    exact = (
-        emb.join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(q_emb), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            _cosine_pair_udf("qe", "embedding").alias("cosine"),
-        )
-    )
-    return _topk(exact)
+    luts = _query_luts(qids, qm, books)
+    adc = _adc_scan(spark.read.parquet(f"{index_path}/codes"), qids, luts)
+    return _shortlist_rerank(spark, sf_dir, adc)

@@ -387,11 +387,11 @@ WHERE var > 0 AND abs(round((value - mean) / sqrt(var), 6)) > {_ANOM_Z}
 @register("event_anomalies", oracle=_ANOMALY_SQL, driver=False)
 def event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags: each event's value scored against
-    the trailing {_ANOM_WIN}-row baseline of its (user, event_type)
+    the trailing _ANOM_WIN(=20)-row baseline of its (user, event_type)
     stream — the streaming-metrics outlier gate, as ONE window pass.
 
     The baseline frame EXCLUDES the current row (an outlier must not
-    dilute its own baseline) and needs >= {_ANOM_MIN} prior rows.
+    dilute its own baseline) and needs >= _ANOM_MIN(=5) prior rows.
     Moments are computed explicitly from windowed sum / sum-of-squares
     with the identical formula in both engines — built-in stddev
     implementations (Welford vs sum-of-squares) are NOT cross-engine

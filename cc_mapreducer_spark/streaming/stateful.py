@@ -115,9 +115,22 @@ ANOM_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-_ANOM_WIN = 20
-_ANOM_MIN = 5
-_ANOM_Z = 2.0
+# the batch twin's parameters, imported so the two paths cannot drift
+from cc_mapreducer_spark.operators.sessionize import (  # noqa: E402
+    _ANOM_MIN,
+    _ANOM_WIN,
+    _ANOM_Z,
+)
+
+
+def _round_half_away(x: float, dp: int) -> float:
+    """Spark's F.round / DuckDB round use HALF-AWAY-FROM-ZERO; Python's
+    round() is half-to-even — a z landing exactly on a 6dp tie would
+    differ between the streaming and batch paths without this."""
+    import math
+
+    scale = 10.0 ** dp
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
 
 
 def _update_anomaly_state(
@@ -133,6 +146,12 @@ def _update_anomaly_state(
     sequential op order as the batch window sum, so a finite in-order
     replay reproduces the batch flags exactly.
 
+    NULL values mirror the batch frame semantics precisely: a null row
+    OCCUPIES a window slot (the batch frame is ROWS-based) but
+    contributes to neither moment (count(value)/sum skip nulls), and is
+    never scored itself. Stored as NaN in state and filtered out of the
+    folds.
+
     State is O(window) doubles per live key — bounded regardless of
     stream age, the property that lets this run forever."""
     import math
@@ -142,25 +161,29 @@ def _update_anomaly_state(
     rows = rows.sort_values(["ts", "event_id"])  # per-batch event order
     out = {c.name: [] for c in ANOM_OUTPUT_SCHEMA.fields}
     for r in rows.itertuples():
-        n = len(recent)
-        if n >= _ANOM_MIN:
+        value_is_null = r.value is None or (
+            isinstance(r.value, float) and math.isnan(r.value)
+        )
+        live = [v for v in recent if not math.isnan(v)]
+        n = len(live)
+        if n >= _ANOM_MIN and not value_is_null:
             s1 = 0.0
-            for v in recent:
+            for v in live:
                 s1 += v
             s2 = 0.0
-            for v in recent:
+            for v in live:
                 s2 += v * v
             mean = s1 / n
             var = (s2 - s1 * s1 / n) / (n - 1)
             if var > 0:
-                z = round((r.value - mean) / math.sqrt(var), 6)
+                z = _round_half_away((r.value - mean) / math.sqrt(var), 6)
                 if abs(z) > _ANOM_Z:
                     out["event_id"].append(r.event_id)
                     out["user_id"].append(key[0])
                     out["event_type"].append(key[1])
                     out["value"].append(r.value)
                     out["zscore"].append(z)
-        recent.append(float(r.value))
+        recent.append(float("nan") if value_is_null else float(r.value))
         if len(recent) > _ANOM_WIN:
             recent.pop(0)
     state.update((recent,))

@@ -94,3 +94,55 @@ def test_streaming_anomalies_state_spans_batches(spark, tmp_path):
     ).collect()
     flagged = {r["event_id"] for r in got}
     assert 99 in flagged  # the spike, scored against cross-batch state
+
+
+def test_null_values_occupy_slots_but_never_poison_moments(spark, tmp_path):
+    # a NULL value takes a window slot (the batch frame is ROWS-based)
+    # but contributes to neither moment and is never scored; the stream
+    # must keep flagging afterwards — matching batch event_anomalies
+    from cc_mapreducer_spark.operators.sessionize import event_anomalies
+
+    rows = (
+        [
+            (i, f"2024-01-01 00:{i:02d}:00", 1, "view",
+             10.0 + (i % 3) * 0.5, "{}")
+            for i in range(8)
+        ]
+        + [(50, "2024-01-01 00:40:00", 1, "view", None, "{}")]
+        + [(60, "2024-01-01 00:50:00", 1, "view", 999.0, "{}")]
+    )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = str(tmp_path / "table")
+    os.makedirs(sf, exist_ok=True)
+    events.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    batch_flags = {
+        r["event_id"]: r["zscore"]
+        for r in event_anomalies(spark, sf).collect()
+    }
+    src = str(tmp_path / "slices")
+    _write_time_slices(
+        spark,
+        events.select("event_id", "ts", "user_id", "event_type", "value"),
+        src,
+        n_slices=2,
+    )
+    stream_flags = {
+        r["event_id"]: r["zscore"]
+        for r in streaming_event_anomalies(
+            spark,
+            src,
+            events.select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            ).schema,
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert 60 in batch_flags  # spike still caught despite the null
+    assert set(stream_flags) == set(batch_flags)
+    for eid, z in batch_flags.items():
+        assert abs(stream_flags[eid] - z) < 1e-9
