@@ -37,3 +37,30 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(query)
+
+
+def register_query_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[str]:
+    """Expose registered operator queries as named temp views, so every
+    pipeline OUTPUT (cdc_snapshot, text_profile, shared_passages, ...)
+    is ad-hoc SQL-queryable and joinable against the base tables — the
+    view is the lazy plan, recomputed per access like any Spark view;
+    materialize hot ones with sinks.write_stage. Returns the view names
+    registered. Default: every registered key; pass ``names`` to scope.
+
+    Keys whose name collides with a base table are skipped (base views
+    win — shadowing `events` with a derived result would corrupt every
+    later query)."""
+    from cc_mapreducer_spark import registry
+
+    register_views(spark, sf_dir)
+    queries = registry.all_queries()
+    wanted = names if names is not None else sorted(queries)
+    out = []
+    for name in wanted:
+        if name in TABLE_NAMES:
+            continue
+        queries[name](spark, sf_dir).createOrReplaceTempView(name)
+        out.append(name)
+    return out

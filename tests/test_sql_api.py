@@ -65,3 +65,26 @@ def test_sql_anagram_pipeline_pure_sql(spark):
 def test_sql_events_view_has_normalized_ts(spark):
     row = sql(spark, SF_ORACLE, "SELECT ts FROM events LIMIT 1").schema["ts"]
     assert "timestamp" in row.dataType.simpleString()
+
+
+def test_query_views_join_base_tables(spark):
+    from cc_mapreducer_spark.sql import register_query_views, sql
+    from tests.conftest import SF_ORACLE
+
+    registered = register_query_views(
+        spark, SF_ORACLE, names=["cdc_snapshot", "text_profile"]
+    )
+    assert registered == ["cdc_snapshot", "text_profile"]
+    # a derived view joins a base view in plain SQL
+    df = sql(
+        spark,
+        SF_ORACLE,
+        """
+        SELECT s.user_id, count(*) AS n_live_items,
+               count(DISTINCT e.event_id) AS n_events
+        FROM cdc_snapshot s JOIN events e USING (user_id)
+        GROUP BY s.user_id
+        """,
+    )
+    rows = df.collect()
+    assert rows and all(r["n_live_items"] >= 1 for r in rows)
