@@ -148,7 +148,7 @@ def _adc_scan(codes_df: DataFrame, qids, luts: np.ndarray) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or not len(qids):
                 continue
             codes = np.stack(
                 [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"].values]

@@ -120,6 +120,8 @@ def _query_matrix(spark: SparkSession, sf_dir: str):
         emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
     )
     qids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    if not len(rows):  # empty corpus: no query block, callers short-circuit
+        return qids, np.zeros((0, 1))
     qm = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     return qids, qm
@@ -159,6 +161,10 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a per-query window top-k."""
     qids, qm = _query_matrix(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    if not len(qids):  # empty corpus -> empty result, correct schema
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rn int"
+        )
 
     def score(batches):
         for pdf in batches:
