@@ -11,11 +11,16 @@ published method therefore scopes the quadratic pair comparison to
 k-means cells and bounds cell size by growing k with the corpus.
 
 Scale shape:
-- cell assignment: zero-shuffle map — every embedding dotted against the
-  literal centroid pool inside whole-stage codegen, argmax via
-  array_position (first-max = deterministic tie-break).
-- within-cell pairs: ONE shuffle keyed by cell; n_cells_for(n) keeps
-  expected cell occupancy <= _CELL_TARGET rows, so within-cell pairs grow
+- cell assignment: zero-shuffle map — one Arrow-batched numpy argmax per
+  batch against the centroid pool riding in the closure (first-max =
+  deterministic tie-break, bit-compatible with the all-built-ins
+  whole-stage-codegen scoring expression kept behind literal_expr=True —
+  equality pinned in tests; the interpreted HOF fold measured ~3x slower
+  end-to-end, hence the matmul default).
+- within-cell keeper election: ONE shuffle keyed by cell, then one
+  blocked numpy matmul per cell group (applyInPandas) emitting is_kept
+  directly — no occupancy² pair rows, no self-join. n_cells_for(n) keeps
+  expected cell occupancy <= _CELL_TARGET rows, so within-cell work grows
   ~linearly in n (same sizing discipline as near_dup_bits_for). The
   literal pool caps at 64 cells ~ 4k rows at target occupancy — past
   that, extend the seeded pool (centroids are literals, so the DuckDB
@@ -33,8 +38,10 @@ deterministic under retries — the right trade for a distributed pruning
 stage, and exactly hashable cross-engine.
 
 Determinism: centroids are unit-normalized seeded Gaussians frozen to 6dp
-literals in BOTH engines; every dot product is the same sequential fold
-(identical IEEE result), rounded to 9dp before any compare.
+literals in BOTH engines; all dot products round to the shared 9dp grid
+before any compare — the grid that absorbs numpy-SIMD vs sequential-fold
+last-ulp drift (same policy as similarity's matmul scoring; parity holds
+at all three SFs by sweep).
 """
 
 from __future__ import annotations
