@@ -427,3 +427,66 @@ def event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         z.alias("zscore"),
     ).filter(F.abs(F.col("zscore")) > _ANOM_Z)
+
+
+# --------------------------------------------------------------------------
+# strict ordered funnel (driver=False — roster cap; full oracle)
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN acc = '{i}' AND t = '{step}' THEN '{i + 1}'"
+        for i, step in enumerate(_FUNNEL_STEPS)
+    )
+    + " ELSE acc END"
+)
+
+_ORDERED_FUNNEL_SQL = f"""
+WITH seq AS (
+    SELECT user_id,
+           array_agg(event_type ORDER BY ts, event_id) AS types
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(types) AS BIGINT) AS n_events,
+       CAST(list_reduce(list_prepend('0', types),
+                        (acc, t) -> {_FUNNEL_CASE}) AS BIGINT) AS funnel_stage,
+       list_reduce(list_prepend('0', types),
+                   (acc, t) -> {_FUNNEL_CASE}) = '{len(_FUNNEL_STEPS)}'
+         AS converted
+FROM seq
+"""
+
+
+@register("ordered_funnel", oracle=_ORDERED_FUNNEL_SQL, driver=False)
+def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered-funnel conversion: how far each user progressed
+    through view -> click -> purchase IN ORDER (later steps only count
+    after all earlier ones; interleaved other events are fine) — the
+    product-analytics question event_first5_path's raw paths don't
+    answer directly.
+
+    The stage is a left fold over the user's time-ordered event types —
+    a tiny deterministic state machine expressed with the built-in
+    `aggregate` HOF in Spark and `list_reduce` in DuckDB, the SAME CASE
+    transition table generated from one Python source for both engines.
+    ONE shuffle (the per-user collect); the fold runs at scan speed."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+            " x -> x.event_type)"
+        ).alias("types")
+    )
+    fold = (
+        "aggregate(types, '0', (acc, t) -> " + _FUNNEL_CASE + ")"
+    )
+    return seq.select(
+        "user_id",
+        F.size("types").cast("bigint").alias("n_events"),
+        F.expr(fold).cast("bigint").alias("funnel_stage"),
+        (F.expr(fold) == str(len(_FUNNEL_STEPS))).alias("converted"),
+    )

@@ -231,3 +231,36 @@ def test_fastss_blocking_is_complete_for_distance_one(spark, tmp_path):
     # an isolated word pairs ONLY with its own derived drop-first form
     assert got[("frog", "rog")] == 1
     assert sum(1 for p in got if "frog" in p) == 1
+
+
+def test_ordered_funnel_strict_ordering_semantics(spark, tmp_path):
+    from cc_mapreducer_spark.operators.sessionize import ordered_funnel
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: full funnel in order with noise between steps
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "error", 0.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "click", 0.0, "{}"),
+        (4, "2024-01-01 00:03:00", 1, "purchase", 0.0, "{}"),
+        # user 2: purchase BEFORE view/click: order violated, stage 2
+        (5, "2024-01-01 00:00:00", 2, "purchase", 0.0, "{}"),
+        (6, "2024-01-01 00:01:00", 2, "view", 0.0, "{}"),
+        (7, "2024-01-01 00:02:00", 2, "click", 0.0, "{}"),
+        # user 3: view only
+        (8, "2024-01-01 00:00:00", 3, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        r["user_id"]: (r["funnel_stage"], r["converted"])
+        for r in ordered_funnel(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (3, True)    # completed despite interleaved noise
+    assert got[2] == (2, False)   # early purchase doesn't count
+    assert got[3] == (1, False)
