@@ -99,3 +99,45 @@ def test_pipeline_rejects_duplicate_names(spark, tmp_path):
     s = _stages()
     with pytest.raises(ValueError):
         run_stages(spark, s + [s[0]], str(tmp_path / "wd"))
+
+
+def test_resumable_curation_dag_end_to_end(spark, tmp_path):
+    """The REAL curation DAG through run_stages: each stage of
+    curate_corpus materializes behind a _SUCCESS marker and a resume
+    recomputes nothing — the at-scale execution shape the curate_corpus
+    docstring promises ('each arrow is a materialization point')."""
+    from cc_mapreducer_spark.operators.curation import curate_corpus
+
+    def mk(stage_name):
+        def fn(spark_, results):
+            # curate_corpus is lazy; re-invoking it per stage is plan
+            # construction only — materialization happens via run_stages
+            return curate_corpus(spark_, SF_SMOKE)[stage_name]
+
+        return fn
+
+    stages = [(n, mk(n)) for n in ("quality", "keepers", "train", "packed")]
+    wd = str(tmp_path / "wd")
+    r1 = run_stages(spark, stages, wd)
+    counts1 = {n: r1[n].count() for n in r1}
+    assert counts1["quality"] > 0
+    assert 0 < counts1["keepers"] <= counts1["quality"]
+    assert 0 < counts1["train"] <= counts1["keepers"]
+    assert counts1["packed"] > 0
+
+    before = _mtimes_for(wd, list(r1))
+    r2 = run_stages(spark, stages, wd)  # resume: byte-for-byte untouched
+    assert _mtimes_for(wd, list(r2)) == before
+    assert {n: r2[n].count() for n in r2} == counts1
+
+
+def _mtimes_for(workdir, names):
+    out = {}
+    for name in names:
+        d = os.path.join(workdir, name)
+        out[name] = {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+    return out
