@@ -201,9 +201,15 @@ def _shortlist_rerank(spark: SparkSession, sf_dir: str, adc: DataFrame) -> DataF
     return _topk(exact)
 
 
+def _empty_adc(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "query_id long, vec_id long, cosine double")
+
+
 def pq_adc_scores(spark: SparkSession, sf_dir: str, books: np.ndarray) -> DataFrame:
     """ADC scores over freshly-encoded codes (the in-process path)."""
     qids, qm = _query_matrix(spark, sf_dir)
+    if not len(qids):  # empty corpus: LUT reshape would fail before any scan
+        return _empty_adc(spark)
     luts = _query_luts(qids, qm, books)
     emb = load_table(spark, sf_dir, "embeddings")
     return _adc_scan(pq_encode(emb, books), qids, luts)
@@ -280,6 +286,8 @@ def similarity_topk_pq_from_index(
     the n_queries x shortlist re-rank rows."""
     books = pq_load_codebooks(spark, index_path)
     qids, qm = _query_matrix(spark, sf_dir)  # raw queries, like pq_adc_scores
+    if not len(qids):
+        return _shortlist_rerank(spark, sf_dir, _empty_adc(spark))
     luts = _query_luts(qids, qm, books)
     adc = _adc_scan(spark.read.parquet(f"{index_path}/codes"), qids, luts)
     return _shortlist_rerank(spark, sf_dir, adc)

@@ -549,8 +549,12 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (query, cell) probe list, hash-join on cell, Arrow-batched matmul
     scoring, per-query window top-k. Same output schema as the other
     similarity_topk_* queries."""
-    cent = ivf_centroids(spark, sf_dir)
     qids, qm = _query_matrix(spark, sf_dir)
+    if not len(qids):  # empty corpus: no queries, nothing to train on
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rn int"
+        )
+    cent = ivf_centroids(spark, sf_dir)
     probes = np.argsort(-(qm @ cent.T), axis=1)[:, :_IVF_NPROBE]
     probe_rows = [
         (int(qids[i]), int(c)) for i in range(len(qids)) for c in probes[i]

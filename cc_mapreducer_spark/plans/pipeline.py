@@ -16,7 +16,9 @@ run_stages() provides it on Spark terms:
   * a stage whose output exists is SKIPPED — downstream stages read the
     parquet (which also truncates lineage between stages, the same role
     localCheckpoint plays in the iterative operators),
-  * force=[names] re-runs chosen stages (invalidation is by name;
+  * force=[names] re-runs EXACTLY those stages — downstream stages are
+    NOT invalidated in the same call (read their existing parquet); pass
+    them in force too to propagate. (Invalidation is by name;
     content-addressed fingerprints are the production extension and are
     deliberately out of scope — at scale they live in the orchestrator,
     not the engine).
@@ -54,6 +56,9 @@ def run_stages(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names: {names}")
     force_set = set(force or [])
+    unknown = force_set - set(names)
+    if unknown:  # a typo'd force name must not silently re-run nothing
+        raise ValueError(f"force names not in pipeline: {sorted(unknown)}")
     results: dict[str, DataFrame] = {}
     for name, fn in stages:
         out = os.path.join(workdir, name)

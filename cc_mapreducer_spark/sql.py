@@ -29,6 +29,11 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
         del _ACTIVE_SF_DIR[k]
     if _ACTIVE_SF_DIR.get(app) == sf_dir and not force:
         return
+    # sf_dir is changing (or force): derived views built over the OLD dir
+    # must not survive the base re-point — drop them so stale plans fail
+    # loudly on next access instead of silently mixing directories
+    for stale in _DERIVED_VIEWS.pop(app, set()):
+        spark.catalog.dropTempView(stale)
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     _ACTIVE_SF_DIR[app] = sf_dir
@@ -39,28 +44,42 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return spark.sql(query)
 
 
-def register_query_views(
-    spark: SparkSession, sf_dir: str, names: list[str] | None = None
-) -> list[str]:
-    """Expose registered operator queries as named temp views, so every
-    pipeline OUTPUT (cdc_snapshot, text_profile, shared_passages, ...)
-    is ad-hoc SQL-queryable and joinable against the base tables — the
-    view is the lazy plan, recomputed per access like any Spark view;
-    materialize hot ones with sinks.write_stage. Returns the view names
-    registered. Default: every registered key; pass ``names`` to scope.
+# Derived views registered per session (view name set): when the active
+# sf_dir switches, these must be DROPPED — a derived view still holding
+# the old directory's plan would silently mix sources with the re-pointed
+# base views, the exact corruption the one-slot base design prevents.
+_DERIVED_VIEWS: dict[str, set[str]] = {}
 
-    Keys whose name collides with a base table are skipped (base views
-    win — shadowing `events` with a derived result would corrupt every
-    later query)."""
+
+def register_query_views(
+    spark: SparkSession, sf_dir: str, names: list[str]
+) -> list[str]:
+    """Expose registered operator queries as named temp views, so a
+    pipeline OUTPUT (cdc_snapshot, text_profile, shared_passages, ...)
+    is ad-hoc SQL-queryable and joinable against the base tables.
+    Returns the view names registered.
+
+    ``names`` is REQUIRED: several operator functions legitimately run
+    driver-side work while BUILDING their plan (query-block collects,
+    codebook training, iterative rounds), so registering every key
+    would launch dozens of jobs as a side effect — name what you need.
+    The view holds the plan built now; values collected during plan
+    construction are frozen into it (re-register to refresh).
+
+    Keys colliding with a base table are skipped (base views win —
+    shadowing `events` with a derived result would corrupt every later
+    query). Switching sf_dir drops previously registered derived views
+    (loud failure beats silently mixing directories)."""
     from cc_mapreducer_spark import registry
 
     register_views(spark, sf_dir)
+    app = spark.sparkContext.applicationId
     queries = registry.all_queries()
-    wanted = names if names is not None else sorted(queries)
     out = []
-    for name in wanted:
+    for name in names:
         if name in TABLE_NAMES:
             continue
         queries[name](spark, sf_dir).createOrReplaceTempView(name)
+        _DERIVED_VIEWS.setdefault(app, set()).add(name)
         out.append(name)
     return out

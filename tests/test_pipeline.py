@@ -38,9 +38,10 @@ def _stages():
     return [("tokenize", tokenize), ("counts", counts), ("top", top)]
 
 
-def _mtimes(workdir):
+
+def _mtimes_for(workdir, names):
     out = {}
-    for name in ("tokenize", "counts", "top"):
+    for name in names:
         d = os.path.join(workdir, name)
         out[name] = {
             f: os.stat(os.path.join(d, f)).st_mtime_ns
@@ -48,6 +49,10 @@ def _mtimes(workdir):
             if f.endswith(".parquet")
         }
     return out
+
+
+def _mtimes(workdir):
+    return _mtimes_for(workdir, ("tokenize", "counts", "top"))
 
 
 def test_pipeline_runs_resumes_and_forces(spark, tmp_path):
@@ -77,19 +82,10 @@ def test_pipeline_resumes_from_crash_point(spark, tmp_path):
     run_stages(spark, _stages(), wd)
     # simulate a crash mid-pipeline: the LAST stage's output vanished
     shutil.rmtree(os.path.join(wd, "top"))
-    before = _mtimes_partial = {
-        f: os.stat(os.path.join(wd, "tokenize", f)).st_mtime_ns
-        for f in os.listdir(os.path.join(wd, "tokenize"))
-        if f.endswith(".parquet")
-    }
+    before = _mtimes_for(wd, ("tokenize",))
     r = run_stages(spark, _stages(), wd)
     # earlier stages untouched; the missing one re-ran
-    after = {
-        f: os.stat(os.path.join(wd, "tokenize", f)).st_mtime_ns
-        for f in os.listdir(os.path.join(wd, "tokenize"))
-        if f.endswith(".parquet")
-    }
-    assert after == before
+    assert _mtimes_for(wd, ("tokenize",)) == before
     assert r["top"].count() == 5
 
 
@@ -99,13 +95,16 @@ def test_pipeline_rejects_duplicate_names(spark, tmp_path):
     s = _stages()
     with pytest.raises(ValueError):
         run_stages(spark, s + [s[0]], str(tmp_path / "wd"))
+    with pytest.raises(ValueError):  # typo'd force must fail loudly
+        run_stages(spark, s, str(tmp_path / "wd2"), force=["tpo"])
 
 
 def test_resumable_curation_dag_end_to_end(spark, tmp_path):
-    """The REAL curation DAG through run_stages: each stage of
-    curate_corpus materializes behind a _SUCCESS marker and a resume
-    recomputes nothing — the at-scale execution shape the curate_corpus
-    docstring promises ('each arrow is a materialization point')."""
+    """The REAL curation DAG's outputs materialized behind _SUCCESS
+    markers with a no-recompute resume. (Stage fns here rebuild the
+    curate_corpus plan rather than reading `results` — this test pins
+    materialization + resume of the DAG outputs; the parquet handoff
+    BETWEEN stages is pinned by the wordcount pipeline tests above.)"""
     from cc_mapreducer_spark.operators.curation import curate_corpus
 
     def mk(stage_name):
@@ -130,14 +129,3 @@ def test_resumable_curation_dag_end_to_end(spark, tmp_path):
     assert _mtimes_for(wd, list(r2)) == before
     assert {n: r2[n].count() for n in r2} == counts1
 
-
-def _mtimes_for(workdir, names):
-    out = {}
-    for name in names:
-        d = os.path.join(workdir, name)
-        out[name] = {
-            f: os.stat(os.path.join(d, f)).st_mtime_ns
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        }
-    return out
