@@ -211,3 +211,77 @@ def streaming_event_anomalies(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(flagged, "update")
+
+
+# --------------------------------------------------------------------------
+# streaming ordered funnel (cross-batch stage state)
+# --------------------------------------------------------------------------
+
+from pyspark.sql.types import BooleanType  # noqa: E402
+
+from cc_mapreducer_spark.operators.sessionize import _FUNNEL_STEPS  # noqa: E402
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [StructField("stage", LongType()), StructField("n_events", LongType())]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("funnel_stage", LongType()),
+        StructField("converted", BooleanType()),
+    ]
+)
+
+
+def _update_funnel_state(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel progression as GroupState: the state is just
+    (stage, n_events) — the entire fold accumulator of the batch
+    ordered_funnel, so state is O(1) per user forever and a finite
+    in-order replay reproduces the batch result exactly (tested).
+    Events are applied in (ts, event_id) order within each batch; the
+    stage only ever advances (monotone), which is what makes carrying
+    it across arbitrary batch boundaries sound."""
+    stage, n = state.get if state.exists else (0, 0)
+    rows = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    for r in rows.itertuples():
+        n += 1
+        if stage < len(_FUNNEL_STEPS) and r.event_type == _FUNNEL_STEPS[stage]:
+            stage += 1
+    state.update((stage, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "funnel_stage": [stage],
+            "converted": [stage == len(_FUNNEL_STEPS)],
+        }
+    )
+
+
+def streaming_ordered_funnel(
+    spark: SparkSession, source_path: str, schema, max_files_per_trigger=None
+) -> DataFrame:
+    """Run the funnel state machine over a file-source replay; update
+    mode emits the running stage per user each batch — the LAST
+    emission per user equals the batch ordered_funnel row (pytest
+    parity over a time-sliced replay)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _update_funnel_state,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(updated, "update")

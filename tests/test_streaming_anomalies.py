@@ -146,3 +146,41 @@ def test_null_values_occupy_slots_but_never_poison_moments(spark, tmp_path):
     assert set(stream_flags) == set(batch_flags)
     for eid, z in batch_flags.items():
         assert abs(stream_flags[eid] - z) < 1e-9
+
+
+def test_streaming_funnel_matches_batch_over_replay(spark, tmp_path):
+    """The funnel stage carried as O(1) GroupState across 3 micro-batches
+    must land exactly on the batch ordered_funnel result per user."""
+    from cc_mapreducer_spark.operators.sessionize import ordered_funnel
+    from cc_mapreducer_spark.streaming.stateful import streaming_ordered_funnel
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = str(tmp_path / "slices")
+    _write_time_slices(spark, events, src, n_slices=3)
+    emitted = streaming_ordered_funnel(
+        spark, src, events.schema, max_files_per_trigger=1
+    ).collect()
+    # update mode emits once per (user, batch); keep the final emission
+    final = {}
+    for r in emitted:
+        prev = final.get(r["user_id"])
+        if prev is None or r["n_events"] > prev["n_events"]:
+            final[r["user_id"]] = r
+    batch = {
+        r["user_id"]: r for r in ordered_funnel(spark, SF_SMOKE).collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        f = final[uid]
+        assert (f["n_events"], f["funnel_stage"], f["converted"]) == (
+            b["n_events"],
+            b["funnel_stage"],
+            b["converted"],
+        )
+    # multiple emissions per user prove the state really spanned batches
+    from collections import Counter
+
+    per_user = Counter(r["user_id"] for r in emitted)
+    assert any(v > 1 for v in per_user.values())
