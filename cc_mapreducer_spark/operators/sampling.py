@@ -147,3 +147,32 @@ def temperature_mixture_sample(
         .filter(_unit_hash(F.col(key), salt) < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def weighted_topk(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    k: int,
+    salt: str = "wtopk-v1",
+) -> DataFrame:
+    """Weighted without-replacement sample of EXACTLY k rows
+    (Efraimidis–Spirakis A-Res, 2006 — public method): each row draws
+    u = unit_hash(key) and ranks by u^(1/w); the top-k by that score is
+    distributed as weighted sampling without replacement. Same
+    determinism contract as uniform_topk (u is hash-derived, so retries
+    and repartitioning reproduce the identical sample; the WEIGHT
+    column must itself be deterministic), same TakeOrdered plan shape
+    (per-partition top-k then merge — never a global sort).
+
+    Rows with weight <= 0 are excluded (they cannot be sampled).
+    Score ties (measure-zero for distinct keys) break on the key."""
+    u = _unit_hash(F.col(key), salt)
+    score = F.pow(u, F.lit(1.0) / F.col(weight))
+    return (
+        df.filter(F.col(weight) > 0)
+        .withColumn("__s", score)
+        .orderBy(F.desc("__s"), key)
+        .limit(k)
+        .drop("__s")
+    )

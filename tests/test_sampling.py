@@ -144,3 +144,41 @@ def test_split_rejects_bad_weights(spark):
 
     with pytest.raises(ValueError):
         deterministic_split(_docs(spark), "doc_id", {"train": 0.5, "val": 0.2})
+
+
+def test_weighted_topk_is_deterministic_and_weight_biased(spark):
+    from cc_mapreducer_spark.operators.sampling import weighted_topk
+
+    # 200 light rows (w=1) + 20 heavy rows (w=50): the heavy minority
+    # must dominate the sample, and the draw must be retry-stable
+    rows = [(i, 1.0) for i in range(200)] + [
+        (1000 + i, 50.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k long, w double")
+    a = sorted(r["k"] for r in weighted_topk(df, "k", "w", 20).collect())
+    b = sorted(
+        r["k"]
+        for r in weighted_topk(df.repartition(7), "k", "w", 20).collect()
+    )
+    assert a == b and len(a) == 20  # partition-layout independent
+    heavy = sum(1 for x in a if x >= 1000)
+    # uniform sampling would give ~20/220 * 20 = 1.8 heavies; the seeded
+    # weighted draw yields 11 — an unmistakable weight bias
+    assert heavy >= 10
+
+    # zero/negative weights can never be drawn
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 5.0)], "k long, w double"
+    )
+    assert [r["k"] for r in weighted_topk(df2, "k", "w", 3).collect()] == [3]
+
+
+def test_weighted_topk_plan_avoids_global_sort(spark):
+    from cc_mapreducer_spark.operators.sampling import weighted_topk
+    from cc_mapreducer_spark.plans.inspect import formatted_plan
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    plan = formatted_plan(weighted_topk(df, "k", "w", 10))
+    assert "TakeOrderedAndProject" in plan
