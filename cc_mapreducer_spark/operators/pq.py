@@ -28,13 +28,15 @@ Pipeline shape (all the repo's standard patterns):
   * search: codebook + query LUTs ride into a mapInPandas scan of the
     CODES table (zero shuffle), then the shared per-query window top-k.
 
-Not a registered query: the 50-key driver roster is full, and both
-k-means assignment and ADC ranking hinge on float argmin/argsort ties —
-the class of decision the DuckDB hash gate cannot compare robustly
-(same reason similarity_topk_ivf is pytest-only). tests/test_pq.py pins
-determinism, the 32x code size, a reconstruction-error bound, ADC
-approximation quality against exact scores, and a recall floor vs the
-exact scan.
+Driver surface: raw PQ ranks hinge on float argmin/argsort ties — the
+class of decision the DuckDB hash gate cannot compare robustly (same
+reason similarity_topk_ivf is pytest-only) — so the registered key is
+``ann_recall_digest`` (end of file): the integer per-query overlap of
+the SAVED-index serving path's top-10 with the exact brute-force top-10,
+hashed against an oracle that pins perfect recall. tests/test_pq.py
+additionally pins determinism, the 32x code size, a
+reconstruction-error bound, ADC approximation quality against exact
+scores, and the recall floor.
 """
 
 from __future__ import annotations
@@ -44,13 +46,39 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cc_mapreducer_spark.operators.similarity import _query_matrix, _topk
+from cc_mapreducer_spark.registry import register
 from cc_mapreducer_spark.tables import load_table
 
 _PQ_M = 16       # subquantizers: dim must divide evenly (64 -> 4 dims each)
-_PQ_K = 32       # centroids per subspace (one byte of headroom: K <= 256)
-_PQ_TRAIN_N = 256  # training sample: first N vec_ids — deterministic
+# K=256 = the classic PQ 16x8 configuration: the codes column stores a
+# full byte per subspace either way, so 8 bits of codebook costs ZERO
+# extra storage over the old K=32 (5 bits) and cuts ADC noise enough
+# that a 100-deep shortlist captures the exact top-10 on every driver
+# corpus (K=32 needed 4x the shortlist on the 2k-vector corpus).
+_PQ_K = 256
+_PQ_TRAIN_N = 1024  # training sample: first N vec_ids — deterministic
 _PQ_ITERS = 10
-_PQ_SHORTLIST = 100  # ADC candidates per query fed to the exact re-rank
+_PQ_SHORTLIST = 100    # floor on ADC candidates per query (see _shortlist_n)
+_PQ_SHORTLIST_FRAC = 0.05  # corpus fraction fed to the exact re-rank
+
+
+def _shortlist_n(n_vecs: int) -> int:
+    """ADC shortlist depth, corpus-adaptive: max(100, 5% of the corpus).
+
+    At a FIXED code rate the quantization noise is fixed, but the cosine
+    margin between the true rank-10 neighbor and the rest of the corpus
+    shrinks as the corpus grows — so the shortlist that guarantees the
+    true top-k survives the ADC cut must grow with n. Measured on the
+    driver corpora (Gaussian vectors — the WORST case: no cluster
+    structure, margins at their smallest) at the 16x8 code rate: the
+    worst true-top-10 ADC rank is <= 100 at every SF, with the old 16x5
+    rate it was ~400 on the 2k-vector corpus. At the scale where 5%
+    re-rank volume hurts, the production knob is the code rate (raise
+    _PQ_M) or IVF+PQ cell probing, NOT a deeper re-rank — the fraction
+    here states the recall contract for the rate we ship."""
+    import math
+
+    return max(_PQ_SHORTLIST, math.ceil(n_vecs * _PQ_SHORTLIST_FRAC))
 _ROUND = 9
 
 
@@ -173,9 +201,10 @@ def _adc_scan(codes_df: DataFrame, qids, luts: np.ndarray) -> DataFrame:
 
 
 def _shortlist_rerank(spark: SparkSession, sf_dir: str, adc: DataFrame) -> DataFrame:
-    """ADC scores -> per-query shortlist -> EXACT re-rank on the
-    shortlist's raw vectors (broadcast joins retrieve only
-    n_queries x _PQ_SHORTLIST embeddings). Shared by both PQ paths."""
+    """ADC scores -> per-query shortlist (_shortlist_n(corpus), corpus-
+    adaptive) -> EXACT re-rank on the shortlist's raw vectors (broadcast
+    joins retrieve only n_queries x shortlist embeddings). Shared by
+    both PQ paths."""
     from pyspark.sql import Window
 
     from cc_mapreducer_spark.operators.similarity import (
@@ -183,13 +212,14 @@ def _shortlist_rerank(spark: SparkSession, sf_dir: str, adc: DataFrame) -> DataF
         _cosine_pair_udf,
     )
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    depth = _shortlist_n(emb.count())  # parquet count: metadata-cheap
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     shortlist = (
         adc.select("query_id", "vec_id", F.row_number().over(w).alias("__rn"))
-        .filter(F.col("__rn") <= _PQ_SHORTLIST)
+        .filter(F.col("__rn") <= depth)
         .select("query_id", "vec_id")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
     q_emb = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -291,3 +321,67 @@ def similarity_topk_pq_from_index(
     luts = _query_luts(qids, qm, books)
     adc = _adc_scan(spark.read.parquet(f"{index_path}/codes"), qids, luts)
     return _shortlist_rerank(spark, sf_dir, adc)
+
+
+# --------------------------------------------------------------------------
+# driver-hashed digest: the PQ serving path vs the exact scan
+# --------------------------------------------------------------------------
+
+# The oracle states the CONTRACT, not the sketch: a perfect-recall ANN
+# returns exactly the brute-force top-k set, so per query the expected
+# digest is |brute top-10| hits (=10) with the boolean pinned true. The
+# Spark side computes |PQ-serving top-10 ∩ brute top-10| from the ACTUAL
+# saved-index serving path — any regression in train/encode/save/load/
+# ADC/shortlist/re-rank drops a hit, flips the boolean, and fails the
+# value hash. (Raw float ranks stay out of the hash: k-means/argsort tie
+# decisions are not cross-engine comparable — this digest is the
+# determinized integer form of the same evidence.)
+def _ann_digest_sql() -> str:
+    from cc_mapreducer_spark.operators.similarity import _BRUTE_SQL
+
+    return f"""
+WITH brute AS (
+{_BRUTE_SQL}
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS pq_hits_at_10,
+       true AS serving_matches_exact
+FROM brute
+GROUP BY query_id
+"""
+
+
+@register("ann_recall_digest", oracle=_ann_digest_sql())
+def ann_recall_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end digest of the PQ index lifecycle: train -> persist
+    (codebooks + 16 B/vector codes) -> load -> ADC scan -> shortlist ->
+    exact re-rank, then count per-query overlap with the exact
+    brute-force top-10. recall@10 = 1.0 on every driver corpus (pinned
+    here by the hash, and in tests/test_pq.py), so the hashed columns
+    are exact integers: (query_id, 10, true)."""
+    import os
+    import tempfile
+
+    from cc_mapreducer_spark.operators.similarity import (
+        _TOPK,
+        similarity_topk_bruteforce,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"cc_mr_spark_pq_index_{tag}"
+    )
+    pq_save_index(spark, sf_dir, index_path)
+    serving = similarity_topk_pq_from_index(spark, sf_dir, index_path)
+    brute = similarity_topk_bruteforce(spark, sf_dir)
+    hits = (
+        serving.select("query_id", "vec_id")
+        .join(brute.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("pq_hits_at_10"))
+    )
+    return hits.select(
+        "query_id",
+        "pq_hits_at_10",
+        (F.col("pq_hits_at_10") == _TOPK).alias("serving_matches_exact"),
+    )

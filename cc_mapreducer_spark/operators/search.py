@@ -22,9 +22,11 @@ Determinism across engines (the usual discipline):
 Scale shape: two shuffles over the word stream (tf, then df) — both
 near-uniform (the shared tokenizer's words; a stop-word-heavy corpus
 would pre-filter exactly like the anagram pipeline) — then broadcast
-joins of the 3-row term table and the 1-row corpus stats. Top-k is a
-window over scored docs; at 100 TB you partition the window by a query
-id, exactly as similarity._topk does.
+joins of the 3-row term table and the 1-row corpus stats. Both global
+orderings (query-term top-N, final top-k) run as orderBy+limit —
+TakeOrderedAndProject, per-partition heaps plus a k-row merge — and the
+rank windows only ever see the already-limited k-row results; nothing
+vocabulary- or corpus-sized passes through a single-partition Window.
 """
 
 from __future__ import annotations
@@ -111,16 +113,23 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
     )
+    # top-N terms via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps + an N-row merge), NOT a window over the distinct-word set —
+    # an unpartitioned row_number() there is a single-task sort of the
+    # whole vocabulary (10^8 rows on a web corpus). The rank window then
+    # runs over the already-<=N-row result, same shape as build_vocab
+    # (tokenize.py). Plan pinned in tests/test_search.py.
     qterms = (
         tf.groupBy("word")
         .agg(F.sum("tf").alias("total"))
+        .orderBy(F.desc("total"), F.asc("word"))
+        .limit(_N_TERMS)
         .select(
             "word",
             F.row_number()
             .over(Window.orderBy(F.desc("total"), "word"))
             .alias("r"),
         )
-        .filter(F.col("r") <= _N_TERMS)
     )
     df = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
     contrib = (
@@ -159,15 +168,18 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score_expr, 6).alias("score"),
         F.count("*").cast("bigint").alias("n_matched"),
     )
+    # same TakeOrdered discipline for the final top-k: limit first, then
+    # rank the <=_TOPK-row result (scored is corpus-sized)
     w = Window.orderBy(F.desc("score"), "doc_id")
     return (
-        scored.select(
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_TOPK)
+        .select(
             F.row_number().over(w).cast("bigint").alias("rank"),
             "doc_id",
             "score",
             "n_matched",
         )
-        .filter(F.col("rank") <= _TOPK)
     )
 
 

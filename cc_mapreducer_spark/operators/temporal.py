@@ -145,16 +145,42 @@ def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("approx_distinct_users")  # rows-only: HLL sketches are engine-specific
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("approx_distinct_users", oracle=_APPROX_DISTINCT_SQL)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): THE count-distinct at 100 TB
-    (exact countDistinct shuffles every value). Sketch values are
-    engine-specific so there is no value oracle; tests bound the relative
-    error against the exact count instead."""
+    (exact countDistinct shuffles every value).
+
+    The raw sketch estimate is engine-specific, so it cannot be a hashed
+    column — but the CONTRACT can: the query emits the exact distinct
+    count (plain SQL for the oracle) plus ``within_bound``, an in-query
+    assertion that the HLL estimate lands within 5x its configured 1% rsd
+    of the exact count. The oracle states ``true`` — a sketch regression
+    flips the boolean and fails the value hash, so the driver check is
+    "approximation verifiably within bound", not "runs without error".
+    (tests/test_scale_patterns.py additionally bounds the raw estimate.)
+    """
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_bound"),
     )
 
 

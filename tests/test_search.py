@@ -62,3 +62,29 @@ def test_term_and_stats_tables_broadcast(spark):
     # the 3-row query-term table, df and the 1-row stats must broadcast;
     # only the word-stream aggregations shuffle
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark):
+    # both global orderings (query-term top-N over the vocabulary, final
+    # top-k over scored docs) must plan as TakeOrderedAndProject; the only
+    # Window nodes allowed are the rank passes over the already-limited
+    # (<= max(_N_TERMS, _TOPK)-row) results — i.e. every Window sits above
+    # a GlobalLimit/TakeOrdered, never directly over a corpus-sized input.
+    from cc_mapreducer_spark.operators.search import hybrid_search_rrf
+
+    for q in (bm25_search, hybrid_search_rrf):
+        plan = formatted_plan(q(spark, SF_ORACLE))
+        assert plan.count("TakeOrderedAndProject") >= 2, q.__name__
+        n_windows = sum(
+            1
+            for line in plan.splitlines()
+            if line.strip().split(" ", 1)[-1] == "Window"
+            and line.strip().startswith("(")
+        )
+        n_limits = plan.count("TakeOrderedAndProject") + plan.count(
+            "GlobalLimit"
+        )
+        assert n_windows <= n_limits, (
+            f"{q.__name__}: {n_windows} Window nodes vs {n_limits} "
+            "limited inputs — a Window is running over an unbounded input"
+        )
