@@ -225,6 +225,34 @@ def merge_upsert(
     return survivors.unionByName(inserts)
 
 
+# Spark/Hive partition-directory encoding (ExternalCatalogUtils.
+# escapePathName semantics): the swap logic below composes directory
+# names itself, and they must meet the names Spark ACTUALLY writes —
+# a raw f-string diverges for NULL values (__HIVE_DEFAULT_PARTITION__)
+# and for any value containing a path-reserved char (/ : % = # ...),
+# and the swap would then silently no-op, discarding the staged merge.
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+_PATH_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^') | frozenset(
+    chr(c) for c in range(0x20)
+) | {chr(0x7F)}
+
+
+def escape_partition_value(v) -> str:
+    """Render a partition VALUE the way Spark names its directory:
+    NULL -> __HIVE_DEFAULT_PARTITION__, reserved chars -> %XX (uppercase
+    hex), everything else verbatim. Covers the string/int partition
+    values used here; date-typed partitions stringify the same way."""
+    if v is None:
+        return _HIVE_DEFAULT_PARTITION
+    return "".join(
+        f"%{ord(c):02X}" if c in _PATH_ESCAPE_CHARS else c for c in str(v)
+    )
+
+
+def _partition_dir(partition_col: str, v) -> str:
+    return f"{partition_col}={escape_partition_value(v)}"
+
+
 def merge_into_partitioned(
     spark: SparkSession,
     base_path: str,
@@ -262,9 +290,15 @@ def merge_into_partitioned(
         r[0]
         for r in updates.select(partition_col).dropDuplicates().collect()
     ]
-    base = spark.read.parquet(base_path).filter(
-        F.col(partition_col).isin(touched)
-    )
+    # isin() never matches NULL — a null partition value needs its own
+    # isNull() disjunct or its existing rows would be invisible to the
+    # merge while the swap still replaces the __HIVE_DEFAULT_PARTITION__
+    # directory.
+    non_null = [v for v in touched if v is not None]
+    cond = F.col(partition_col).isin(non_null)
+    if len(non_null) < len(touched):
+        cond = cond | F.col(partition_col).isNull()
+    base = spark.read.parquet(base_path).filter(cond)
     merged = merge_upsert(base, updates, key_cols, op_col=op_col)
     staging = f"{base_path.rstrip('/')}_merge_{uuid.uuid4().hex[:8]}"
     try:
@@ -274,9 +308,27 @@ def merge_into_partitioned(
             .partitionBy(partition_col)
             .parquet(staging)
         )
+        # Fail-fast cross-check: every partition directory Spark staged
+        # must decode to a touched value. A staged dir we don't expect
+        # means our name rendering diverged from Spark's — proceeding
+        # would discard that partition's merge with the staging dir.
+        expected = {_partition_dir(partition_col, v) for v in touched}
+        staged = {
+            e
+            for e in os.listdir(staging)
+            if e.startswith(f"{partition_col}=")
+        }
+        if staged - expected:
+            raise RuntimeError(
+                f"staged partitions {sorted(staged - expected)} do not "
+                f"match any touched value {sorted(map(str, touched))} — "
+                "partition-path naming drift; aborting before the swap "
+                "silently drops them"
+            )
         for v in touched:
-            dst = os.path.join(base_path, f"{partition_col}={v}")
-            src = os.path.join(staging, f"{partition_col}={v}")
+            name = _partition_dir(partition_col, v)
+            dst = os.path.join(base_path, name)
+            src = os.path.join(staging, name)
             shutil.rmtree(dst, ignore_errors=True)
             if os.path.isdir(src):  # absent = partition emptied by deletes
                 shutil.move(src, dst)

@@ -99,9 +99,18 @@ def pagerank(
         F.col(dst).cast("long").alias("dst"),
         F.col(weight).cast("double").alias("w"),
     )
-    out_w = ed.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # Zero-weight edges carry no flow but their endpoints are still graph
+    # nodes (`nodes` below is built from the UNfiltered edge set). The
+    # shares table must exclude them: a source whose weights sum to 0
+    # would otherwise appear in shares.src with null w/0 shares —
+    # contributing no outflow yet not counted as dangling — and its rank
+    # mass would leak every iteration, drifting sum(rank) below 1.
+    # Filtered out, such a source is classified dangling and its mass
+    # redistributes uniformly, which is the standard treatment.
+    flow = ed.filter(F.col("w") > 0)
+    out_w = flow.groupBy("src").agg(F.sum("w").alias("out_w"))
     shares = (
-        ed.join(out_w, "src")
+        flow.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
         .localCheckpoint()
     )

@@ -223,25 +223,65 @@ def compact_small_files(
     turns every scan into per-file open/footer overhead and floods the
     driver with task metadata.
 
-    File count = ceil(on-disk bytes / target) from the source listing —
-    no data-dependent collect. coalesce(), not repartition(): packing
-    wants NO shuffle, just fewer, bigger write tasks (each output task
-    reads several input files sequentially). Returns the file count.
+    File count = ceil(on-disk bytes / target) from a RECURSIVE source
+    sizing (getContentSummary — a flat listStatus reads 0 bytes on a
+    hive-partitioned tree and would funnel the whole table through one
+    task). coalesce(), not repartition(): packing wants NO shuffle, just
+    fewer, bigger write tasks (each output task reads several input
+    files sequentially).
+
+    A hive-partitioned source (detected from the name=value directory
+    chain) keeps its layout: the rewrite re-applies partitionBy with the
+    detected columns, clustered by one repartition on them so each
+    partition value lands in ~one output file — that shuffle is the
+    price of re-clustering, and it is exactly the Delta/Iceberg OPTIMIZE
+    shape. Returns the number of data files actually written.
     """
     import math
-
-    from pyspark.sql import functions as F  # noqa: F401  (parity w/ module)
+    import re
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    total = sum(
-        f.getLen()
-        for f in fs.listStatus(jvm_path)
-        if f.getPath().getName().endswith(".parquet")
-        or f.getPath().getName().startswith("part-")
-    )
+    total = fs.getContentSummary(jvm_path).getLength()
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(
-        out_path
-    )
-    return n_files
+
+    # partition columns = the name=value directory chain off the root
+    part_cols: list[str] = []
+    probe = jvm_path
+    while True:
+        subdirs = [
+            f.getPath().getName()
+            for f in fs.listStatus(probe)
+            if f.isDirectory()
+        ]
+        m = [re.match(r"([^=]+)=", d) for d in subdirs]
+        names = {x.group(1) for x in m if x}
+        if len(names) != 1 or any(x is None for x in m):
+            break
+        col = names.pop()
+        part_cols.append(col)
+        probe = spark._jvm.org.apache.hadoop.fs.Path(
+            probe, subdirs[0]
+        )
+
+    df = spark.read.parquet(path)
+    if part_cols:
+        (
+            df.repartition(*part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(out_path)
+        )
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+
+    def _count_files(p) -> int:
+        n = 0
+        for f in fs.listStatus(p):
+            if f.isDirectory():
+                n += _count_files(f.getPath())
+            elif f.getPath().getName().startswith("part-"):
+                n += 1
+        return n
+
+    return _count_files(spark._jvm.org.apache.hadoop.fs.Path(out_path))

@@ -32,9 +32,27 @@ N_BUCKETS = 8
 def resolve_keyed_changelog(df: DataFrame) -> DataFrame:
     """events-shaped rows -> keyed changelog rows with the snapshot
     schema: (kb, user_id, item_k, last_event_type, last_value, ts,
-    event_id, is_deleted). kb is the hash-bucket partition column."""
+    event_id, is_deleted). kb is the hash-bucket partition column.
+
+    A NULL user_id fails the batch fast (executor-side raise inside the
+    kb expression — no extra validation job): a null bucket key would
+    stage under Spark's __HIVE_DEFAULT_PARTITION__ directory while the
+    swap looked for kb=None, silently dropping that bucket's merge; and
+    a keyless changelog row has no merge semantics to begin with."""
+    kb = F.when(
+        F.col("user_id").isNotNull(),
+        F.pmod(F.col("user_id"), F.lit(N_BUCKETS)).cast("int"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("null user_id in changelog row (event_id="),
+                F.coalesce(F.col("event_id").cast("string"), F.lit("?")),
+                F.lit(") — keyless rows cannot be merged"),
+            )
+        ).cast("int")
+    )
     return df.select(
-        F.pmod(F.col("user_id"), F.lit(N_BUCKETS)).cast("int").alias("kb"),
+        kb.alias("kb"),
         "user_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("item_k"),
         F.col("event_type").alias("last_event_type"),
@@ -87,9 +105,16 @@ def merge_cdc_batch(
             .parquet(staging)
         )
         os.makedirs(snapshot_path, exist_ok=True)
+        # same escaped-path rendering as the batch merge — kb is a
+        # non-null int today (resolve_keyed_changelog raises on null
+        # keys), but the naming must stay in lockstep with what Spark
+        # wrote if that ever changes
+        from cc_mapreducer_spark.operators.cdc import _partition_dir
+
         for v in touched:
-            dst = os.path.join(snapshot_path, f"kb={v}")
-            src = os.path.join(staging, f"kb={v}")
+            name = _partition_dir("kb", v)
+            dst = os.path.join(snapshot_path, name)
+            src = os.path.join(staging, name)
             shutil.rmtree(dst, ignore_errors=True)
             if os.path.isdir(src):
                 shutil.move(src, dst)

@@ -202,3 +202,52 @@ def test_point_in_time_timestamp_tie_binds_to_own_run(spark, tmp_path):
     assert len(pit) == 1
     assert pit[0]["state_at_purchase"] == "purchase"
     assert pit[0]["state_version"] == 1
+
+
+def test_partition_value_escaping_matches_spark(spark, tmp_path):
+    # ADVICE r3: the swap composed dir names with a raw f-string, which
+    # diverges from Spark's Hive-escaped naming for values with reserved
+    # chars (and NULL) — the swap then silently no-oped and the staged
+    # merge was discarded. The helper must reproduce Spark's naming
+    # exactly; pin it against what Spark ACTUALLY writes.
+    import os
+
+    from cc_mapreducer_spark.operators.cdc import escape_partition_value
+
+    values = ["plain", "a/b", "x:y", "p=q", "100%", "a b"]
+    df = spark.createDataFrame(
+        [Row(k=i, part=v, val=f"v{i}") for i, v in enumerate(values)]
+    )
+    path = str(tmp_path / "esc")
+    df.write.partitionBy("part").parquet(path)
+    written = {d for d in os.listdir(path) if d.startswith("part=")}
+    assert written == {f"part={escape_partition_value(v)}" for v in values}
+
+
+def test_merge_into_partitioned_escaped_and_null_partitions(spark, tmp_path):
+    # end-to-end: a merge touching a reserved-char partition AND a NULL
+    # partition must actually land (r3's raw naming silently dropped
+    # both: the swap missed the escaped dir, and isin() missed NULL rows)
+    path = str(tmp_path / "esc_merge")
+    base = spark.createDataFrame(
+        [
+            Row(k=1, part="a/b", val="base1"),
+            Row(k=2, part=None, val="base2"),
+            Row(k=3, part="keep", val="base3"),
+        ]
+    )
+    base.write.partitionBy("part").parquet(path)
+    updates = spark.createDataFrame(
+        [
+            Row(k=1, part="a/b", val="upd1", _op="U"),
+            Row(k=2, part=None, val="upd2", _op="U"),
+        ]
+    )
+    touched = merge_into_partitioned(spark, path, updates, ["k"], "part")
+    assert len(touched) == 2
+    got = {r["k"]: (r["part"], r["val"]) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a/b", "upd1"),
+        2: (None, "upd2"),
+        3: ("keep", "base3"),
+    }

@@ -97,3 +97,23 @@ def test_item_graph_weights_are_shared_user_counts(spark):
     ).fetchone()[0]
     con.close()
     assert got == w
+
+
+def test_pagerank_zero_weight_edges_no_mass_leak(spark):
+    # ADVICE r3: a source whose edge weights sum to 0 produced null w/0
+    # shares — no outflow, yet not classified dangling — leaking its rank
+    # mass every round. Zero-weight edges must carry no flow, their
+    # endpoints stay nodes, and sum(rank) stays 1.
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 1.0),
+            (2, 1, 1.0),
+            (3, 1, 0.0),  # node 3's ONLY edge: zero weight -> dangling
+            (1, 4, 0.0),  # zero-weight alongside real flow: ignored
+        ],
+        "src long, dst long, weight double",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=8).collect()}
+    assert set(ranks) == {1, 2, 3, 4}  # zero-weight endpoints are still nodes
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in ranks.values())

@@ -286,3 +286,30 @@ def test_compact_small_files_repacks_without_shuffle(spark, tmp_path):
     # same data, order-insensitive
     a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
     assert a == list(range(10_000))
+
+
+def test_compact_small_files_preserves_partition_layout(spark, tmp_path):
+    # ADVICE r3: a flat listStatus sized a hive-partitioned tree at 0
+    # bytes and the coalesce(1) rewrite silently dropped the layout.
+    from cc_mapreducer_spark.plans.scale_patterns import compact_small_files
+
+    src = str(tmp_path / "part_src")
+    dst = str(tmp_path / "part_dst")
+    (
+        spark.range(0, 3_000)
+        .withColumn("p", (F.col("id") % 3).cast("int"))
+        .repartition(16)
+        .write.partitionBy("p")
+        .parquet(src)
+    )
+    import os
+
+    n = compact_small_files(spark, src, dst, target_file_mb=128)
+    # layout preserved: the three p=<v> dirs exist, clustered to ~1
+    # file per partition value (3 total), and the data round-trips
+    assert sorted(
+        d for d in os.listdir(dst) if d.startswith("p=")
+    ) == ["p=0", "p=1", "p=2"]
+    assert n == 3
+    a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == list(range(3_000))
