@@ -282,6 +282,11 @@ def main() -> None:
         # first when a plan regresses at scale
         from cc_mapreducer_spark.plans.inspect import execution_metrics
 
+        from cc_mapreducer_spark.plans.inspect import (
+            count_exchanges,
+            formatted_plan,
+        )
+
         shuffle = {}
         # iterative queries truncate lineage per round (localCheckpoint),
         # so the final plan's metrics would under-report their per-round
@@ -289,11 +294,24 @@ def main() -> None:
         skip_shuffle = {"duplicate_clusters"}
         for name in [h for h in HEADLINE if h not in skip_shuffle]:
             try:
-                m = execution_metrics(queries[name](spark, SF_DIR))
+                df = queries[name](spark, SF_DIR)
+                # plan fingerprint BEFORE metrics: a structural diff of
+                # these counts between rounds is the earliest regression
+                # signal (an extra Exchange / lost broadcast shows up
+                # here before any timing moves)
+                plan = formatted_plan(df)
+                m = execution_metrics(df)
                 shuffle[name] = {
                     "written_mb": round(m["shuffle_bytes_written"] / 1e6, 3),
                     "records": m["shuffle_records_written"],
                     "spill_mb": round(m["spill_bytes"] / 1e6, 3),
+                    "plan": {
+                        "exchanges": count_exchanges(df),
+                        "broadcasts": plan.count("BroadcastExchange"),
+                        "scans": plan.count("Scan parquet"),
+                        "py_evals": plan.count("EvalPython")
+                        + plan.count("MapInPandas"),
+                    },
                 }
             except Exception as e:  # metrics must never fail the bench
                 shuffle[name] = {"error": str(e)[:120]}

@@ -2,6 +2,7 @@
 pair with cc_mapreducer_spark.registry (side-effect imports below)."""
 
 import cc_mapreducer_spark.operators.anagram  # noqa: F401
+import cc_mapreducer_spark.operators.bloom  # noqa: F401
 import cc_mapreducer_spark.operators.bpe  # noqa: F401
 import cc_mapreducer_spark.operators.cdc  # noqa: F401
 import cc_mapreducer_spark.operators.clustering  # noqa: F401

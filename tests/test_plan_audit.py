@@ -28,6 +28,7 @@ ALLOWED_NESTED_LOOP = {
     "lm_perplexity",  # one-row broadcasts: (n_total, n_vocab) consts + ppl tertile thresholds
     "bm25_search",  # one-row broadcast: the (n_docs, avgdl) corpus-stats row
     "hybrid_search_rrf",  # contains the bm25 leg above
+    "ann_recall_digest",  # contains the brute-force leg's query-block cross join
 }
 ALLOWED_PYTHON_EVAL = {
     "multimodal_derived",  # Arrow-batched mapInPandas by design
@@ -38,6 +39,14 @@ ALLOWED_PYTHON_EVAL = {
     "similarity_topk_signlsh",
     "near_dup_embeddings",
     "semantic_dedup_embeddings",  # same Arrow-batched cosine kernel as near_dup
+    # PQ serving path: ADC LUT scan + exact re-rank are Arrow-batched
+    # numpy by design (operators/pq.py), and the digest joins it against
+    # the brute-force leg (itself allowed above)
+    "ann_recall_digest",
+    # Bloom build/probe: Arrow-batched numpy bitmaps by design
+    # (operators/bloom.py — Spark's own bloom aggregate is not exposed
+    # to the SQL registry, checked in the module docstring)
+    "bloom_gate_new_docs",
 }
 # streaming queries materialize through a memory sink; their batch plan is
 # not the interesting one and building them is slow — audited separately
