@@ -172,3 +172,141 @@ def duplicate_clusters(
     # keeper = cluster minimum (== cluster_id by construction); replace
     # with e.g. argmax(quality_score) for a scored keeper policy
     return clustered.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+
+
+# --------------------------------------------------------------------------
+# cluster-aware curation (round 4): canonical-doc selection + leakage-safe
+# splits — the two consumers of the cluster labels a real pipeline needs
+# --------------------------------------------------------------------------
+
+# shared CTE prefix: MinHash pairs -> recursive transitive closure ->
+# full-corpus (doc_id, cluster_id); identical to _DUP_CLUSTERS_SQL's body
+_CLUSTERS_CTE = f"""
+WITH RECURSIVE pairs AS (
+{_NEAR_DEDUP_SQL}
+), bi AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+), reach(n, m) AS (
+    SELECT a, a FROM (SELECT a FROM bi UNION SELECT b FROM bi)
+    UNION
+    SELECT bi.b, reach.m FROM reach JOIN bi ON bi.a = reach.n
+), comp AS (
+    SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+), clusters AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+"""
+
+
+def _canonical_sql() -> str:
+    from cc_mapreducer_spark.operators.text_analysis import _QUALITY_SQL
+
+    # quality rounded to 9dp BEFORE ranking: both engines compute the
+    # same doubles (text_profile is hash-green), and the grid removes
+    # any last-ulp ambiguity from the argmax; ties break on doc_id
+    return (
+        _CLUSTERS_CTE
+        + f""", q AS (
+{_QUALITY_SQL}
+), ranked AS (
+    SELECT cl.cluster_id, cl.doc_id,
+           round(COALESCE(q.quality_score, 0.0), 9) AS qs,
+           row_number() OVER (
+               PARTITION BY cl.cluster_id
+               ORDER BY round(COALESCE(q.quality_score, 0.0), 9) DESC,
+                        cl.doc_id
+           ) AS rn
+    FROM clusters cl LEFT JOIN q ON q.doc_id = cl.doc_id
+)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+       max(CASE WHEN rn = 1 THEN qs END) AS canonical_quality,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM ranked GROUP BY cluster_id
+"""
+    )
+
+
+@register("canonical_docs", oracle=_canonical_sql(), driver=False)
+def canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: per duplicate cluster, keep the
+    HIGHEST-QUALITY member, not an arbitrary one. duplicate_clusters'
+    default keeper (cluster-min doc_id) is deterministic but blind — in
+    a crawl, the lowest id is often the truncated or boilerplate-laden
+    first fetch; ranking by the existing heuristic quality score keeps
+    the best copy. Output: (cluster_id, canonical_doc,
+    canonical_quality, n_members).
+
+    Plan shape: cluster labels (the CC fixpoint) LEFT-join the per-doc
+    quality scores on doc_id, then ONE cluster-keyed window picks the
+    argmax — quality desc on a 9dp grid, doc_id tiebreak — and the same
+    Exchange satisfies the per-cluster count. Nothing here is new
+    shuffle topology: corpus-keyed join + one keyed window."""
+    from cc_mapreducer_spark.operators.text_analysis import quality_score
+
+    clusters = duplicate_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    scored = clusters.join(q, "doc_id", "left").select(
+        "cluster_id",
+        "doc_id",
+        F.round(F.coalesce("quality_score", F.lit(0.0)), 9).alias("qs"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("qs"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "canonical_doc"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("qs"))).alias(
+                "canonical_quality"
+            ),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+    )
+
+
+_SPLIT_SALT = "cluster-split-v1"
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.1}
+
+
+def _leakage_safe_split_sql() -> str:
+    # the md5 unit-hash formula documented in operators/sampling.py —
+    # bit-identical across engines; the CUT runs on the CLUSTER id
+    cut = _SPLIT_WEIGHTS["train"]
+    return (
+        _CLUSTERS_CTE
+        + f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substr(md5('{_SPLIT_SALT}:' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0 < {cut}
+            THEN 'train' ELSE 'val' END AS split
+FROM clusters
+"""
+    )
+
+
+@register("leakage_safe_split", oracle=_leakage_safe_split_sql(), driver=False)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split that can NEVER leak through near-duplicates: the
+    split hash is keyed on the CLUSTER id, so every member of a
+    duplicate cluster lands on the same side by construction. Splitting
+    on doc_id — what a pipeline without cluster labels does — puts two
+    near-identical documents on opposite sides of the split and the
+    model memorizes its eval set; this is the standard fix (same reason
+    eval decontamination exists, applied to the split itself).
+
+    Output: (doc_id, cluster_id, split). Structural guarantee pinned in
+    tests (no cluster spans two splits) on a planted-duplicate corpus;
+    the assignment itself reuses sampling.deterministic_split's salted
+    md5 unit hash, so it is reproducible years later from the salt."""
+    from cc_mapreducer_spark.operators.sampling import deterministic_split
+
+    clusters = duplicate_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    return deterministic_split(
+        clusters, "cluster_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT
+    ).select("doc_id", "cluster_id", "split")

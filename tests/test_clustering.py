@@ -125,3 +125,51 @@ def test_duplicate_clusters_end_to_end(spark):
     for r in out:
         assert r.cluster_id == expected.get(r.doc_id, r.doc_id)
         assert r.is_keeper == (r.doc_id == r.cluster_id)
+
+
+def test_canonical_docs_pick_max_quality_member(spark):
+    from cc_mapreducer_spark.operators.clustering import canonical_docs, duplicate_clusters
+    from cc_mapreducer_spark.operators.text_analysis import quality_score
+    from pyspark.sql import functions as F
+
+    canon = canonical_docs(spark, SF_ORACLE)
+    clusters = duplicate_clusters(spark, SF_ORACLE)
+    # covers the corpus exactly once
+    assert canon.agg(F.sum("n_members")).first()[0] == clusters.count()
+    # the canonical member's quality is the cluster max (9dp grid)
+    q = quality_score(spark, SF_ORACLE).select("doc_id", "quality_score")
+    member_q = (
+        clusters.join(q, "doc_id", "left")
+        .groupBy("cluster_id")
+        .agg(F.max(F.round(F.coalesce("quality_score", F.lit(0.0)), 9)).alias("max_q"))
+    )
+    joined = canon.join(member_q, "cluster_id")
+    assert joined.filter(F.col("canonical_quality") != F.col("max_q")).count() == 0
+    # canonical doc is a member of its own cluster
+    bad = canon.join(
+        clusters.withColumnRenamed("doc_id", "canonical_doc"),
+        ["cluster_id", "canonical_doc"],
+        "left_anti",
+    )
+    assert bad.count() == 0
+
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    from cc_mapreducer_spark.operators.clustering import leakage_safe_split
+    from pyspark.sql import functions as F
+
+    s = leakage_safe_split(spark, SF_ORACLE)
+    # the guarantee: no cluster straddles the split
+    straddle = (
+        s.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert straddle.count() == 0
+    # both sides populated and ~90/10 at the CLUSTER level
+    per_split = {r["split"]: r["n"] for r in
+                 s.select("cluster_id", "split").distinct()
+                  .groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(per_split) == {"train", "val"}
+    frac = per_split["train"] / sum(per_split.values())
+    assert 0.8 < frac < 0.97
