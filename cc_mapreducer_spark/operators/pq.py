@@ -11,12 +11,14 @@ computation): the query builds an (M x K) lookup table of per-subspace
 partial dot products, and each database vector's approximate dot product
 is M table lookups summed, never a decode. The ADC scan produces a
 per-query SHORTLIST that an exact re-rank stage rescores against the
-raw vectors (FAISS's refine pattern) — measured on the driver corpus:
-raw ADC recall@10 = 0.62, shortlist-100 + exact re-rank = 1.00. At
+raw vectors (FAISS's refine pattern) — at the 16x8 code rate the
+corpus-adaptive shortlist (_shortlist_n) captures the exact top-10 on
+every driver corpus and the re-rank restores recall@10 = 1.00. At
 100 TB that turns a scan that is memory-bandwidth-bound on raw floats
 into one over 16x fewer bytes plus an exact pass over
 n_queries * shortlist vectors, and composes with IVF (probe cells, then
-ADC-scan only their codes) exactly as FAISS's IVFPQ does.
+ADC-scan only their codes) exactly as FAISS's IVFPQ does — implemented
+below as similarity_topk_ivfpq.
 
 Pipeline shape (all the repo's standard patterns):
   * train: seeded Lloyd's k-means per subspace, driver-side numpy on a
@@ -385,3 +387,89 @@ def ann_recall_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_hits_at_10",
         (F.col("pq_hits_at_10") == _TOPK).alias("serving_matches_exact"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF+PQ composition — FAISS's IVFPQ: cells bound the scan FRACTION,
+# codes bound the BYTES per scanned vector
+# --------------------------------------------------------------------------
+
+
+def _adc_scan_paired(pairs_df: DataFrame, qids, luts: np.ndarray) -> DataFrame:
+    """ADC scoring for PRE-PAIRED (query_id, vec_id, codes) rows — the
+    IVFPQ shape, where the cell-probe join has already decided which
+    (query, vector) pairs exist, so each row is scored against exactly
+    its own query's LUT (vs _adc_scan, which scores every query against
+    every row of a full scan). Same pairwise-summation order as
+    _adc_scan, so a vector scores bit-identically through either path."""
+    marange = np.arange(_PQ_M)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"].values]
+            ).astype(np.int64)
+            qidx = pdf["query_id"].map(qpos).values.astype(np.int64)
+            s = luts[qidx[:, None], marange[None, :], codes].sum(axis=1)
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "vec_id": pdf["vec_id"].values,
+                    "cosine": np.round(s, _ROUND),
+                }
+            )
+            yield out[out.query_id != out.vec_id]
+
+    return pairs_df.mapInPandas(
+        score, "query_id long, vec_id long, cosine double"
+    )
+
+
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN top-k (Jégou et al. 2011 §V / FAISS IVFPQ): the two
+    orthogonal savings composed —
+
+      * IVF coarse cells cut WHICH vectors are touched to ~nprobe/k of
+        the corpus (broadcast probe-list hash join on cell, exactly
+        similarity_topk_ivf's shape);
+      * PQ codes cut the BYTES per touched vector 16x (the scan reads
+        16 B codes, never raw floats);
+      * the shared shortlist + exact re-rank stage restores exact
+        ranking over the survivors.
+
+    At 100 TB this is THE serving configuration: scan volume =
+    corpus_bytes * (nprobe/k) / 16 + n_queries * shortlist raw rows.
+    Output schema matches every other similarity_topk_* variant.
+
+    Uses the same trained artifacts as the standalone paths (one coarse
+    codebook, one PQ codebook — at scale both persisted once); candidate
+    recall is bounded by the IVF probe, exactness within candidates by
+    the re-rank (both pinned in tests/test_pq.py)."""
+    from cc_mapreducer_spark.operators.similarity import (
+        _IVF_NPROBE,
+        ivf_assignments,
+        ivf_centroids,
+    )
+
+    qids, qm = _query_matrix(spark, sf_dir)
+    if not len(qids):
+        return _shortlist_rerank(spark, sf_dir, _empty_adc(spark))
+    cent = ivf_centroids(spark, sf_dir)
+    books = pq_train(spark, sf_dir)
+    luts = _query_luts(qids, qm, books)
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :_IVF_NPROBE]
+    probe_df = spark.createDataFrame(
+        [(int(qids[i]), int(c)) for i in range(len(qids)) for c in probes[i]],
+        "query_id long, cell int",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = pq_encode(emb, books).join(
+        ivf_assignments(spark, sf_dir, cent), "vec_id"
+    )
+    pairs = coded.join(F.broadcast(probe_df), "cell").select(
+        "query_id", "vec_id", "codes"
+    )
+    return _shortlist_rerank(spark, sf_dir, _adc_scan_paired(pairs, qids, luts))
