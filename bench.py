@@ -39,6 +39,7 @@ HEADLINE = [
     "simhash_near_pairs",        # SimHash blocking
     "similarity_topk_bruteforce",# embedding search (exact)
     "similarity_topk_signlsh",   # embedding search (multi-table LSH)
+    "similarity_topk_ivfpq",     # IVF cells x PQ codes + exact re-rank (r4)
     "near_dup_embeddings",       # embedding near-dup (adaptive blocking)
     "q18_large_volume_customers",# fact-fact semi-join agg
     "q9_product_type_profit",    # 5-way join profit rollup (TPC-H Q9 shape)

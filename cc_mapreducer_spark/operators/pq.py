@@ -428,6 +428,7 @@ def _adc_scan_paired(pairs_df: DataFrame, qids, luts: np.ndarray) -> DataFrame:
     )
 
 
+@register("similarity_topk_ivfpq", driver=False)  # float argsort ties: pytest-pinned like IVF
 def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN top-k (Jégou et al. 2011 §V / FAISS IVFPQ): the two
     orthogonal savings composed —

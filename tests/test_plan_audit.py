@@ -47,6 +47,9 @@ ALLOWED_PYTHON_EVAL = {
     # (operators/bloom.py — Spark's own bloom aggregate is not exposed
     # to the SQL registry, checked in the module docstring)
     "bloom_gate_new_docs",
+    # IVFPQ: cell assignment + code encode + paired ADC scan are all
+    # Arrow-batched numpy kernels shared with the paths above
+    "similarity_topk_ivfpq",
 }
 # streaming queries materialize through a memory sink; their batch plan is
 # not the interesting one and building them is slow — audited separately

@@ -127,3 +127,39 @@ def test_fastss_finds_every_random_single_edit(spark, tmp_path):
     }
     for p in set(pairs):
         assert p in got, f"edit pair {p} missed by deletion blocking"
+
+
+def test_bloom_no_false_negatives_property():
+    # Bloom guarantee, hypothesis-driven over the PURE kernel (the same
+    # numpy code the executors run): for ANY key set and any sane (m, k),
+    # every inserted key must probe all-hit. False negatives are the one
+    # failure mode the exact verify stage cannot repair — a missed dupe
+    # enters the corpus silently — so this is the property to hammer.
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from cc_mapreducer_spark.operators.bloom import (
+        _bloom_params,
+        _probe_positions,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        keys=st.lists(
+            st.integers(min_value=0, max_value=2**64 - 1),
+            min_size=1,
+            max_size=300,
+        ),
+        fpp=st.sampled_from([0.001, 0.01, 0.1]),
+    )
+    def run(keys, fpp):
+        arr = np.array(keys, dtype=np.uint64)
+        m, k = _bloom_params(len(set(keys)), fpp)
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        pos = _probe_positions(arr, m, k).ravel()
+        np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        probe = _probe_positions(arr, m, k)
+        hit = (bm[probe >> 3] & (1 << (probe & 7)).astype(np.uint8)) != 0
+        assert hit.all(), "false negative — inserted key not found"
+
+    run()
