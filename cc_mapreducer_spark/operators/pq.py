@@ -364,6 +364,15 @@ def ann_recall_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    # empty corpus: no query block, nothing to train on — empty digest
+    # with the stable schema (pq_train's np.stack would crash otherwise)
+    qids, _ = _query_matrix(spark, sf_dir)
+    if not len(qids):
+        return spark.createDataFrame(
+            [],
+            "query_id long, pq_hits_at_10 long, serving_matches_exact boolean",
+        )
+
     from cc_mapreducer_spark.operators.similarity import (
         _TOPK,
         similarity_topk_bruteforce,

@@ -34,6 +34,12 @@ REPRESENTATIVES = [
     "bpe_token_stats",           # nothing to train on
     "duplicate_clusters",
     "lm_perplexity",
+    # round 4
+    "bloom_gate_new_docs",       # empty corpus AND empty batch
+    "canonical_docs",            # empty cluster + quality join
+    "leakage_safe_split",
+    "similarity_topk_ivfpq",     # empty query block before any training
+    "ann_recall_digest",         # guard must fire before pq_train
 ]
 
 
