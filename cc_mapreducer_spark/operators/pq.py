@@ -84,12 +84,46 @@ def _shortlist_n(n_vecs: int) -> int:
 _ROUND = 9
 
 
+# In-session memo for trained artifacts (codebooks here; coarse
+# centroids in similarity.py use the same helper): training is
+# deterministic and once-offline at scale — a serving job loads the
+# persisted artifact, it never retrains per query. The memo is the
+# local stand-in (same pattern as similarity._PERSISTED for LSH index
+# frames). Key includes the embeddings file's identity (mtime+size) so
+# an in-session overwrite of the corpus misses and retrains, plus every
+# hyperparameter the artifact depends on.
+_TRAIN_MEMO: dict[tuple, np.ndarray] = {}
+
+
+def train_memo_key(spark: SparkSession, sf_dir: str, *params) -> tuple:
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        sig = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        sig = None
+    return (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        sig,
+        params,
+    )
+
+
 def pq_train(spark: SparkSession, sf_dir: str) -> np.ndarray:
     """Train per-subspace codebooks: (M, K, dim/M) float64. Seeded numpy
     Lloyd's on the deterministic sample, run driver-side like
     ivf_centroids — at scale this is a once-offline job; only encode and
-    search are distributed. Empty cells keep their previous centroid (the
+    search are distributed (in-session, the trained tensor is memoized —
+    see _TRAIN_MEMO). Empty cells keep their previous centroid (the
     standard k-means fix; deterministic)."""
+    key = train_memo_key(
+        spark, sf_dir, "pq", _PQ_M, _PQ_K, _PQ_TRAIN_N, _PQ_ITERS
+    )
+    if key in _TRAIN_MEMO:
+        return _TRAIN_MEMO[key]
     emb = load_table(spark, sf_dir, "embeddings")
     rows = sorted(
         emb.filter(F.col("vec_id") < _PQ_TRAIN_N).select("vec_id", "embedding").collect()
@@ -113,6 +147,7 @@ def pq_train(spark: SparkSession, sf_dir: str) -> np.ndarray:
                 if len(members):
                     cent[c] = members.mean(axis=0)
         books[m] = cent
+    _TRAIN_MEMO[key] = books
     return books
 
 

@@ -505,7 +505,16 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     deterministic sample (first _IVF_TRAIN_N vec_ids), run driver-side in
     numpy. The codebook is tiny (k x dim floats) — at 100 TB you train it
     once offline on a sample and broadcast it; the expensive part (cell
-    assignment) stays distributed."""
+    assignment) stays distributed. In-session the trained tensor is
+    memoized per corpus identity (pq.train_memo_key) — retraining per
+    query call is not the serving shape."""
+    from cc_mapreducer_spark.operators.pq import _TRAIN_MEMO, train_memo_key
+
+    key = train_memo_key(
+        spark, sf_dir, "ivf", _IVF_K, _IVF_TRAIN_N, _IVF_ITERS
+    )
+    if key in _TRAIN_MEMO:
+        return _TRAIN_MEMO[key]
     emb = load_table(spark, sf_dir, "embeddings")
     rows = sorted(
         emb.filter(F.col("vec_id") < _IVF_TRAIN_N).select("vec_id", "embedding").collect()
@@ -521,6 +530,7 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
             if len(members):
                 m = members.mean(axis=0)
                 cent[c] = m / np.linalg.norm(m)
+    _TRAIN_MEMO[key] = cent
     return cent
 
 
