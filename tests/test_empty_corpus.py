@@ -40,6 +40,7 @@ REPRESENTATIVES = [
     "leakage_safe_split",
     "similarity_topk_ivfpq",     # empty query block before any training
     "ann_recall_digest",         # guard must fire before pq_train
+    "heavy_hitter_words",        # empty token stream -> empty, not 0-div
 ]
 
 

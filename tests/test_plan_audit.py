@@ -50,6 +50,10 @@ ALLOWED_PYTHON_EVAL = {
     # IVFPQ: cell assignment + code encode + paired ADC scan are all
     # Arrow-batched numpy kernels shared with the paths above
     "similarity_topk_ivfpq",
+    # Misra-Gries partials: Arrow-batched per-partition summaries by
+    # design (operators/heavyhitters.py) — the whole point is that the
+    # token stream never shuffles
+    "heavy_hitter_words",
 }
 # streaming queries materialize through a memory sink; their batch plan is
 # not the interesting one and building them is slow — audited separately
