@@ -377,3 +377,46 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# approximate-quantile contract (round 4) — the percentile twin of
+# approx_distinct_users' HLL contract
+# --------------------------------------------------------------------------
+
+_APPROX_QUANTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+       true AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("approx_quantile_contract", oracle=_APPROX_QUANTILE_SQL, driver=False)
+def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna-style sketch) is THE quantile
+    at 100 TB — exact `percentile` buffers every value per group. Sketch
+    outputs are engine-specific, so the hashed columns are the CONTRACT,
+    exactly like approx_distinct_users: the exact interpolated p50/p95
+    (plain SQL for the oracle — Spark `percentile` == DuckDB
+    `quantile_cont`) plus `within_bound`, an in-query assertion that the
+    sketch lands within 2% relative error of each. The oracle pins
+    `true`; a sketch regression flips the boolean and fails the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("ex50"),
+        F.expr("percentile(l_extendedprice, 0.95D)").alias("ex95"),
+        F.expr("percentile_approx(l_extendedprice, 0.5D, 1000)").alias("ap50"),
+        F.expr("percentile_approx(l_extendedprice, 0.95D, 1000)").alias("ap95"),
+    )
+    ok = (F.abs(F.col("ap50") - F.col("ex50")) / F.col("ex50") <= 0.02) & (
+        F.abs(F.col("ap95") - F.col("ex95")) / F.col("ex95") <= 0.02
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("ex50", 6).alias("exact_p50"),
+        F.round("ex95", 6).alias("exact_p95"),
+        ok.alias("within_bound"),
+    )

@@ -313,3 +313,31 @@ def test_compact_small_files_preserves_partition_layout(spark, tmp_path):
     assert n == 3
     a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
     assert a == list(range(3_000))
+
+
+def test_bucketed_window_is_shuffle_free(spark):
+    # the sessionize-from-storage pattern: events bucketed by user_id
+    # feed per-user windows with ZERO Exchange — the scan's bucketed
+    # HashPartitioning(user_id) satisfies the window's required
+    # distribution, so every per-user pass (lag/session/funnel) runs
+    # straight off storage. At 100 TB this is why the events table is
+    # bucketed in the first place.
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        "user_id", "event_id", "ts"
+    )
+    write_bucketed(e, "events_b", "user_id")
+    try:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        lagged = spark.table("events_b").withColumn(
+            "prev_ts", F.lag("ts").over(w)
+        )
+        assert count_exchanges(lagged) == 0, formatted_plan(lagged)
+        # equivalence against the plain (shuffling) read
+        plain = e.withColumn("prev_ts", F.lag("ts").over(w))
+        a = sorted(map(tuple, lagged.collect()))
+        b = sorted(map(tuple, plain.collect()))
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_b")
