@@ -214,3 +214,113 @@ def sniff_and_parse(b: bytes) -> dict | None:
         return None
     b = bytes(b)
     return parse_png(b) or parse_wav(b) or parse_mp4(b)
+
+
+# --------------------------------------------------------------------------
+# codec-level decoders (round 4): pixels and samples, pure stdlib + numpy
+# --------------------------------------------------------------------------
+#
+# The round-2/3 position was "codec-level decode is environment-blocked
+# (no PIL)". That is true for entropy-coded formats (JPEG/MP3/H.264),
+# but NOT for the formats this corpus actually holds: an 8-bit grayscale
+# PNG is zlib (stdlib) + the five spec scanline filters, and PCM WAV is
+# struct parsing — both implementable exactly, spec-complete, with zero
+# external dependencies. The decode_with_library seam now covers only
+# the genuinely-library-bound codecs.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(b: bytes):
+    """Full codec-level decode of an 8-bit GRAYSCALE PNG (color type 0,
+    no interlace): chunk walk -> IDAT concatenation -> zlib inflate ->
+    scanline unfiltering for ALL FIVE spec filter types (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6) — not just the filter our own encoder
+    emits; tests decode hand-built files using every type. Returns an
+    (h, w) uint8 numpy array, or None for non-PNG / unsupported color
+    configurations / corrupt streams."""
+    import numpy as np
+
+    meta = parse_png(b)
+    if meta is None:
+        return None
+    # re-read IHDR for the fields parse_png does not expose
+    bit_depth, color = b[24], b[25]
+    interlace = b[28]
+    if bit_depth != 8 or color != 0 or interlace != 0:
+        return None  # out of scope: not 8-bit grayscale sequential
+    w, h = meta["width"], meta["height"]
+    idat, off = [], 8
+    while off + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[off : off + 4])
+        typ = b[off + 4 : off + 8]
+        data = b[off + 8 : off + 8 + length]
+        if typ == b"IDAT":
+            idat.append(data)
+        if typ == b"IEND":
+            break
+        off += 12 + length
+    try:
+        raster = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w + 1  # filter byte + w grayscale bytes
+    if len(raster) != h * stride:
+        return None
+    out = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        row = raster[y * stride : (y + 1) * stride]
+        ftype, cur = row[0], np.frombuffer(row[1:], dtype=np.uint8)
+        prev = out[y - 1] if y else np.zeros(w, dtype=np.uint8)
+        if ftype == 0:  # None
+            out[y] = cur
+        elif ftype == 1:  # Sub: recon[x] = cur[x] + recon[x-1]
+            out[y] = np.cumsum(cur.astype(np.int64)) % 256
+        elif ftype == 2:  # Up
+            out[y] = (cur.astype(np.int64) + prev) % 256
+        elif ftype == 3:  # Average
+            line = out[y]
+            for x in range(w):
+                left = int(line[x - 1]) if x else 0
+                line[x] = (int(cur[x]) + (left + int(prev[x])) // 2) % 256
+        elif ftype == 4:  # Paeth
+            line = out[y]
+            for x in range(w):
+                left = int(line[x - 1]) if x else 0
+                ul = int(prev[x - 1]) if x else 0
+                line[x] = (int(cur[x]) + _paeth(left, int(prev[x]), ul)) % 256
+        else:
+            return None
+    return out
+
+
+def decode_wav_samples(b: bytes):
+    """Codec-level decode of 16-bit PCM WAV: RIFF chunk walk to the data
+    chunk, little-endian int16 interpretation, (n_frames, channels)
+    numpy array. Returns None for non-WAV / non-PCM-16 payloads."""
+    import numpy as np
+
+    meta = parse_wav(b)
+    if meta is None or meta.get("bit_depth", 16) != 16:
+        return None
+    channels = meta["channels"]
+    off = 12
+    while off + 8 <= len(b):
+        typ = b[off : off + 4]
+        (length,) = struct.unpack("<I", b[off + 4 : off + 8])
+        if typ == b"data":
+            data = b[off + 8 : off + 8 + length]
+            if len(data) < length or length % (2 * channels):
+                return None
+            arr = np.frombuffer(data, dtype="<i2")
+            return arr.reshape(-1, channels)
+        off += 8 + length + (length & 1)  # RIFF word alignment
+    return None

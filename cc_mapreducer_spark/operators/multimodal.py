@@ -300,7 +300,13 @@ def decode_with_library(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     ModuleNotFoundError in this container — no media decode library is
     available, so this seam stays a stub by environment constraint, not by
     omission. The probe is repeated at runtime below so the stub
-    self-activates if a library ever appears."""
+    self-activates if a library ever appears.
+
+    Round 4 narrowed this seam's scope: grayscale-PNG pixels and PCM-WAV
+    samples are now decoded FOR REAL with stdlib zlib/struct + numpy
+    (media_codec.decode_png_pixels / decode_wav_samples, hash-checked
+    end-to-end by the media_codec_stats query) — only entropy-coded
+    codecs (JPEG, MP3/AAC, H.264) remain behind this library seam."""
     try:
         import PIL  # noqa: F401
     except ModuleNotFoundError:
@@ -500,3 +506,135 @@ def multimodal_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     row kinds (see _derive_media)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     return docs.mapInPandas(_derive_media, DERIVED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# codec-level decode stats (round 4): REAL pixels and samples, hash-checked
+# --------------------------------------------------------------------------
+#
+# Closes the r2/r3 "codec-level decode is environment-blocked" item for
+# the formats this corpus actually holds: grayscale PNG and PCM WAV are
+# fully decodable with stdlib zlib/struct + numpy (media_codec.
+# decode_png_pixels handles all five PNG scanline filters; tests decode
+# hand-built files using each). Spark decodes PIXEL VALUES out of real
+# container bytes; DuckDB re-derives the same statistics purely from the
+# generation formulas (pixel(x,y) = text_byte[(x+y) mod len], WAV sample
+# j = LE int16 of two cycled text bytes) — a cross-engine proof the
+# byte->pixel decode is exact, same pattern as multimodal_derived's
+# container headers. ord(substr(..)) equals the utf-8 byte because the
+# driver corpus is ASCII (asserted over all SFs); the DECODER itself is
+# byte-correct for any input. The decode_with_library seam now covers
+# only entropy-coded formats (JPEG/MP3/H.264) that genuinely need
+# external libraries.
+
+_CODEC_STATS_SQL = """
+WITH d AS (
+    SELECT doc_id, n_chars, text, octet_length(encode(text)) AS L
+    FROM documents WHERE octet_length(encode(text)) > 0
+), png AS (
+    SELECT d.doc_id,
+           1 + n_chars % 32 AS w, 1 + doc_id % 24 AS h, L, text
+    FROM d WHERE doc_id % 3 = 0
+), png_vals AS (
+    SELECT doc_id, w, h,
+           ord(substr(text, CAST((x.k + y.k) % L AS INTEGER) + 1, 1)) AS v
+    -- constant-bound series + filter: DuckDB's range() cannot take a
+    -- lateral column; w <= 32 and h <= 24 by the generation formulas
+    FROM png, range(0, 32) x(k), range(0, 24) y(k)
+    WHERE x.k < w AND y.k < h
+), png_stats AS (
+    SELECT 'png_pixels' AS kind, doc_id,
+           CAST(w * h AS BIGINT) AS n_values,
+           CAST(sum(v) AS BIGINT) AS value_sum,
+           CAST(min(v) AS BIGINT) AS value_min,
+           CAST(max(v) AS BIGINT) AS value_max
+    FROM png_vals GROUP BY doc_id, w, h
+), wav AS (
+    SELECT d.doc_id,
+           (64 + n_chars % 128) * (1 + doc_id % 2) AS n_vals, L, text
+    FROM d WHERE doc_id % 3 = 1
+), wav_vals AS (
+    SELECT doc_id, n_vals,
+           ord(substr(text, CAST((2 * j.k) % L AS INTEGER) + 1, 1))
+           + 256 * ord(substr(text, CAST((2 * j.k + 1) % L AS INTEGER) + 1, 1))
+           AS raw
+    -- n_vals <= (64 + 127) * 2 = 382 by the generation formulas
+    FROM wav, range(0, 382) j(k)
+    WHERE j.k < n_vals
+), wav_signed AS (
+    SELECT doc_id, n_vals,
+           CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+    FROM wav_vals
+), wav_stats AS (
+    SELECT 'wav_samples' AS kind, doc_id,
+           CAST(n_vals AS BIGINT) AS n_values,
+           CAST(sum(v) AS BIGINT) AS value_sum,
+           CAST(min(v) AS BIGINT) AS value_min,
+           CAST(max(v) AS BIGINT) AS value_max
+    FROM wav_signed GROUP BY doc_id, n_vals
+)
+SELECT * FROM png_stats UNION ALL SELECT * FROM wav_stats
+"""
+
+CODEC_STATS_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n_values", LongType()),
+        StructField("value_sum", LongType()),
+        StructField("value_min", LongType()),
+        StructField("value_max", LongType()),
+    ]
+)
+
+
+def _codec_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from cc_mapreducer_spark.functions.media_codec import (
+        decode_png_pixels,
+        decode_wav_samples,
+    )
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = {k.name: [] for k in CODEC_STATS_SCHEMA.fields}
+        for doc_id, text, n_chars in zip(
+            pdf["doc_id"], pdf["text"], pdf["n_chars"]
+        ):
+            if doc_id % 3 == 2:  # MP4 free-box payload has no codec data
+                continue
+            if not str(text).encode("utf-8"):
+                continue  # matches the oracle's octet_length(text) > 0 gate
+            mt, payload = _encode_one(doc_id, text, n_chars)
+            if mt == "image/png":
+                px = decode_png_pixels(payload)
+                if px is None:
+                    continue
+                kind, vals = "png_pixels", px.astype("int64").ravel()
+            else:
+                s = decode_wav_samples(payload)
+                if s is None:
+                    continue
+                kind, vals = "wav_samples", s.astype("int64").ravel()
+            rows["kind"].append(kind)
+            rows["doc_id"].append(doc_id)
+            rows["n_values"].append(len(vals))
+            rows["value_sum"].append(int(vals.sum()))
+            rows["value_min"].append(int(vals.min()))
+            rows["value_max"].append(int(vals.max()))
+        yield pd.DataFrame(rows)
+
+
+@register("media_codec_stats", oracle=_CODEC_STATS_SQL, driver=False)
+def media_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics over DECODED pixel/sample values: each
+    PNG's pixels and WAV's int16 samples, decoded from the real encoded
+    container bytes (not from the formulas), summarized as
+    (count, sum, min, max) integers — exactly hashable. The oracle
+    recomputes the same numbers from the generation formulas alone, so a
+    hash match proves the full encode -> bytes -> codec-decode loop is
+    value-exact in both directions."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    return docs.mapInPandas(_codec_stats, CODEC_STATS_SCHEMA)

@@ -41,6 +41,7 @@ REPRESENTATIVES = [
     "similarity_topk_ivfpq",     # empty query block before any training
     "ann_recall_digest",         # guard must fire before pq_train
     "heavy_hitter_words",        # empty token stream -> empty, not 0-div
+    "media_codec_stats",         # nothing to encode -> empty, stable schema
 ]
 
 

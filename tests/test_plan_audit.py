@@ -54,6 +54,8 @@ ALLOWED_PYTHON_EVAL = {
     # design (operators/heavyhitters.py) — the whole point is that the
     # token stream never shuffles
     "heavy_hitter_words",
+    # codec-level decode: mapInPandas by design, like multimodal_derived
+    "media_codec_stats",
 }
 # streaming queries materialize through a memory sink; their batch plan is
 # not the interesting one and building them is slow — audited separately
