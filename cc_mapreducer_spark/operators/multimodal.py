@@ -638,3 +638,112 @@ def media_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "n_chars"
     )
     return docs.mapInPandas(_codec_stats, CODEC_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# image resize (round 4): block-average downsample over DECODED pixels
+# --------------------------------------------------------------------------
+#
+# The driver's multimodal mandate names four verbs: decode /
+# feature-extract / resize / frame-sample. Resize is the one that was
+# still stub-only; with real pixel decode it becomes real too: a 2x2
+# block-average thumbnail (integer floor mean per block, partial edge
+# blocks averaged over their actual pixel count — deterministic integer
+# arithmetic, so the result is exactly hashable). The oracle re-derives
+# every thumbnail value from the generation formulas by grouping the
+# same pixel grid into the same blocks.
+
+_THUMB_F = 2  # downsample factor
+
+_THUMB_SQL = """
+WITH d AS (
+    SELECT doc_id, n_chars, text, octet_length(encode(text)) AS L
+    FROM documents WHERE octet_length(encode(text)) > 0
+), png AS (
+    SELECT d.doc_id, 1 + n_chars % 32 AS w, 1 + doc_id % 24 AS h, L, text
+    FROM d WHERE doc_id % 3 = 0
+), vals AS (
+    SELECT doc_id, w, h, x.k AS x, y.k AS y,
+           ord(substr(text, CAST((x.k + y.k) % L AS INTEGER) + 1, 1)) AS v
+    FROM png, range(0, 32) x(k), range(0, 24) y(k)
+    WHERE x.k < w AND y.k < h
+), blocks AS (
+    SELECT doc_id, w, h, x // 2 AS bx, y // 2 AS by,
+           CAST(sum(v) // count(*) AS BIGINT) AS bv
+    FROM vals GROUP BY doc_id, w, h, x // 2, y // 2
+)
+SELECT doc_id,
+       CAST((w + 1) // 2 AS BIGINT) AS thumb_w,
+       CAST((h + 1) // 2 AS BIGINT) AS thumb_h,
+       CAST(sum(bv) AS BIGINT) AS value_sum,
+       CAST(min(bv) AS BIGINT) AS value_min,
+       CAST(max(bv) AS BIGINT) AS value_max
+FROM blocks GROUP BY doc_id, w, h
+"""
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("thumb_w", LongType()),
+        StructField("thumb_h", LongType()),
+        StructField("value_sum", LongType()),
+        StructField("value_min", LongType()),
+        StructField("value_max", LongType()),
+    ]
+)
+
+
+def block_average(px, f: int = _THUMB_F):
+    """(h, w) uint8 -> (ceil(h/f), ceil(w/f)) int64 thumbnail: each
+    output value is the INTEGER floor mean of its block's actual pixels
+    (edge blocks average over the pixels they really cover — no padding
+    bias). Deterministic integer arithmetic end-to-end."""
+    import numpy as np
+
+    h, w = px.shape
+    th, tw = -(-h // f), -(-w // f)
+    out = np.zeros((th, tw), dtype=np.int64)
+    p = px.astype(np.int64)
+    for by in range(th):
+        for bx in range(tw):
+            blk = p[by * f : (by + 1) * f, bx * f : (bx + 1) * f]
+            out[by, bx] = blk.sum() // blk.size
+    return out
+
+
+def _thumbnails(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from cc_mapreducer_spark.functions.media_codec import decode_png_pixels
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = {k.name: [] for k in THUMB_SCHEMA.fields}
+        for doc_id, text, n_chars in zip(
+            pdf["doc_id"], pdf["text"], pdf["n_chars"]
+        ):
+            if doc_id % 3 != 0 or not str(text).encode("utf-8"):
+                continue
+            _, payload = _encode_one(doc_id, text, n_chars)
+            px = decode_png_pixels(payload)
+            if px is None:
+                continue
+            t = block_average(px)
+            rows["doc_id"].append(doc_id)
+            rows["thumb_w"].append(t.shape[1])
+            rows["thumb_h"].append(t.shape[0])
+            rows["value_sum"].append(int(t.sum()))
+            rows["value_min"].append(int(t.min()))
+            rows["value_max"].append(int(t.max()))
+        yield pd.DataFrame(rows)
+
+
+@register("media_thumbnails", oracle=_THUMB_SQL, driver=False)
+def media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 2x block-average thumbnail statistics, computed from
+    REAL decoded pixels (decode -> resize in one Arrow batch pass) and
+    hashed against the oracle's formula-derived block means — the
+    'resize' verb of the multimodal mandate, value-exact."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    return docs.mapInPandas(_thumbnails, THUMB_SCHEMA)

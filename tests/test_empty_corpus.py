@@ -42,6 +42,7 @@ REPRESENTATIVES = [
     "ann_recall_digest",         # guard must fire before pq_train
     "heavy_hitter_words",        # empty token stream -> empty, not 0-div
     "media_codec_stats",         # nothing to encode -> empty, stable schema
+    "media_thumbnails",
 ]
 
 

@@ -359,3 +359,18 @@ def test_wav_sample_roundtrip_and_reject():
         exp = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
         assert (s == exp).all()
     assert decode_wav_samples(b"RIFFxxxx") is None
+
+
+def test_block_average_exact_with_partial_edge_blocks():
+    import numpy as np
+    from cc_mapreducer_spark.operators.multimodal import block_average
+
+    px = np.arange(35, dtype=np.uint8).reshape(5, 7)  # odd dims both ways
+    t = block_average(px, 2)
+    assert t.shape == (3, 4)
+    # full block: floor mean of its 4 pixels
+    assert t[0, 0] == (0 + 1 + 7 + 8) // 4
+    # right edge: 1-wide block
+    assert t[0, 3] == (6 + 13) // 2
+    # bottom-right corner: single pixel
+    assert t[2, 3] == 34

@@ -56,6 +56,7 @@ ALLOWED_PYTHON_EVAL = {
     "heavy_hitter_words",
     # codec-level decode: mapInPandas by design, like multimodal_derived
     "media_codec_stats",
+    "media_thumbnails",
 }
 # streaming queries materialize through a memory sink; their batch plan is
 # not the interesting one and building them is slow — audited separately
