@@ -12,10 +12,15 @@ local oracle gate (tests/test_sampling.py) hash-verifies every one.
 Scale notes (100 TB):
   * split / bernoulli sampling are per-row map stages — zero shuffle,
     fully pushed into the scan's whole-stage codegen span.
-  * stratified / quota sampling shuffle once on the strata key (window
+  * stratified sampling shuffles once on the strata key (window
     row_number); skewed strata are the known pathology — the window is
     rank-only (no full sort of values, just the hash order within each
-    stratum) and AQE skew-split applies.
+    stratum) and AQE skew-split applies. Fraction-based selection needs
+    every row ranked, so sharding buys nothing there.
+  * domain_quota (fixed k per group) is skew-IMMUNE: it runs as
+    grouped_topk's two bounded window passes — top-k per (group, shard)
+    then top-k of <= shards*k survivors — so a dominant domain never
+    single-partitions.
   * uniform_topk is a distributed TakeOrdered: per-partition top-k then
     a k-row driver merge — never a global sort.
 """
@@ -93,17 +98,71 @@ def stratified_exact_sample(
     )
 
 
+def grouped_topk(
+    df: DataFrame,
+    group: str,
+    order_cols: list,
+    k: int,
+    shard_key: str,
+    shards: int = 32,
+) -> DataFrame:
+    """EXACT per-group top-k that never funnels a hot group through one
+    task. A plain ``Window.partitionBy(group)`` sorts each group's
+    entire row set in a single partition — at 100 TB one dominant
+    domain (a crawl's top site, the majority language) is billions of
+    rows through one sorter. Two bounded passes instead:
+
+      1. shard every group ``shards`` ways by hashing ``shard_key``
+         (placement only — never semantics) and take the top-k of each
+         (group, shard) slice; every slice is ~1/shards of its group;
+      2. re-rank the <= shards*k survivors per group and keep k.
+
+    Exactness: any row in a group's true top-k is also in the top-k of
+    whichever shard holds it (a shard is a subset), so pass 1 never
+    discards a winner. ``order_cols`` must be a total order within each
+    group (tie-break on a unique key) or ranks are nondeterministic.
+    Pass 2's window sees at most shards*k rows per group — bounded by
+    construction, skew-immune."""
+    shard = F.pmod(F.xxhash64(F.col(shard_key)), F.lit(shards))
+    w1 = Window.partitionBy(group, "__shard").orderBy(*order_cols)
+    w2 = Window.partitionBy(group).orderBy(*order_cols)
+    return (
+        df.withColumn("__shard", shard)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__shard")
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def domain_quota(
-    df: DataFrame, domain: str, key: str, quota: int, salt: str = "quota-v1"
+    df: DataFrame,
+    domain: str,
+    key: str,
+    quota: int,
+    salt: str = "quota-v1",
+    shards: int = 32,
 ) -> DataFrame:
     """Cap every domain at ``quota`` rows (anti-boilerplate / source-mix
     control): hash-rank within domain, keep the first ``quota``. The
     kept subset is a uniform without-replacement sample of each
-    over-quota domain."""
-    w = Window.partitionBy(domain).orderBy(_unit_hash(F.col(key), salt), key)
-    return df.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= quota
-    ).drop("__rn")
+    over-quota domain.
+
+    Executes via :func:`grouped_topk` (two bounded window passes), so a
+    single over-represented domain never single-partitions — the r3
+    "skewed strata" pathology noted in the module docstring is closed.
+    Output is row-identical to the one-window formulation (and to the
+    DuckDB oracle): sharding affects placement, never the rank order."""
+    return grouped_topk(
+        df,
+        domain,
+        [_unit_hash(F.col(key), salt), F.col(key)],
+        quota,
+        shard_key=key,
+        shards=shards,
+    )
 
 
 def uniform_topk(df: DataFrame, key: str, k: int, salt: str = "topk-v1") -> DataFrame:

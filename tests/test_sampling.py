@@ -108,6 +108,50 @@ def test_domain_quota_parity_and_cap(spark):
         assert r.n <= quota
 
 
+def test_domain_quota_salted_equals_single_window(spark):
+    """The two-phase sharded execution must be row-identical to the
+    naive one-window formulation for every shard count — sharding is
+    placement, never semantics."""
+    from cc_mapreducer_spark.operators.sampling import _unit_hash
+    from pyspark.sql import Window
+
+    docs = _docs(spark).select("doc_id", "source")
+    quota = 17
+    w = Window.partitionBy("source").orderBy(
+        _unit_hash(F.col("doc_id"), "quota-v1"), F.col("doc_id")
+    )
+    naive = sorted(
+        (r.doc_id, r.source)
+        for r in docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+        .collect()
+    )
+    for shards in (1, 3, 32):
+        got = sorted(
+            (r.doc_id, r.source)
+            for r in domain_quota(
+                docs, "source", "doc_id", quota, shards=shards
+            ).collect()
+        )
+        assert got == naive, f"shards={shards} diverged from single-window"
+
+
+def test_grouped_topk_pass1_is_shard_partitioned(spark):
+    """Plan shape: the first window's partition spec must include the
+    shard column (the skew-immunity mechanism), and the second window
+    must exist over the bounded survivor set."""
+    docs = _docs(spark).select("doc_id", "source")
+    plan = (
+        domain_quota(docs, "source", "doc_id", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__shard" in plan  # pass-1 partition key carries the shard
+    assert plan.count("Window") >= 2  # two bounded passes, not one global
+
+
 def test_uniform_topk_exact_k_and_parity(spark):
     k = 40
     out = uniform_topk(_docs(spark).select("doc_id"), "doc_id", k)
