@@ -20,6 +20,7 @@ import cc_mapreducer_spark.operators.relational  # noqa: F401
 import cc_mapreducer_spark.operators.search  # noqa: F401
 import cc_mapreducer_spark.operators.relational_extra  # noqa: F401
 import cc_mapreducer_spark.operators.sessionize  # noqa: F401
+import cc_mapreducer_spark.operators.setsim  # noqa: F401
 import cc_mapreducer_spark.operators.stateful  # noqa: F401
 import cc_mapreducer_spark.operators.temporal  # noqa: F401
 import cc_mapreducer_spark.operators.tpch_full  # noqa: F401
