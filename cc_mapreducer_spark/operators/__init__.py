@@ -23,6 +23,7 @@ import cc_mapreducer_spark.operators.sessionize  # noqa: F401
 import cc_mapreducer_spark.operators.setsim  # noqa: F401
 import cc_mapreducer_spark.operators.stateful  # noqa: F401
 import cc_mapreducer_spark.operators.temporal  # noqa: F401
+import cc_mapreducer_spark.operators.timeseries  # noqa: F401
 import cc_mapreducer_spark.operators.tpch_full  # noqa: F401
 import cc_mapreducer_spark.operators.tpch_more  # noqa: F401
 import cc_mapreducer_spark.operators.similarity  # noqa: F401
