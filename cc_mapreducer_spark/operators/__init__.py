@@ -6,6 +6,7 @@ import cc_mapreducer_spark.operators.bloom  # noqa: F401
 import cc_mapreducer_spark.operators.bpe  # noqa: F401
 import cc_mapreducer_spark.operators.cdc  # noqa: F401
 import cc_mapreducer_spark.operators.clustering  # noqa: F401
+import cc_mapreducer_spark.operators.collocations  # noqa: F401
 import cc_mapreducer_spark.operators.consolidated  # noqa: F401
 import cc_mapreducer_spark.operators.curation  # noqa: F401
 import cc_mapreducer_spark.operators.semantic  # noqa: F401
