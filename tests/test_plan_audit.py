@@ -29,6 +29,8 @@ ALLOWED_NESTED_LOOP = {
     "bm25_search",  # one-row broadcast: the (n_docs, avgdl) corpus-stats row
     "hybrid_search_rrf",  # contains the bm25 leg above
     "ann_recall_digest",  # contains the brute-force leg's query-block cross join
+    "dsir_selected_docs",  # one-row broadcast: the (N_raw, N_target) totals row
+    "collocations_top",  # one-row broadcast: the total-bigram-count row
 }
 ALLOWED_PYTHON_EVAL = {
     "multimodal_derived",  # Arrow-batched mapInPandas by design
@@ -57,6 +59,10 @@ ALLOWED_PYTHON_EVAL = {
     # codec-level decode: mapInPandas by design, like multimodal_derived
     "media_codec_stats",
     "media_thumbnails",
+    # MMR re-rank: the greedy kernel runs per bounded M-candidate query
+    # group in applyInPandas; candidate scoring shares the brute-force
+    # mapInPandas kernel (operators/mmr.py)
+    "similarity_topk_mmr",
 }
 # streaming queries materialize through a memory sink; their batch plan is
 # not the interesting one and building them is slow — audited separately
