@@ -52,6 +52,10 @@ HEADLINE = [
     "cdc_snapshot",              # changelog -> latest-per-key snapshot
     "shared_passages",           # winnowing passage-level dedup
     "key_skew_profile",          # rows-per-key skew diagnostics
+    "event_resample_locf",       # dense grid + LOCF gap fill (r4 s2)
+    "collocations_top",          # PMI + G2 collocations (r4 s2)
+    "dsir_selected_docs",        # hashed-ngram importance resampling (r4 s2)
+    "similarity_topk_mmr",       # MMR diversity re-rank over top-50 (r4 s2)
 ]
 
 

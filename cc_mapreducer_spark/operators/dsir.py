@@ -74,11 +74,21 @@ def doc_bucket_counts(
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     nxt = F.lead("w", 1).over(win)
-    uni = words.select("doc_id", "lang", F.col("w").alias("gram"))
-    bi = words.select(
-        "doc_id", "lang", F.concat_ws(" ", "w", nxt).alias("gram"), nxt.alias("__n")
-    ).filter(F.col("__n").isNotNull()).drop("__n")
-    grams = uni.unionByName(bi)
+    # ONE window pass emits both gram orders: explode [unigram, bigram]
+    # per word (bigram null on the last word, filtered) — a union of two
+    # branches would run the lead window and its doc_id exchange twice
+    # (measured ~2x at sf0.1)
+    grams = (
+        words.withColumn(
+            "__grams",
+            F.array(
+                F.col("w"),
+                F.when(nxt.isNotNull(), F.concat_ws(" ", "w", nxt)),
+            ),
+        )
+        .select("doc_id", "lang", F.explode("__grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
     return grams.groupBy(
         "doc_id", "lang", _bucket(F.col("gram"), n_buckets).alias("bucket")
     ).agg(F.count("*").alias("n"))
@@ -90,7 +100,10 @@ def importance_weights(
     n_buckets: int = N_BUCKETS,
 ) -> DataFrame:
     """(doc_id, lang, weight): per-doc DSIR log importance weight."""
-    db = doc_bucket_counts(docs, n_buckets)
+    # the histogram feeds THREE consumers (raw model, target model,
+    # per-doc contributions) — cache it so the tokenize+window pipeline
+    # runs once (at scale: the parquet feature-table checkpoint)
+    db = doc_bucket_counts(docs, n_buckets).cache()
     raw = db.groupBy("bucket").agg(F.sum("n").alias("cr"))
     tgt = (
         db.filter(F.col("lang") == target_lang)
