@@ -13,6 +13,7 @@ import cc_mapreducer_spark.operators.semantic  # noqa: F401
 import cc_mapreducer_spark.operators.dedup  # noqa: F401
 import cc_mapreducer_spark.operators.dq  # noqa: F401
 import cc_mapreducer_spark.operators.dsir  # noqa: F401
+import cc_mapreducer_spark.operators.features  # noqa: F401
 import cc_mapreducer_spark.operators.graph  # noqa: F401
 import cc_mapreducer_spark.operators.heavyhitters  # noqa: F401
 import cc_mapreducer_spark.operators.mmr  # noqa: F401
