@@ -15,9 +15,13 @@ here are shaped around touching as little as possible:
     the key list alone — NO scan of the table — and routes a
     delete-op batch through the CDC stage-and-swap merge, so
     untouched partitions are never read or rewritten.
+  * ``forget_keys_parquet`` — for DERIVED artifacts (LSH/band indexes,
+    code tables, feature extracts): they carry the key too, and an
+    erasure that only touches primary tables silently leaks through
+    them. Copy-on-write stage-and-swap of the whole artifact.
   * ``erasure_audit`` — per-table residual row counts for the keys;
     all zeros = the erasure actually took. Run it AFTER vacuum for
-    snapshot tables.
+    snapshot tables, and include the derived artifacts.
 
 Scale notes (100 TB):
   * forget requests are batched by design (the API takes a key LIST):
@@ -106,6 +110,42 @@ def forget_keys_partitioned(
     )
     return {
         "partitions_touched": sorted(map(str, touched)),
+        "keys_requested": len(keys),
+        "erasure_pending_vacuum": False,
+    }
+
+
+def forget_keys_parquet(
+    spark: SparkSession, path: str, key_col: str, keys: list
+) -> dict:
+    """Erase ``keys`` from a plain (unversioned, unpartitioned) parquet
+    artifact — the DERIVED-artifact leg of an erasure: LSH/band indexes,
+    code tables, and feature extracts all carry the key too, and an
+    erasure that only touches the primary tables silently leaks through
+    them. Copy-on-write: the filtered rows stage to a sibling directory,
+    then swap atomically-per-rename into place (read and write never
+    overlap — overwriting the path being read races the lazy scan)."""
+    import os
+    import shutil
+    import uuid
+
+    cur = spark.read.parquet(path)
+    kdf = spark.createDataFrame(
+        [(k,) for k in keys], f"{key_col}: {_key_ddl(cur, key_col)}"
+    )
+    n_removed = cur.join(F.broadcast(kdf), key_col, "left_semi").count()
+    kept = cur.join(F.broadcast(kdf), key_col, "left_anti")
+    staging = f"{path.rstrip('/')}_forget_{uuid.uuid4().hex[:8]}"
+    try:
+        kept.write.parquet(staging)
+        old = f"{path.rstrip('/')}_old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "rows_removed": n_removed,
         "keys_requested": len(keys),
         "erasure_pending_vacuum": False,
     }

@@ -83,6 +83,51 @@ def test_forget_partitioned_swaps_only_touched(spark, tmp_path):
     assert got.filter(F.col("kb") == 3).count() == 48
 
 
+def test_forget_cascades_to_derived_minhash_index(spark, tmp_path):
+    """Erasure must reach DERIVED artifacts: after forgetting doc_ids
+    from the band index, an incremental probe can never surface them as
+    candidates, and the audit over base + index reads zero."""
+    from cc_mapreducer_spark.operators.incremental import (
+        build_minhash_index,
+        incremental_near_dups,
+    )
+    from cc_mapreducer_spark.plans.governance import forget_keys_parquet
+
+    sf = "/root/testdata/sf0.01"
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(spark, sf, idx, max_doc_id=400)
+    before = incremental_near_dups(spark, sf, idx, min_doc_id=400, threshold=0.2)
+    targets = sorted({r.corpus_doc for r in before.collect()})[:3]
+    assert targets, "probe found no candidates — test corpus changed?"
+
+    report = forget_keys_parquet(spark, idx, "doc_id", targets)
+    assert report["rows_removed"] > 0
+
+    after = incremental_near_dups(spark, sf, idx, min_doc_id=400, threshold=0.2)
+    assert not {r.corpus_doc for r in after.collect()} & set(targets)
+    residual = (
+        spark.read.parquet(idx)
+        .filter(F.col("doc_id").isin([int(t) for t in targets]))
+        .count()
+    )
+    assert residual == 0
+
+
+def test_forget_snapshot_shows_in_diff(spark, tmp_path):
+    """Composition with time travel: the erasure version diffs against
+    its parent as pure deletions of exactly the forgotten keys."""
+    from cc_mapreducer_spark.plans.snapshots import diff_snapshots, write_snapshot
+
+    tdir = str(tmp_path / "users_tbl2")
+    write_snapshot(_users(spark), tdir)
+    forget_keys_snapshot(spark, tdir, "user_id", [5, 9])
+    diff = diff_snapshots(spark, tdir, 0, 1, ["user_id"]).collect()
+    assert {(r.user_id, r.change_type) for r in diff} == {
+        (5, "deleted"),
+        (9, "deleted"),
+    }
+
+
 def test_erasure_audit_reports_residuals(spark, tmp_path):
     clean = _users(spark).filter(~F.col("user_id").isin(3, 7))
     dirty = _users(spark)  # still contains the keys
