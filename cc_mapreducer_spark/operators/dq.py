@@ -469,48 +469,27 @@ FROM contrib c CROSS JOIN tot t
 """
 
 
-@register("psi_value_drift", oracle=_PSI_SQL, driver=False)
-def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index of `events.value` between the first
-    and second half-month — the standard drift monitor for a feature a
-    pipeline keeps recomputing (PSI < 0.1 stable, 0.1-0.25 moderate
-    shift, > 0.25 investigate; industry credit-scoring convention).
-
-    Shape at scale: binning is map-side (fixed edges — no min/max
-    pre-pass), the shuffle carries <= 2*B counter rows per task, the
-    fixed bin domain comes from a generated range (absent bins count 0
-    with add-1 smoothing so PSI is always finite), and the total folds
-    in bin order (engine-independent summation; 6dp grid absorbs libm
-    ln drift)."""
-    e = load_table(spark, sf_dir, "events")
-    bin_col = (
+def psi_bin_col(value_col: str = "value") -> F.Column:
+    """The shared fixed-edge binning expression (batch query AND the
+    streaming drift monitor bin with the SAME expression, so their
+    counts are comparable by construction)."""
+    return (
         F.least(
             F.lit(_PSI_BINS - 1),
-            F.greatest(F.lit(0), F.floor((F.col("value") - _PSI_LO) / _PSI_W)),
+            F.greatest(F.lit(0), F.floor((F.col(value_col) - _PSI_LO) / _PSI_W)),
         )
         .cast("bigint")
         .alias("bin")
     )
-    counted = (
-        e.select(bin_col, (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_ref"))
-        .groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
-            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
-        )
-    )
-    domain = e.sparkSession.range(_PSI_BINS).select(F.col("id").alias("bin"))
-    counts = (
-        domain.join(counted, "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-        )
-    )
-    totals = counts.agg(
-        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
-    )
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """PSI report from a (bin, n_ref, n_cur) frame covering the full
+    0..B-1 bin domain: per-bin smoothed contributions plus the
+    bin-ordered-fold total (engine-independent summation). Shared by
+    the batch query below and the streaming monitor's read path —
+    structural, not coincidental, equality between the two."""
+    totals = counts.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
     p = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + _PSI_BINS).cast("double")
     q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + _PSI_BINS).cast("double")
     contrib = counts.crossJoin(F.broadcast(totals)).withColumn(
@@ -530,3 +509,44 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("psi_contrib", 6).alias("psi_contrib"),
         F.round("psi_total", 6).alias("psi_total"),
     )
+
+
+def full_bin_domain(counted: DataFrame) -> DataFrame:
+    """Left-join per-bin counts onto the generated 0..B-1 domain so
+    absent bins count 0 (keeps add-1 smoothing finite everywhere)."""
+    domain = counted.sparkSession.range(_PSI_BINS).select(
+        F.col("id").alias("bin")
+    )
+    return domain.join(counted, "bin", "left").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+
+
+@register("psi_value_drift", oracle=_PSI_SQL, driver=False)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of `events.value` between the first
+    and second half-month — the standard drift monitor for a feature a
+    pipeline keeps recomputing (PSI < 0.1 stable, 0.1-0.25 moderate
+    shift, > 0.25 investigate; industry credit-scoring convention).
+
+    Shape at scale: binning is map-side (fixed edges — no min/max
+    pre-pass), the shuffle carries <= 2*B counter rows per task, the
+    fixed bin domain comes from a generated range (absent bins count 0
+    with add-1 smoothing so PSI is always finite), and the total folds
+    in bin order (engine-independent summation; 6dp grid absorbs libm
+    ln drift)."""
+    e = load_table(spark, sf_dir, "events")
+    counted = (
+        e.select(
+            psi_bin_col("value"),
+            (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+        )
+    )
+    return psi_from_counts(full_bin_domain(counted))
