@@ -81,3 +81,74 @@ def price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         F.round("pct_rank", 9).alias("pct_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# target encoding (mean encoding) — smoothed and leave-one-out
+# --------------------------------------------------------------------------
+
+_TE_M = 10.0  # smoothing pseudo-count
+
+_TARGET_ENC_SQL = f"""
+WITH cat AS (
+    SELECT o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+           count(*) AS n
+    FROM orders GROUP BY 1
+), g AS (
+    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS mu
+    FROM orders
+)
+SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+       round((c.s + {_TE_M} * g.mu) / (c.n + {_TE_M}), 6) AS enc_smoothed,
+       CASE WHEN c.n > 1
+            THEN round((c.s - o.o_totalprice) / (c.n - 1), 6)
+            ELSE NULL END AS enc_loo
+FROM orders o JOIN cat c USING (o_orderpriority) CROSS JOIN g
+"""
+
+
+@register("target_encoded_orders", oracle=_TARGET_ENC_SQL, driver=False)
+def target_encoded_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding of o_orderpriority against o_totalprice, the two
+    standard leak-resistant variants side by side:
+
+      * enc_smoothed — (sum_cat + m*mu) / (n_cat + m): shrinks rare
+        categories toward the global mean (m = {_TE_M} pseudo-counts).
+      * enc_loo — leave-one-out: (sum_cat - own_target) / (n_cat - 1),
+        NULL for singleton categories. A row never sees its own target
+        — the same leakage discipline as the SCD2 point-in-time join.
+
+    Determinism: category sums and the global mean route through
+    DECIMAL (exact, order-independent); each encoding is then a single
+    IEEE division, exported on the 6dp grid. Shape at scale: one
+    map-side-combined category aggregate (|categories| rows, broadcast
+    back) + a one-row global mean — the fact table never shuffles."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    cat = o.groupBy("o_orderpriority").agg(
+        F.sum(dec).cast("double").alias("__s"),
+        F.count("*").alias("__n"),
+    )
+    g = o.agg(
+        (F.sum(dec).cast("double") / F.count("*")).alias("__mu")
+    )
+    enc_s = (F.col("__s") + _TE_M * F.col("__mu")) / (F.col("__n") + _TE_M)
+    enc_l = F.when(
+        F.col("__n") > 1,
+        (F.col("__s") - F.col("o_totalprice")) / (F.col("__n") - 1),
+    )
+    return (
+        o.join(F.broadcast(cat), "o_orderpriority")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round(enc_s, 6).alias("enc_smoothed"),
+            F.round(enc_l, 6).alias("enc_loo"),
+        )
+    )

