@@ -16,6 +16,7 @@ import cc_mapreducer_spark.operators.dsir  # noqa: F401
 import cc_mapreducer_spark.operators.features  # noqa: F401
 import cc_mapreducer_spark.operators.graph  # noqa: F401
 import cc_mapreducer_spark.operators.heavyhitters  # noqa: F401
+import cc_mapreducer_spark.operators.linkage  # noqa: F401
 import cc_mapreducer_spark.operators.mmr  # noqa: F401
 import cc_mapreducer_spark.operators.multimodal  # noqa: F401
 import cc_mapreducer_spark.operators.pq  # noqa: F401
