@@ -483,15 +483,15 @@ def psi_bin_col(value_col: str = "value") -> F.Column:
     )
 
 
-def psi_from_counts(counts: DataFrame) -> DataFrame:
+def psi_from_counts(counts: DataFrame, n_bins: int = _PSI_BINS) -> DataFrame:
     """PSI report from a (bin, n_ref, n_cur) frame covering the full
     0..B-1 bin domain: per-bin smoothed contributions plus the
     bin-ordered-fold total (engine-independent summation). Shared by
     the batch query below and the streaming monitor's read path —
     structural, not coincidental, equality between the two."""
     totals = counts.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
-    p = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + _PSI_BINS).cast("double")
-    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + _PSI_BINS).cast("double")
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + n_bins).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + n_bins).cast("double")
     contrib = counts.crossJoin(F.broadcast(totals)).withColumn(
         "psi_contrib", (p - q) * F.log(p / q)
     )
@@ -550,3 +550,133 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return psi_from_counts(full_bin_domain(counted))
+
+
+# --------------------------------------------------------------------------
+# embedding distribution drift: PSI over sign-LSH bucket histograms
+# --------------------------------------------------------------------------
+
+_EMB_BINS = 16  # one 4-bit LSH table -> 16 buckets
+
+# Simulated encoder-bias drift: +0.5 added to every component, in DOUBLE
+# on both engines so the hyperplane sign decisions stay bit-identical
+# (float->double widening is exact; 0.5 is exact; the shifted value then
+# feeds the same fixed-order dot fold the ANN index uses). Slice-by-
+# filter drifts (drop labels, halfspaces) measured at or below the
+# 500-row sampling-noise floor (~0.056) because the Gaussian-cluster
+# corpus is near-uniform over 4-bit buckets; a constant offset moves
+# every point across hyperplanes and reads PSI ~4.8 — the regime a
+# monitor must flag (embedding model swapped / preprocessing changed).
+_EMB_SHIFT_SPARK = "transform(embedding, v -> cast(v as double) + 0.5D)"
+_EMB_SHIFT_DUCK = "list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.5)"
+
+# name -> ((ref_cond, ref_emb_is_shifted), (cur_cond, cur_emb_is_shifted))
+_EMB_SLICES = (
+    ("parity", ("vec_id % 2 = 0", False), ("vec_id % 2 = 1", False)),
+    ("bias_shift", ("true", False), ("true", True)),
+)
+
+
+def _emb_drift_sql() -> str:
+    from cc_mapreducer_spark.operators.similarity import _table_bucket_duck
+
+    bucket = _table_bucket_duck(0)
+    ctes, selects = [], []
+    for name, (ref_cond, ref_shift), (cur_cond, cur_shift) in _EMB_SLICES:
+        ref_bucket = bucket.replace("embedding", _EMB_SHIFT_DUCK) if ref_shift else bucket
+        cur_bucket = bucket.replace("embedding", _EMB_SHIFT_DUCK) if cur_shift else bucket
+        ctes.append(f"""
+pts_{name} AS (
+    SELECT {ref_bucket} AS bk, true AS is_ref FROM embeddings WHERE {ref_cond}
+    UNION ALL
+    SELECT {cur_bucket} AS bk, false AS is_ref FROM embeddings WHERE {cur_cond}
+), counts_{name} AS (
+    SELECT lpad(bin(r.b0), 4, '0') AS bin,
+           CAST(coalesce(sum(CASE WHEN x.is_ref THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ref,
+           CAST(coalesce(sum(CASE WHEN x.is_ref = false THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cur
+    FROM range({_EMB_BINS}) r(b0)
+    LEFT JOIN pts_{name} x ON x.bk = lpad(bin(r.b0), 4, '0')
+    GROUP BY r.b0
+), tot_{name} AS (
+    SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts_{name}
+), contrib_{name} AS (
+    SELECT c.bin, c.n_ref, c.n_cur,
+           ((CAST(c.n_ref + 1 AS DOUBLE) / CAST(t.tr + {_EMB_BINS} AS DOUBLE))
+            - (CAST(c.n_cur + 1 AS DOUBLE) / CAST(t.tc + {_EMB_BINS} AS DOUBLE)))
+           * ln((CAST(c.n_ref + 1 AS DOUBLE) / CAST(t.tr + {_EMB_BINS} AS DOUBLE))
+                / (CAST(c.n_cur + 1 AS DOUBLE) / CAST(t.tc + {_EMB_BINS} AS DOUBLE)))
+           AS psi_contrib
+    FROM counts_{name} c CROSS JOIN tot_{name} t
+), fold_{name} AS (
+    SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list(psi_contrib ORDER BY bin)),
+                       (a, x) -> a + x) AS psi_total
+    FROM contrib_{name}
+)""")
+        selects.append(
+            f"SELECT '{name}' AS slice, c.bin, c.n_ref, c.n_cur, "
+            f"round(c.psi_contrib, 6) AS psi_contrib, round(f.psi_total, 6) AS psi_total "
+            f"FROM contrib_{name} c CROSS JOIN fold_{name} f"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _emb_bucket_counts(emb, ref_leg, cur_leg):
+    """(bin, n_ref, n_cur) over the full 16-bucket LSH domain for one
+    (reference, current) slice pair; each leg is (filter_cond,
+    apply_bias_shift)."""
+    from cc_mapreducer_spark.operators.similarity import _table_bucket_spark
+
+    bucket = F.expr(_table_bucket_spark(0)).alias("bin")
+
+    def leg(cond, shifted, is_ref):
+        src = emb.filter(F.expr(cond))
+        if shifted:
+            src = src.select(F.expr(_EMB_SHIFT_SPARK).alias("embedding"))
+        return src.select(bucket, F.lit(is_ref).alias("is_ref"))
+
+    pts = leg(*ref_leg, True).unionByName(leg(*cur_leg, False))
+    counted = pts.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    domain = emb.sparkSession.range(_EMB_BINS).select(
+        F.lpad(F.conv(F.col("id").cast("string"), 10, 2), 4, "0").alias("bin")
+    )
+    return domain.join(counted, "bin", "left").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+
+
+@register("embedding_drift_psi", oracle=_emb_drift_sql(), driver=False)
+def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift for EMBEDDINGS: PSI over sign-LSH bucket
+    histograms (the 16 buckets of one 4-bit table stand in for value
+    bins — hashing makes a 64-dim distribution monitorable with a B-row
+    histogram, the same trick DSIR uses for n-grams). Two planted slice
+    pairs ship as tagged rows:
+
+      * slice='parity'     — even vs odd vec_ids: same distribution,
+                             PSI must read the sampling-noise floor
+                             (the null case);
+      * slice='bias_shift' — reference vs every vector offset by +0.5
+                             per component (encoder swap / preprocessing
+                             bug): every point crosses hyperplanes, PSI
+                             must read large (~4.8 at sf0.01 vs ~0.06
+                             noise).
+
+    The LSH bucket expression is shared verbatim with the ANN index
+    (operators/similarity.py), so this monitors exactly the geometry
+    the retrieval path depends on. Shape at scale: two scans x map-side
+    16-bucket counts; nothing else moves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = None
+    for name, ref_leg, cur_leg in _EMB_SLICES:
+        counts = _emb_bucket_counts(emb, ref_leg, cur_leg)
+        leg = psi_from_counts(counts, n_bins=_EMB_BINS).select(
+            F.lit(name).alias("slice"), "*"
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

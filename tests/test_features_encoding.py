@@ -66,3 +66,19 @@ def test_topk_rollup_shape_and_conservation(spark):
     }
     other_max = max(v for k, v in counts.items() if k not in named) if len(counts) > 3 else 0
     assert all(counts[l] >= other_max for l in named)
+
+
+def test_embedding_drift_separates_null_from_shift(spark):
+    """The null slice (parity) must read PSI at the sampling-noise
+    floor; the planted encoder-bias shift must read dramatically
+    higher — the monitor is only useful if it separates the regimes."""
+    from cc_mapreducer_spark.operators.dq import embedding_drift_psi
+
+    rows = embedding_drift_psi(spark, SF_ORACLE).collect()
+    totals = {r.slice: r.psi_total for r in rows}
+    assert set(totals) == {"parity", "bias_shift"}
+    assert totals["parity"] < 0.1          # stable by PSI convention
+    assert totals["bias_shift"] > 1.0      # unambiguous drift alarm
+    assert totals["bias_shift"] > totals["parity"] * 10
+    bins = [r.bin for r in rows if r.slice == "parity"]
+    assert len(bins) == 16 and len(set(bins)) == 16  # full LSH domain
