@@ -56,6 +56,7 @@ HEADLINE = [
     "collocations_top",          # PMI + G2 collocations (r4 s2)
     "dsir_selected_docs",        # hashed-ngram importance resampling (r4 s2)
     "similarity_topk_mmr",       # MMR diversity re-rank over top-50 (r4 s2)
+    "embedding_drift_psi",       # PSI drift over shared LSH buckets (r4 s3)
 ]
 
 

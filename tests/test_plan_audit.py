@@ -33,6 +33,7 @@ ALLOWED_NESTED_LOOP = {
     "collocations_top",  # one-row broadcast: the total-bigram-count row
     "target_encoded_orders",  # one-row broadcast: the global-mean row
     "psi_value_drift",  # one-row broadcasts: slice totals + the folded psi_total
+    "embedding_drift_psi",  # same psi_from_counts one-row totals broadcasts, x2 slices
 }
 ALLOWED_PYTHON_EVAL = {
     "multimodal_derived",  # Arrow-batched mapInPandas by design
