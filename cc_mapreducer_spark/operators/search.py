@@ -256,3 +256,82 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lex_rank",
         "vec_rank",
     )
+
+
+# --------------------------------------------------------------------------
+# per-document TF-IDF keyword extraction
+# --------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents
+), tf AS (
+    SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+    FROM toks GROUP BY 1, 2
+), dfx AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), nd AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.word, tf.tf,
+           round(tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+    FROM tf JOIN dfx USING (word) CROSS JOIN nd
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, word
+    ) AS rank
+    FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, word, tf, score
+FROM ranked WHERE rank <= {_TFIDF_TOPK}
+"""
+
+
+@register("tfidf_doc_keywords", oracle=_TFIDF_SQL, driver=False)
+def tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_TOPK} keywords per document by smoothed TF-IDF
+    (sklearn's ln((N+1)/(df+1)) + 1 — idf never negative, never /0).
+    The per-doc distinctive-term list is the workhorse of corpus
+    triage: cluster labeling, dedup explanations, topic drill-downs.
+
+    Plan shape: tf is one (doc_id, word) groupBy, df one word-keyed
+    groupBy OVER THE TF TABLE (distinct doc-word pairs, so df needs no
+    count(distinct)); scoring joins tf to df on word — both sides
+    word-keyed and near-uniform — and the top-k window partitions by
+    doc_id, so nothing corpus-wide ever passes through one partition.
+    n_docs rides as a driver-side literal (one count on the doc table's
+    footer, the heavy_hitter_words convention) instead of a 1-row cross
+    join. Determinism: scores round to 6dp before ORDER BY (absorbing
+    libm-vs-JVM ln ulp drift, the BM25 precedent) with word-asc
+    tiebreak."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], "doc_id bigint, rank int, word string, tf bigint, score double"
+        )
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_WORDS)).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfx = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    scored = tf.join(dfx, "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        F.round(
+            F.col("tf")
+            * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+        .select("doc_id", "rank", "word", "tf", "score")
+    )

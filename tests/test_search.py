@@ -88,3 +88,44 @@ def test_no_unpartitioned_window_over_unbounded_input(spark):
             f"{q.__name__}: {n_windows} Window nodes vs {n_limits} "
             "limited inputs — a Window is running over an unbounded input"
         )
+
+
+def test_tfidf_keywords_pick_distinctive_terms(spark, tmp_path):
+    # 'whale' is unique to doc 0; 'the' appears in every doc and must be
+    # down-weighted below it despite equal tf
+    from cc_mapreducer_spark.operators.search import tfidf_doc_keywords
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            "the whale the whale",
+            "the cat the cat",
+            "the dog the dog",
+        ],
+    )
+    rows = tfidf_doc_keywords(spark, sf).collect()
+    top = {r["doc_id"]: r["word"] for r in rows if r["rank"] == 1}
+    assert top == {0: "whale", 1: "cat", 2: "dog"}
+    # scores are tf * (ln((N+1)/(df+1)) + 1): for the unique words
+    # tf=2, df=1, N=3 -> 2 * (ln(2) + 1)
+    import math
+
+    whale = [r for r in rows if r["word"] == "whale"][0]
+    assert whale["tf"] == 2
+    assert abs(whale["score"] - round(2 * (math.log(2.0) + 1), 6)) < 1e-9
+
+
+def test_tfidf_topk_window_is_doc_partitioned(spark):
+    # the only Window may partition by doc_id — no vocabulary- or
+    # corpus-sized single-partition sorts anywhere in the plan
+    from cc_mapreducer_spark.operators.search import tfidf_doc_keywords
+
+    plan = formatted_plan(tfidf_doc_keywords(spark, SF_ORACLE))
+    specs = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line.lower()
+    ]
+    assert specs, "expected a Window node in the tfidf plan"
+    for line in specs:
+        assert "doc_id" in line, f"Window not partitioned by doc_id: {line}"
