@@ -230,3 +230,168 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, _ROUND).alias("score"),
         (score >= 0.5).alias("pred_en"),
     )
+
+
+# --------------------------------------------------------------------------
+# model evaluation: AUC, confusion counts, calibration bins
+# --------------------------------------------------------------------------
+
+_EVAL_SQL_TMPL = """
+WITH scored AS ({scored}),
+per_score AS (
+    SELECT score,
+           CAST(sum(y) AS BIGINT) AS p,
+           CAST(count(*) - sum(y) AS BIGINT) AS neg
+    FROM scored GROUP BY score
+), cum AS (
+    SELECT score, p, neg,
+           CAST(coalesce(sum(neg) OVER (
+               ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS neg_below
+    FROM per_score
+), agg AS (
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CAST(sum(2 * p * neg_below + p * neg) AS BIGINT) AS auc_num2
+    FROM cum
+), conf AS (
+    SELECT CAST(sum(CASE WHEN pred_en AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN pred_en AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN NOT pred_en AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN NOT pred_en AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM scored
+)
+SELECT n_pos, n_neg, tp, fp, fn, tn,
+       CASE WHEN n_pos * n_neg > 0
+            THEN round(auc_num2 / (2.0 * n_pos * n_neg), 9) END AS auc,
+       round((tp + tn) / CAST(n_pos + n_neg AS DOUBLE), 9) AS accuracy,
+       CASE WHEN tp + fp > 0
+            THEN round(tp / CAST(tp + fp AS DOUBLE), 9) END AS precision_en,
+       CASE WHEN n_pos > 0
+            THEN round(tp / CAST(n_pos AS DOUBLE), 9) END AS recall_en
+FROM agg, conf
+"""
+
+
+def _eval_sql() -> str:
+    return _EVAL_SQL_TMPL.format(scored=_scorer_sql())
+
+
+@register("classifier_eval_metrics", oracle=_eval_sql(), driver=False)
+def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the frozen scorer against its labels: tie-aware AUC
+    (Mann-Whitney), confusion counts at the 0.5 cut, accuracy,
+    precision, recall — one row, every ratio a 9dp rounding of an
+    exact-integer fraction, so the key is fully hash-checkable.
+
+    The AUC avoids the textbook corpus-wide rank window: group by the
+    6dp score first (per_score), then one cumulative window over THAT
+    table — its size is bounded by the score grid (<= 1e6 + 1 rows no
+    matter the corpus), so the single-partition window is over a
+    bounded input (the tokenize.py TakeOrdered discipline). The pair
+    count sums 2*p*neg_below + p*neg per distinct score — all integer
+    arithmetic until the final division."""
+    from pyspark.sql import Window
+
+    scored = quality_classifier_scores(spark, sf_dir)
+    per_score = scored.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("p"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("bigint")
+    )
+    agg = cum.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.sum(
+            2 * F.col("p") * F.col("neg_below") + F.col("p") * F.col("neg")
+        )
+        .cast("bigint")
+        .alias("auc_num2"),
+    )
+    pred = F.col("pred_en")
+    conf = scored.agg(
+        F.sum(F.when(pred & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(pred & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~pred & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~pred & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    j = agg.crossJoin(conf)  # two 1-row aggregates
+    total = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    return j.select(
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("n_pos") * F.col("n_neg") > 0,
+            F.round(
+                F.col("auc_num2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 9
+            ),
+        ).alias("auc"),
+        F.round((F.col("tp") + F.col("tn")) / total, 9).alias("accuracy"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 9),
+        ).alias("precision_en"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(F.col("tp") / F.col("n_pos").cast("double"), 9),
+        ).alias("recall_en"),
+    )
+
+
+_CALIB_SQL_TMPL = """
+WITH scored AS ({scored})
+SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(score AS DECIMAL(8,6))) AS DOUBLE) / count(*), 9)
+           AS mean_score,
+       round(sum(y) / CAST(count(*) AS DOUBLE), 9) AS frac_pos
+FROM scored
+GROUP BY 1
+"""
+
+
+def _calib_sql() -> str:
+    return _CALIB_SQL_TMPL.format(scored=_scorer_sql())
+
+
+@register("classifier_calibration_bins", oracle=_calib_sql(), driver=False)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram input: decile bins of the frozen scorer's
+    output, each with its exact count, mean predicted score, and
+    observed positive fraction. mean_score sums the 6dp scores as
+    DECIMAL(8,6) — exact, order-free — before one double division
+    (the repo's decimal-sum determinism recipe), so the key hashes."""
+    scored = quality_classifier_scores(spark, sf_dir)
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("score") * 10), F.lit(9))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(8,6)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("mean_score"),
+            F.round(F.sum("y") / F.count("*").cast("double"), 9).alias(
+                "frac_pos"
+            ),
+        )
+    )

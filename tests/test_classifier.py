@@ -138,3 +138,41 @@ def test_empty_corpus_trains_to_zeros(spark, tmp_path):
     pq.write_table(t, f"{tmp_path}/documents.parquet")
     feats = _spark_features(spread(load_table(spark, str(tmp_path), "documents")))
     assert train_logreg(feats) == [0.0] * 5
+
+
+def test_auc_matches_pair_counting(spark, tmp_path):
+    # tie-aware AUC from the grouped cumulative form must equal the
+    # O(n^2) definition computed directly on the scored rows
+    from cc_mapreducer_spark.operators.classifier import (
+        classifier_eval_metrics,
+        quality_classifier_scores,
+    )
+
+    sf = _write_planted(tmp_path)
+    scored = quality_classifier_scores(spark, sf).collect()
+    pos = [r["score"] for r in scored if r["y"] == 1]
+    neg = [r["score"] for r in scored if r["y"] == 0]
+    pairs = sum(
+        1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg
+    )
+    want = round(pairs / (len(pos) * len(neg)), 9)
+    row = classifier_eval_metrics(spark, sf).collect()[0]
+    assert row["auc"] == want
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["tp"] + row["fp"] + row["fn"] + row["tn"] == len(scored)
+
+
+def test_calibration_bins_partition_the_corpus(spark, tmp_path):
+    from cc_mapreducer_spark.operators.classifier import (
+        classifier_calibration_bins,
+    )
+
+    sf = _write_planted(tmp_path)
+    rows = classifier_calibration_bins(spark, sf).collect()
+    assert sum(r["n"] for r in rows) == 80
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        # mean score must sit inside its bin (inclusive upper edge for 9)
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 + 1e-9
+        assert lo <= r["mean_score"] <= hi

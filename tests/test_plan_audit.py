@@ -34,6 +34,7 @@ ALLOWED_NESTED_LOOP = {
     "target_encoded_orders",  # one-row broadcast: the global-mean row
     "psi_value_drift",  # one-row broadcasts: slice totals + the folded psi_total
     "embedding_drift_psi",  # same psi_from_counts one-row totals broadcasts, x2 slices
+    "classifier_eval_metrics",  # one-row x one-row join: the AUC agg vs the confusion agg
 }
 ALLOWED_PYTHON_EVAL = {
     "multimodal_derived",  # Arrow-batched mapInPandas by design
