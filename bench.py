@@ -57,6 +57,9 @@ HEADLINE = [
     "dsir_selected_docs",        # hashed-ngram importance resampling (r4 s2)
     "similarity_topk_mmr",       # MMR diversity re-rank over top-50 (r4 s2)
     "embedding_drift_psi",       # PSI drift over shared LSH buckets (r4 s3)
+    "cms_word_counts",           # count-min sketch: d*w-key constant shuffle (r4 s4)
+    "tfidf_doc_keywords",        # per-doc TF-IDF top-k keywords (r4 s4)
+    "classifier_eval_metrics",   # frozen-scorer AUC/confusion eval (r4 s4)
 ]
 
 
