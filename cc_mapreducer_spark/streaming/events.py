@@ -368,3 +368,39 @@ def stream_events_to_partitioned_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# stream-static enrichment join
+# --------------------------------------------------------------------------
+
+_ENRICH_SQL = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, c.c_name
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("streaming_enriched_events", oracle=_ENRICH_SQL, driver=False)
+def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: each event micro-batch joins the static
+    customer dimension — the canonical streaming lookup-join. The static
+    side is broadcast (hinted; dimension tables are the small side by
+    definition), so every micro-batch is a map-side hash join with ZERO
+    join state in the state store — unlike the stream-stream interval
+    join above, nothing is buffered and nothing needs watermark
+    eviction; Spark re-plans the static side per batch, which is also
+    what picks up dimension updates between batches at no extra cost.
+    Stateless inner join in append mode emits each enriched event
+    exactly once, so the finite replay equals the batch join — the
+    DuckDB oracle states it directly."""
+    from cc_mapreducer_spark.tables import load_table
+
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), "c_mktsegment", "c_name"
+    )
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "event_type", "c_mktsegment", "c_name")
+    )
+    return _run_to_memory(enriched, "append")

@@ -74,6 +74,7 @@ SKIP = {
     "streaming_windows",
     "streaming_sessionize_watermarked",
     "streaming_stateful_user_totals",
+    "streaming_enriched_events",
 }
 
 

@@ -39,3 +39,21 @@ def test_streaming_dedup_matches_batch_distinct(spark):
     ).df()
     assert len(out) < con.sql("SELECT count(*) FROM events").fetchone()[0]
     compare_frames(out, oracle, "streaming_dedup_minutely")
+
+
+def test_stream_static_enrichment_matches_batch_join(spark):
+    # stateless stream-static broadcast join: the drained replay must
+    # equal the plain batch join (each event enriched exactly once,
+    # no join state, no watermark needed)
+    from cc_mapreducer_spark.streaming.events import streaming_enriched_events
+
+    out = streaming_enriched_events(spark, SF_ORACLE).toPandas()
+    con = duckdb_connection(SF_ORACLE)
+    oracle = con.sql(
+        """
+        SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, c.c_name
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        """
+    ).df()
+    assert len(out) > 0, "fixture events should enrich against customers"
+    compare_frames(out, oracle, "stream_static_enrichment")
