@@ -43,6 +43,11 @@ REPRESENTATIVES = [
     "heavy_hitter_words",        # empty token stream -> empty, not 0-div
     "media_codec_stats",         # nothing to encode -> empty, stable schema
     "media_thumbnails",
+    # round 4, session 4
+    "cms_word_counts",           # empty stream -> empty contract table
+    "tfidf_doc_keywords",        # n_docs=0 guard
+    "quality_classifier_scores", # frozen scorer over zero rows
+    "classifier_calibration_bins",
 ]
 
 
