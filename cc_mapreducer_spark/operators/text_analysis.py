@@ -501,3 +501,77 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.md5("nt"))
         .alias("min_kgram_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# character-level Shannon entropy (gibberish / spam / low-diversity signal)
+# --------------------------------------------------------------------------
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _entropy_sql_terms(letters_expr: str, engine: str) -> tuple[str, str]:
+    """(total_expr, entropy_expr) built from per-letter replace-counts —
+    identical function names in Spark SQL and DuckDB, so one generator
+    serves both engines. Counting via length(t) - length(replace(t,c,''))
+    keeps the whole computation a per-row codegen expression: no explode,
+    no shuffle, O(26 * len) character scans per document."""
+    del engine  # same surface in both dialects; kept for call-site clarity
+    counts = [
+        f"(length({letters_expr}) - length(replace({letters_expr}, '{c}', '')))"
+        for c in _ALPHABET
+    ]
+    total = f"length({letters_expr})"
+    # fixed-order sum over the 26 letters (addition order pinned by
+    # construction); zero-count letters contribute exactly 0
+    terms = [
+        f"(CASE WHEN {c} > 0 THEN -({c} / CAST({total} AS DOUBLE))"
+        f" * ln({c} / CAST({total} AS DOUBLE)) ELSE 0.0 END)"
+        for c in counts
+    ]
+    return total, "(" + "\n + ".join(terms) + ")"
+
+
+def _char_entropy_sql() -> str:
+    letters = "regexp_replace(lower(text), '[^a-z]', '', 'g')"
+    total, ent = _entropy_sql_terms("lt", "duckdb")
+    return f"""
+WITH base AS (
+    SELECT doc_id, {letters} AS lt FROM documents
+)
+SELECT doc_id,
+       CAST({total} AS BIGINT) AS n_letters,
+       CASE WHEN {total} > 0 THEN round({ent}, 6) ELSE 0.0 END AS char_entropy,
+       CASE WHEN {total} > 0 THEN round({ent}, 6) ELSE 0.0 END < 2.5
+           AS low_entropy
+FROM base
+"""
+
+
+@register("char_entropy_profile", oracle=_char_entropy_sql(), driver=False)
+def char_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy over the a-z letter
+    distribution — the cheap gibberish/spam/low-diversity gate (natural
+    English sits ~2.8-3.0 nats; 'aaaa...' is 0, keyboard mash and
+    base64 blobs run high). Entire computation is one zero-shuffle
+    codegen projection: 26 replace-count expressions per row, a
+    fixed-order entropy sum, 6dp rounding (ln ulp discipline). The
+    2.5-nat flag is the conventional low-diversity cut, emitted so the
+    gate itself is hash-checked, not just the score."""
+    from cc_mapreducer_spark.tables import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "").alias("lt"),
+    )
+    total, ent = _entropy_sql_terms("lt", "spark")
+    entropy = F.when(
+        F.expr(total) > 0, F.round(F.expr(ent), 6)
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        F.expr(total).cast("bigint").alias("n_letters"),
+        entropy.alias("char_entropy"),
+        (entropy < 2.5).alias("low_entropy"),
+    )

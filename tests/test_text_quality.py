@@ -254,3 +254,42 @@ def test_temperature_limits(spark):
     by = {r["source"]: r["n"] for r in kept}
     assert by["small"] == 100
     assert 60 <= by["big"] <= 140  # binomial(900, 1/9), generous bounds
+
+
+def test_char_entropy_planted_values(spark, tmp_path):
+    # closed-form pins: one letter -> 0 nats; a 50/50 two-letter doc ->
+    # ln 2; uniform a-z -> ln 26; non-letters are excluded before counting
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cc_mapreducer_spark.operators.text_analysis import (
+        char_entropy_profile,
+    )
+
+    texts = [
+        "aaaaaaaaaa",                    # 0 nats, low_entropy
+        "ababababab",                    # ln 2
+        "abcdefghijklmnopqrstuvwxyz",    # ln 26
+        "a1a2a3!!! b",                   # letters only: 'aaab' counted
+        "",                              # empty -> 0, flagged
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    rows = {r["doc_id"]: r for r in char_entropy_profile(spark, str(tmp_path)).collect()}
+    assert rows[0]["char_entropy"] == 0.0 and rows[0]["low_entropy"]
+    assert rows[1]["char_entropy"] == round(math.log(2), 6)
+    assert rows[2]["char_entropy"] == round(math.log(26), 6)
+    assert not rows[2]["low_entropy"]
+    # 'a1a2a3!!! b' -> letters 'aaab': H = -(3/4 ln 3/4 + 1/4 ln 1/4)
+    want = round(-(0.75 * math.log(0.75) + 0.25 * math.log(0.25)), 6)
+    assert rows[3]["char_entropy"] == want
+    assert rows[3]["n_letters"] == 4
+    assert rows[4]["char_entropy"] == 0.0 and rows[4]["low_entropy"]
