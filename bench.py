@@ -60,6 +60,7 @@ HEADLINE = [
     "cms_word_counts",           # count-min sketch: d*w-key constant shuffle (r4 s4)
     "tfidf_doc_keywords",        # per-doc TF-IDF top-k keywords (r4 s4)
     "classifier_eval_metrics",   # frozen-scorer AUC/confusion eval (r4 s4)
+    "contrastive_negatives",     # hash-jump negatives + LSH filter (r4 s4)
 ]
 
 
