@@ -48,6 +48,9 @@ REPRESENTATIVES = [
     "tfidf_doc_keywords",        # n_docs=0 guard
     "quality_classifier_scores", # frozen scorer over zero rows
     "classifier_calibration_bins",
+    "contrastive_negatives",     # n_docs=0 guard
+    "kmeans_cluster_sizes",      # empty embeddings -> no centroids
+    "char_entropy_profile",
 ]
 
 
