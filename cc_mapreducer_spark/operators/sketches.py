@@ -92,7 +92,12 @@ def build_cms(items: DataFrame, col: str = "word") -> DataFrame:
 def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str = "word") -> DataFrame:
     """Point estimates: min over the d probed cells. The sketch side is
     broadcast (<= d*w rows by construction), so probing any number of
-    items is shuffle-free beyond the probe table's own layout."""
+    items is shuffle-free beyond the probe table's own layout.
+
+    LEFT join + coalesce(0): a probed cell absent from the sketch has
+    count 0, so an item the stream never touched (none of whose cells
+    collided with anything) correctly estimates 0 — an inner join would
+    inflate it to the min of its nonzero cells, or drop it entirely."""
     probed = probes.select(
         col,
         F.explode(
@@ -107,9 +112,13 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str = "word") -> Dat
         ).alias("rc"),
     ).select(col, "rc.i", "rc.col")
     return (
-        probed.join(F.broadcast(sketch), ["i", "col"])
+        probed.join(F.broadcast(sketch), ["i", "col"], "left")
         .groupBy(col)
-        .agg(F.min("c").cast("bigint").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
     )
 
 

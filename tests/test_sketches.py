@@ -119,3 +119,21 @@ def test_cms_empty_corpus(spark, tmp_path):
 
     sf = _write_docs(tmp_path, [])
     assert cms_word_counts(spark, sf).count() == 0
+
+
+def test_cms_unseen_item_estimates_zero_when_cells_clear(spark, tmp_path):
+    # an item the stream never touched estimates via min over its cells
+    # INCLUDING absent (zero) ones: with a near-empty sketch the unseen
+    # probe must come back 0, not inflated or missing
+    texts = ["whale whale whale"]
+    words = _words(spark, _write_docs(tmp_path, texts))
+    sketch = build_cms(words)
+    est = cms_estimate(
+        sketch,
+        spark.createDataFrame([("zorbulon",), ("whale",)], "word string"),
+    ).collect()
+    by = {r["word"]: r["cms_est"] for r in est}
+    assert by["whale"] == 3
+    # 4 cells vs a 1-item sketch: collision of ALL 4 is md5-improbable;
+    # any clear cell forces the min to 0
+    assert by["zorbulon"] == 0
