@@ -45,7 +45,6 @@ every step a pure one-agg plan.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
