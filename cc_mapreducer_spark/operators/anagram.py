@@ -277,7 +277,7 @@ def q_word_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     apostrophe-free corpora and diverge exactly as the reference does on
     real text.
 
-    Plan shape (round-3 rewrite): ONE scan of documents emits both
+    Plan shape (round-4 rewrite): ONE scan of documents emits both
     tokenizations as a tagged token array (mode flag per token), so the
     full-outer merge of the two modes becomes conditional sums under a
     single word-keyed Exchange — 1 scan + 1 shuffle where the previous

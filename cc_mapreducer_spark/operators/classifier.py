@@ -205,7 +205,7 @@ def _scorer_sql() -> str:
 WITH feats AS ({f})
 SELECT doc_id, y,
        round(1.0 / (1.0 + exp(-({m}))), {_ROUND}) AS score,
-       CAST(1.0 / (1.0 + exp(-({m}))) >= 0.5 AS BOOLEAN) AS pred_en
+       CAST(round(1.0 / (1.0 + exp(-({m}))), {_ROUND}) >= 0.5 AS BOOLEAN) AS pred_en
 FROM feats
 """
 
@@ -227,7 +227,11 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "y",
         F.round(score, _ROUND).alias("score"),
-        (score >= 0.5).alias("pred_en"),
+        # Decision derives from the 6dp-ROUNDED score, not the raw sigmoid:
+        # libm-vs-JVM exp() ulp drift could flip the raw comparison for a
+        # doc with margin ~0, and the confusion/precision/recall metrics
+        # built on pred_en must stay hash-identical across engines.
+        (F.round(score, _ROUND) >= 0.5).alias("pred_en"),
     )
 
 

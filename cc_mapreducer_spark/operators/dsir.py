@@ -153,16 +153,25 @@ def dsir_select(
     """Gumbel-top-k importance resampling: k docs without replacement,
     inclusion probability proportional to exp(weight)."""
     w = importance_weights(docs, target_lang, n_buckets)
+    # u in (0, 1): the +0.5 offset keeps u strictly positive even when the
+    # 32-bit md5 prefix is zero, so ln(-ln(u)) never sees ln(0) on either
+    # engine (DuckDB raises on ln(0); Spark returns NULL and would silently
+    # drop the doc — a corpus-dependent divergence).
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + F.lit(0.5)
+        )
         / F.lit(_U32)
     )
     scored = w.withColumn("score", F.col("weight") - F.log(-F.log(u)))
@@ -178,9 +187,11 @@ def dsir_select(
     )
 
 
+# +0.5 keeps u strictly in (0, 1) — mirrors the Spark side; a zero md5
+# prefix would otherwise make DuckDB's ln(0) raise and Spark return NULL.
 _DUCK_HASH_U = (
-    "(('0x' || substr(md5('dsir-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
-    " / 4294967296.0)"
+    "((('0x' || substr(md5('dsir-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " + 0.5) / 4294967296.0)"
 )
 
 _DSIR_SQL = f"""

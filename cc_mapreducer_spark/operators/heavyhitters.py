@@ -188,7 +188,7 @@ _TOPK_GROUPS = 3
 _TOPK_OTHER_SQL = f"""
 WITH counts AS (
     SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv
+           sum(CAST(value AS DECIMAL(14,2))) AS sv
     FROM events GROUP BY 1
 ), ranked AS (
     SELECT *, row_number() OVER (ORDER BY n DESC, event_type) AS rn
@@ -196,7 +196,7 @@ WITH counts AS (
 )
 SELECT CASE WHEN rn <= {_TOPK_GROUPS} THEN event_type ELSE 'OTHER' END AS label,
        CAST(sum(n) AS BIGINT) AS n_events,
-       round(sum(sv), 6) AS total_value
+       round(CAST(sum(sv) AS DOUBLE), 6) AS total_value
 FROM ranked
 GROUP BY 1
 """
@@ -208,13 +208,15 @@ def event_type_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed into an 'OTHER' bucket — the standard long-tail reporting
     rollup. Ranking happens on the |groups|-row count table (TakeOrdered
     at scale, deterministic (count desc, name) tiebreak), never on the
-    fact stream; value sums are decimal-exact so the OTHER re-aggregate
-    is order-independent; re-summing sv doubles is exact because each
-    is an integer number of cents (a DECIMAL(14,2) cast to double)."""
+    fact stream; value sums stay DECIMAL(14,2) through BOTH aggregates
+    (cent values like x.01 are not exactly representable as binary
+    doubles, so a double re-sum in the OTHER bucket would be
+    order-dependent in the last ulps) and cast to double exactly once
+    at output."""
     e = load_table(spark, sf_dir, "events")
     counts = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sv"),
+        F.sum(F.col("value").cast("decimal(14,2)")).alias("sv"),
     )
     from pyspark.sql import Window
 
@@ -228,6 +230,6 @@ def event_type_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.sum("n").cast("bigint").alias("n_events"),
-            F.round(F.sum("sv"), 6).alias("total_value"),
+            F.round(F.sum("sv").cast("double"), 6).alias("total_value"),
         )
     )

@@ -140,7 +140,15 @@ def forget_keys_parquet(
         kept.write.parquet(staging)
         old = f"{path.rstrip('/')}_old_{uuid.uuid4().hex[:8]}"
         os.rename(path, old)
-        os.rename(staging, path)
+        try:
+            os.rename(staging, path)
+        except BaseException:
+            # Roll the original back into place before re-raising: without
+            # this, the finally-rmtree would delete the staged copy while
+            # the original sits stranded at a random *_old_* name and the
+            # table vanishes from `path` entirely.
+            os.rename(old, path)
+            raise
         shutil.rmtree(old)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
