@@ -233,6 +233,19 @@ def near_dedup_minhash(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # Verify-stage parallelism floor. Candidate rows are 16 bytes, so
+        # AQE's byte-advisory coalescing shrinks the post-distinct exchange
+        # to 1-2 partitions — but each row EXPANDS ~1000x in the verify
+        # join (two ~80-element shingle arrays) and the jaccard is
+        # CPU-dense, so the whole verify serialized onto one task
+        # (measured on the Zipf skew corpus: 18.6s of a 30s wall in a
+        # single task). Bytes are the wrong proxy for verify cost; an
+        # explicit round-robin repartition to cluster parallelism is
+        # respected by AQE and restores the parallelism (30s -> ~6s).
+        # At 100 TB the same floor applies — candidates are small rows
+        # with CPU-heavy fanout, the classic case for repartition-by-
+        # parallelism before an expensive stage.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))

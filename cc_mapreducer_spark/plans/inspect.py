@@ -71,6 +71,11 @@ def execution_metrics(df: DataFrame) -> dict:
         "localBytesRead": "shuffle_bytes_read_local",
         "remoteBytesRead": "shuffle_bytes_read_remote",
         "spillSize": "spill_bytes",
+        # AQE skew-join evidence (AQEShuffleReadExec): non-zero means the
+        # runtime actually detected and split a skewed partition — the
+        # bench's skew lane records these on the Zipf corpus.
+        "numSkewedPartitions": "skewed_partitions",
+        "numSkewedSplits": "skewed_splits",
     }
     out = {v: 0 for v in keep.values()}
     for n in nodes:
