@@ -1,0 +1,304 @@
+"""Driver digest suites for the round-4 sketch / feature / mining
+families (VERDICT r4 item 3).
+
+The driver's correctness roster caps at 50 keys, so families that landed
+as driver=False singles never reached the driver's own hash artifact even
+though pytest parity-proves them. Following the ``tpch_suite_extra`` /
+``stats_unpivot_suite`` precedent, each suite here normalizes several
+component queries to a uniform ``(component, entity, value)`` long form
+and registers driver=True; the singles stay registered driver=False with
+their full schemas for pytest parity and direct use.
+
+Digest normalization rules (shared with the other suites):
+  - ``entity`` is a '|'-joined string of the component's key columns —
+    every key column participates in the driver's value hash;
+  - ``value`` is a double; booleans hash as 0/1; integer metrics cast
+    exactly (all are far below 2^53);
+  - multi-metric rows fan out to one digest row per metric with a
+    ``component:metric`` tag, so no value column is dropped.
+
+Scale shape: a digest is a UNION of its components plus a projection —
+it adds no shuffle beyond what the components already do, so the
+100 TB story of each component (documented at its definition) carries
+over unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cc_mapreducer_spark.registry import register
+
+from cc_mapreducer_spark.operators.sketches import _cms_sql, cms_word_counts
+from cc_mapreducer_spark.operators.heavyhitters import (
+    _TOPK_OTHER_SQL,
+    _hh_sql,
+    event_type_topk_rollup,
+    heavy_hitter_words,
+)
+from cc_mapreducer_spark.operators.dq import (
+    _APPROX_QUANTILE_SQL,
+    _emb_drift_sql,
+    approx_quantile_contract,
+    embedding_drift_psi,
+)
+from cc_mapreducer_spark.operators.features import (
+    _PCT_RANK_SQL,
+    _TARGET_ENC_SQL,
+    price_percent_rank,
+    target_encoded_orders,
+)
+from cc_mapreducer_spark.operators.search import _TFIDF_SQL, tfidf_doc_keywords
+from cc_mapreducer_spark.operators.classifier import (
+    _eval_sql,
+    classifier_eval_metrics,
+)
+from cc_mapreducer_spark.operators.linkage import (
+    _LINKAGE_SQL,
+    record_linkage_parts,
+)
+from cc_mapreducer_spark.operators.contrastive import (
+    _CONTRASTIVE_SQL,
+    contrastive_negatives,
+)
+
+
+def _leg(
+    df: DataFrame, component: str, entity: F.Column, value: F.Column
+) -> DataFrame:
+    return df.select(
+        F.lit(component).alias("component"),
+        entity.cast("string").alias("entity"),
+        value.cast("double").alias("value"),
+    )
+
+
+def _union(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sketches_suite: CMS estimates+bound flags ⊕ Misra-Gries heavy hitters
+# ⊕ approx-quantile contract
+# ---------------------------------------------------------------------------
+
+_SKETCHES_SUITE_SQL = f"""
+SELECT 'cms:true' AS component, word AS entity, CAST(true_cnt AS DOUBLE) AS value
+FROM ({_cms_sql()})
+UNION ALL
+SELECT 'cms:est', word, CAST(cms_est AS DOUBLE) FROM ({_cms_sql()})
+UNION ALL
+SELECT 'cms:within', word, CAST(CAST(within_eps AS INT) AS DOUBLE) FROM ({_cms_sql()})
+UNION ALL
+SELECT 'mg', word, CAST(cnt AS DOUBLE) FROM ({_hh_sql()})
+UNION ALL
+SELECT 'q:p50', l_returnflag, exact_p50 FROM ({_APPROX_QUANTILE_SQL})
+UNION ALL
+SELECT 'q:p95', l_returnflag, exact_p95 FROM ({_APPROX_QUANTILE_SQL})
+UNION ALL
+SELECT 'q:within', l_returnflag, CAST(CAST(within_bound AS INT) AS DOUBLE)
+FROM ({_APPROX_QUANTILE_SQL})
+"""
+
+
+@register("sketches_suite", oracle=_SKETCHES_SUITE_SQL)
+def sketches_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver digest of the sketch family: count-min word-count estimates
+    with their exact counts and eps-bound verdicts (sketches.py), the
+    Misra-Gries heavy-hitter words (heavyhitters.py), and the
+    approx-quantile contract (exact p50/p95 + the approx-within-bound
+    flag, dq.py). Every value of every component lands in the driver's
+    hash; the full-schema singles stay driver=False for pytest parity."""
+    cms = cms_word_counts(spark, sf_dir)
+    quant = approx_quantile_contract(spark, sf_dir)
+    return _union(
+        [
+            _leg(cms, "cms:true", F.col("word"), F.col("true_cnt")),
+            _leg(cms, "cms:est", F.col("word"), F.col("cms_est")),
+            _leg(cms, "cms:within", F.col("word"), F.col("within_eps").cast("int")),
+            _leg(
+                heavy_hitter_words(spark, sf_dir), "mg", F.col("word"), F.col("cnt")
+            ),
+            _leg(quant, "q:p50", F.col("l_returnflag"), F.col("exact_p50")),
+            _leg(quant, "q:p95", F.col("l_returnflag"), F.col("exact_p95")),
+            _leg(
+                quant,
+                "q:within",
+                F.col("l_returnflag"),
+                F.col("within_bound").cast("int"),
+            ),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# features_suite: skew-safe percent-rank ⊕ smoothed+LOO target encoding
+# ⊕ top-k/OTHER rollup
+# ---------------------------------------------------------------------------
+
+_FEATURES_SUITE_SQL = f"""
+SELECT 'pct_rank' AS component,
+       CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+         || '|' || l_returnflag AS entity,
+       pct_rank AS value
+FROM ({_PCT_RANK_SQL})
+UNION ALL
+SELECT 'enc:smooth', CAST(o_orderkey AS VARCHAR) || '|' || o_orderpriority,
+       enc_smoothed FROM ({_TARGET_ENC_SQL})
+UNION ALL
+SELECT 'enc:loo', CAST(o_orderkey AS VARCHAR) || '|' || o_orderpriority,
+       enc_loo FROM ({_TARGET_ENC_SQL})
+UNION ALL
+SELECT 'topk:n', label, CAST(n_events AS DOUBLE) FROM ({_TOPK_OTHER_SQL})
+UNION ALL
+SELECT 'topk:v', label, total_value FROM ({_TOPK_OTHER_SQL})
+"""
+
+
+@register("features_suite", oracle=_FEATURES_SUITE_SQL)
+def features_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver digest of the feature-transform family: skew-safe
+    percent-rank over lineitem prices, smoothed + leave-one-out target
+    encoding of order priorities, and the top-k/OTHER long-tail rollup
+    (features.py, heavyhitters.py)."""
+    pct = price_percent_rank(spark, sf_dir)
+    enc = target_encoded_orders(spark, sf_dir)
+    enc_ent = F.concat_ws("|", "o_orderkey", "o_orderpriority")
+    topk = event_type_topk_rollup(spark, sf_dir)
+    return _union(
+        [
+            _leg(
+                pct,
+                "pct_rank",
+                F.concat_ws("|", "l_orderkey", "l_linenumber", "l_returnflag"),
+                F.col("pct_rank"),
+            ),
+            _leg(enc, "enc:smooth", enc_ent, F.col("enc_smoothed")),
+            _leg(enc, "enc:loo", enc_ent, F.col("enc_loo")),
+            _leg(topk, "topk:n", F.col("label"), F.col("n_events")),
+            _leg(topk, "topk:v", F.col("label"), F.col("total_value")),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# mining_suite: TF-IDF keywords ⊕ classifier eval ⊕ embedding PSI drift
+# ⊕ record linkage ⊕ contrastive negatives
+# ---------------------------------------------------------------------------
+
+_MINING_SUITE_SQL = f"""
+SELECT 'tfidf' AS component,
+       CAST(doc_id AS VARCHAR) || '|' || CAST(rank AS VARCHAR) || '|' || word AS entity,
+       score AS value
+FROM ({_TFIDF_SQL})
+UNION ALL
+SELECT 'tfidf:tf', CAST(doc_id AS VARCHAR) || '|' || CAST(rank AS VARCHAR) || '|' || word,
+       CAST(tf AS DOUBLE) FROM ({_TFIDF_SQL})
+UNION ALL
+SELECT 'eval', metric, value
+FROM (
+  SELECT CAST(n_pos AS DOUBLE) AS n_pos, CAST(n_neg AS DOUBLE) AS n_neg,
+         CAST(tp AS DOUBLE) AS tp, CAST(fp AS DOUBLE) AS fp,
+         CAST(fn AS DOUBLE) AS fn, CAST(tn AS DOUBLE) AS tn,
+         auc, accuracy, precision_en, recall_en
+  FROM ({_eval_sql()})
+) UNPIVOT (value FOR metric IN (n_pos, n_neg, tp, fp, fn, tn, auc,
+                                accuracy, precision_en, recall_en))
+UNION ALL
+SELECT 'psi', slice || '|' || bin, psi_contrib FROM ({_emb_drift_sql()})
+UNION ALL
+SELECT 'psi:nref', slice || '|' || bin, CAST(n_ref AS DOUBLE) FROM ({_emb_drift_sql()})
+UNION ALL
+SELECT 'psi:ncur', slice || '|' || bin, CAST(n_cur AS DOUBLE) FROM ({_emb_drift_sql()})
+UNION ALL
+SELECT DISTINCT 'psi_total', slice, psi_total FROM ({_emb_drift_sql()})
+UNION ALL
+SELECT 'link:score', CAST(b_id AS VARCHAR) || '|' || CAST(a_id AS VARCHAR),
+       CAST(score AS DOUBLE) FROM ({_LINKAGE_SQL})
+UNION ALL
+SELECT 'link:dist', CAST(b_id AS VARCHAR) || '|' || CAST(a_id AS VARCHAR),
+       CAST(dist AS DOUBLE) FROM ({_LINKAGE_SQL})
+UNION ALL
+SELECT 'link:flags', CAST(b_id AS VARCHAR) || '|' || CAST(a_id AS VARCHAR),
+       CAST(2 * CAST(brand_match AS INT) + CAST(type_match AS INT) AS DOUBLE)
+FROM ({_LINKAGE_SQL})
+UNION ALL
+SELECT 'contrast', CAST(doc_id AS VARCHAR) || '|' || CAST(rank AS VARCHAR),
+       CAST(neg_id AS DOUBLE) FROM ({_CONTRASTIVE_SQL})
+"""
+
+
+@register("mining_suite", oracle=_MINING_SUITE_SQL)
+def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver digest of the mining family: per-doc TF-IDF keywords
+    (search.py), the frozen-classifier eval metrics (tie-aware AUC +
+    confusion, classifier.py), embedding PSI drift contributions
+    (dq.py), FastSS record linkage (linkage.py), and contrastive
+    hash-jump negatives (contrastive.py)."""
+    tfidf = tfidf_doc_keywords(spark, sf_dir)
+    tfidf_ent = F.concat_ws("|", "doc_id", "rank", "word")
+    ev = classifier_eval_metrics(spark, sf_dir)
+    ev_long = ev.select(
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in (
+                "n_pos",
+                "n_neg",
+                "tp",
+                "fp",
+                "fn",
+                "tn",
+                "auc",
+                "accuracy",
+                "precision_en",
+                "recall_en",
+            )
+        ]
+    ).unpivot(
+        ids=[],
+        values=None,
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    drift = embedding_drift_psi(spark, sf_dir)
+    drift_ent = F.concat_ws("|", "slice", "bin")
+    link = record_linkage_parts(spark, sf_dir)
+    link_ent = F.concat_ws("|", "b_id", "a_id")
+    return _union(
+        [
+            _leg(tfidf, "tfidf", tfidf_ent, F.col("score")),
+            _leg(tfidf, "tfidf:tf", tfidf_ent, F.col("tf")),
+            ev_long.select(
+                F.lit("eval").alias("component"),
+                F.col("metric").alias("entity"),
+                F.col("value"),
+            ),
+            _leg(drift, "psi", drift_ent, F.col("psi_contrib")),
+            _leg(drift, "psi:nref", drift_ent, F.col("n_ref")),
+            _leg(drift, "psi:ncur", drift_ent, F.col("n_cur")),
+            _leg(
+                drift.select("slice", "psi_total").distinct(),
+                "psi_total",
+                F.col("slice"),
+                F.col("psi_total"),
+            ),
+            _leg(link, "link:score", link_ent, F.col("score")),
+            _leg(link, "link:dist", link_ent, F.col("dist")),
+            _leg(
+                link,
+                "link:flags",
+                link_ent,
+                F.lit(2) * F.col("brand_match").cast("int")
+                + F.col("type_match").cast("int"),
+            ),
+            _leg(
+                contrastive_negatives(spark, sf_dir),
+                "contrast",
+                F.concat_ws("|", "doc_id", "rank"),
+                F.col("neg_id"),
+            ),
+        ]
+    )

@@ -27,6 +27,17 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from cc_mapreducer_spark.registry import register
 from cc_mapreducer_spark.tables import load_table
 
+# Folded into the driver digest (r5): their singles moved to driver=False
+# so the freed roster slots could go to the sketch/feature/mining suites.
+from cc_mapreducer_spark.operators.tpch_more import (  # noqa: E402
+    _Q4_SQL as _TM_Q4_SQL,
+    _Q7_SQL as _TM_Q7_SQL,
+    _Q10_SQL as _TM_Q10_SQL,
+    q4_order_priority,
+    q7_nation_volume,
+    q10_returned_items,
+)
+
 DEC = "decimal(12,2)"
 
 
@@ -537,15 +548,28 @@ UNION ALL
 SELECT 'q22', CAST(c_nationkey AS VARCHAR) || ':cnt', CAST(numcust AS DOUBLE) FROM ({_Q22_SQL})
 UNION ALL
 SELECT 'q22', CAST(c_nationkey AS VARCHAR) || ':bal', totacctbal FROM ({_Q22_SQL})
+UNION ALL
+SELECT 'q4', o_orderpriority, CAST(order_count AS DOUBLE) FROM ({_TM_Q4_SQL})
+UNION ALL
+SELECT 'q7', cust_nation || '|' || supp_nation || '|' || CAST(ship_year AS VARCHAR),
+       revenue FROM ({_TM_Q7_SQL})
+UNION ALL
+SELECT 'q10', CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment || ':rev',
+       revenue FROM ({_TM_Q10_SQL})
+UNION ALL
+SELECT 'q10', CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment || ':bal',
+       acctbal FROM ({_TM_Q10_SQL})
 """
 
 
 @register("tpch_suite_extra", oracle=_SUITE_EXTRA_SQL)
 def tpch_suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver digest of TPC-H Q2/Q8/Q9/Q11/Q15/Q16/Q20/Q21/Q22 normalized
-    to (query, entity, value) rows so all nine land in the driver's value
-    hash under one roster key. The full-schema singles are registered
-    driver=False and parity-checked individually by pytest."""
+    """Driver digest of TPC-H Q2/Q4/Q7/Q8/Q9/Q10/Q11/Q15/Q16/Q20/Q21/Q22
+    normalized to (query, entity, value) rows so all twelve land in the
+    driver's value hash under one roster key. The full-schema singles are
+    registered driver=False and parity-checked individually by pytest.
+    Q4/Q7/Q10 folded in r5 to free roster slots for the sketch/feature/
+    mining suites."""
     def norm(query: str, df: DataFrame, entity: F.Column, value: F.Column) -> DataFrame:
         return df.select(
             F.lit(query).alias("query"),
@@ -587,6 +611,24 @@ def tpch_suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("", F.col("c_nationkey").cast("string"), F.lit(":bal")),
             F.col("totacctbal"),
         ),
+        norm(
+            "q4",
+            q4_order_priority(spark, sf_dir),
+            F.col("o_orderpriority"),
+            F.col("order_count"),
+        ),
+        norm(
+            "q7",
+            q7_nation_volume(spark, sf_dir),
+            F.concat_ws("|", "cust_nation", "supp_nation", "ship_year"),
+            F.col("revenue"),
+        ),
+    ]
+    q10 = q10_returned_items(spark, sf_dir)
+    q10_ent = F.concat_ws("|", "c_custkey", "c_name", "c_mktsegment")
+    parts += [
+        norm("q10", q10, F.concat(q10_ent, F.lit(":rev")), F.col("revenue")),
+        norm("q10", q10, F.concat(q10_ent, F.lit(":bal")), F.col("acctbal")),
     ]
     out = parts[0]
     for piece in parts[1:]:

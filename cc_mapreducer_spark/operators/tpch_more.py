@@ -150,7 +150,7 @@ GROUP BY o.o_orderpriority
 """
 
 
-@register("q4_order_priority", oracle=_Q4_SQL)
+@register("q4_order_priority", oracle=_Q4_SQL, driver=False)
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (EXISTS correlated on a date offset): orders with a
     late-shipping lineitem, counted by priority. The EXISTS becomes a
@@ -185,7 +185,7 @@ GROUP BY 1, 2, 3
 """
 
 
-@register("q7_nation_volume", oracle=_Q7_SQL)
+@register("q7_nation_volume", oracle=_Q7_SQL, driver=False)
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation shipping volume by year. The nation
     dim joins twice under different aliases (both broadcast)."""
@@ -231,7 +231,7 @@ LIMIT 20
 """
 
 
-@register("q10_returned_items", oracle=_Q10_SQL)
+@register("q10_returned_items", oracle=_Q10_SQL, driver=False)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns, top-20 customers."""
     c = load_table(spark, sf_dir, "customer")

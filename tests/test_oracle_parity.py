@@ -33,3 +33,22 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_ORACLE)
     assert df.columns
     assert df.count() >= 0
+
+
+# anagram_groups is faithfully EMPTY at every SF: the synthetic corpus has
+# no anagram pairs, and the min_group_size>1 semantics of the reference
+# (/root/reference/src/index.js:104-112) make the empty answer the correct
+# one — it is separately driver-hashed against the equally-empty oracle.
+EMPTY_OK = {"anagram_groups"}
+
+
+@pytest.mark.parametrize("name", sorted(set(registry.driver_queries()) - EMPTY_OK))
+def test_driver_keys_nonempty(spark, name):
+    """Row-count floor for the driver roster (VERDICT r4 item 7): every
+    driver-hashed key must return >0 rows at sf0.01, so a refactor can
+    never silently turn a green hash into a vacuous empty-vs-empty match
+    (the round-2 lesson, enforced)."""
+    assert QUERIES[name](spark, SF_ORACLE).count() > 0, (
+        f"{name}: driver key returned 0 rows at sf0.01 — a hash match "
+        "would be vacuous"
+    )

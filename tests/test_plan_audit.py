@@ -35,6 +35,8 @@ ALLOWED_NESTED_LOOP = {
     "psi_value_drift",  # one-row broadcasts: slice totals + the folded psi_total
     "embedding_drift_psi",  # same psi_from_counts one-row totals broadcasts, x2 slices
     "classifier_eval_metrics",  # one-row x one-row join: the AUC agg vs the confusion agg
+    "features_suite",  # contains target_encoded_orders' global-mean one-row broadcast
+    "mining_suite",  # contains the classifier_eval + embedding_drift_psi one-row branches
 }
 ALLOWED_PYTHON_EVAL = {
     "multimodal_derived",  # Arrow-batched mapInPandas by design
