@@ -253,6 +253,153 @@ def _partition_dir(partition_col: str, v) -> str:
     return f"{partition_col}={escape_partition_value(v)}"
 
 
+# --------------------------------------------------------------------------
+# Journaled stage-and-swap (crash-safe multi-partition commit)
+# --------------------------------------------------------------------------
+#
+# The swap loop replaces one partition directory at a time; without a
+# journal, a crash mid-loop leaves a MIXED table (partition A new,
+# partition B old) with no record of which is which and — worse — the
+# old `finally: rmtree(staging)` destroyed the staged data the recovery
+# would need. The journal makes the swap a roll-forward commit protocol
+# (the miniature of Delta's commit log / snapshots.py's `_latest` flip):
+#
+#   1. stage the merged partitions to a sibling directory,
+#   2. atomically publish a journal file (`_swap_journal_<id>.json`,
+#      tmp + os.replace) inside the table dir recording, per touched
+#      partition, whether it is REPLACED (staged dir exists) or DELETED
+#      (emptied by deletes). `_`-prefixed files are invisible to
+#      Spark/Hadoop parquet discovery, so readers never see it as data.
+#   3. swap each partition (rmtree old + same-FS atomic rename),
+#   4. remove the journal (the commit point), THEN remove staging.
+#
+# Crash anywhere → `recover_interrupted_swap` restores a consistent
+# table: before step 2 there is no journal, the table is untouched (old
+# state) and the orphan staging dir is garbage-collected; after step 2
+# the journal + staging carry everything needed to roll FORWARD to the
+# new state (a staged dir missing its source was already moved; replays
+# are idempotent). Single-writer per table, like every local-FS rendition
+# of a lakehouse commit; an object store swaps this file dance for the
+# table format's transactional commit.
+
+_JOURNAL_PREFIX = "_swap_journal_"
+_STAGING_MARKERS = ("_merge_", "_stage_")
+
+
+def _journal_path(base_path: str, swap_id: str) -> str:
+    return os.path.join(base_path, f"{_JOURNAL_PREFIX}{swap_id}.json")
+
+
+def _publish_swap_journal(
+    base_path: str, staging: str, dir_names: list[str]
+) -> str:
+    """Atomically write the swap-intent journal; returns its path."""
+    import json
+    import tempfile
+
+    actions = [
+        {
+            "name": name,
+            "action": (
+                "replace"
+                if os.path.isdir(os.path.join(staging, name))
+                else "delete"
+            ),
+        }
+        for name in dir_names
+    ]
+    journal = {"staging": staging, "actions": actions}
+    swap_id = os.path.basename(staging).rsplit("_", 1)[-1]
+    os.makedirs(base_path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=base_path, prefix="_swap_tmp_")
+    with os.fdopen(fd, "w") as f:
+        json.dump(journal, f)
+    path = _journal_path(base_path, swap_id)
+    os.replace(tmp, path)
+    return path
+
+
+def _apply_swap(base_path: str, journal: dict) -> None:
+    """Roll the journaled swap forward. Idempotent: a 'replace' whose
+    staged source is gone was already moved in a prior attempt."""
+    import shutil
+
+    staging = journal["staging"]
+    for a in journal["actions"]:
+        dst = os.path.join(base_path, a["name"])
+        if a["action"] == "delete":
+            shutil.rmtree(dst, ignore_errors=True)
+            continue
+        src = os.path.join(staging, a["name"])
+        if os.path.isdir(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.move(src, dst)
+
+
+def _journaled_swap(base_path: str, staging: str, dir_names: list[str]) -> None:
+    """Publish the journal, swap, commit (remove journal), clean staging."""
+    import shutil
+
+    jpath = _publish_swap_journal(base_path, staging, dir_names)
+    with open(jpath) as f:
+        import json
+
+        journal = json.load(f)
+    _apply_swap(base_path, journal)
+    os.remove(jpath)  # commit point: table is fully new
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_interrupted_swap(base_path: str) -> list[str]:
+    """Self-heal a table whose stage-and-swap crashed mid-commit.
+
+    Journal present  → roll the swap FORWARD (staging still holds every
+                       not-yet-moved partition), then commit + clean.
+    Journal present, staging gone → the swap finished but the crash hit
+                       between journal removal and staging cleanup; just
+                       drop the journal.
+    No journal       → the crash predates the publish: the table is the
+                       intact OLD state; orphan staging siblings are
+                       garbage-collected.
+
+    Returns the list of journal/staging paths it acted on. Callers
+    (merge_into_partitioned, merge_cdc_batch) invoke this before
+    touching the table, so an interrupted merge never compounds."""
+    import glob
+    import json
+    import shutil
+
+    acted: list[str] = []
+    if os.path.isdir(base_path):
+        for jpath in sorted(
+            glob.glob(os.path.join(base_path, f"{_JOURNAL_PREFIX}*.json"))
+        ):
+            with open(jpath) as f:
+                journal = json.load(f)
+            if os.path.isdir(journal["staging"]):
+                _apply_swap(base_path, journal)
+                shutil.rmtree(journal["staging"], ignore_errors=True)
+            os.remove(jpath)
+            acted.append(jpath)
+    # orphan staging siblings (crash before journal publish, or stranded
+    # by pre-journal code): old state is intact, the stage is garbage
+    base = base_path.rstrip("/")
+    parent, stem = os.path.dirname(base) or ".", os.path.basename(base)
+    if os.path.isdir(parent):
+        for entry in os.listdir(parent):
+            full = os.path.join(parent, entry)
+            if full == base or not os.path.isdir(full):
+                continue
+            if any(
+                entry.startswith(f"{stem}{m}") for m in _STAGING_MARKERS
+            ) and not os.path.exists(
+                _journal_path(base_path, entry.rsplit("_", 1)[-1])
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                acted.append(full)
+    return acted
+
+
 def merge_into_partitioned(
     spark: SparkSession,
     base_path: str,
@@ -286,6 +433,7 @@ def merge_into_partitioned(
     import shutil
     import uuid
 
+    recover_interrupted_swap(base_path)  # self-heal an interrupted merge
     touched = [
         r[0]
         for r in updates.select(partition_col).dropDuplicates().collect()
@@ -325,15 +473,18 @@ def merge_into_partitioned(
                 "partition-path naming drift; aborting before the swap "
                 "silently drops them"
             )
-        for v in touched:
-            name = _partition_dir(partition_col, v)
-            dst = os.path.join(base_path, name)
-            src = os.path.join(staging, name)
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):  # absent = partition emptied by deletes
-                shutil.move(src, dst)
-    finally:
+    except BaseException:
+        # staging never published: the table is the intact old state
         shutil.rmtree(staging, ignore_errors=True)
+        raise
+    # Journaled commit: a crash inside leaves journal + staging behind,
+    # and the next merge (or recover_interrupted_swap) rolls it forward —
+    # the table is always observably all-old or all-new, never mixed.
+    _journaled_swap(
+        base_path,
+        staging,
+        [_partition_dir(partition_col, v) for v in touched],
+    )
     return touched
 
 

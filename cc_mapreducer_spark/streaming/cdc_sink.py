@@ -83,6 +83,13 @@ def merge_cdc_batch(
     stage-and-swaps those bucket directories (same protocol as
     operators/cdc.merge_into_partitioned — resilient to buckets emptied
     by compaction, no read-while-overwrite race)."""
+    from cc_mapreducer_spark.operators.cdc import (
+        _journaled_swap,
+        _partition_dir,
+        recover_interrupted_swap,
+    )
+
+    recover_interrupted_swap(snapshot_path)  # self-heal interrupted merges
     keyed = _latest_per_key(resolve_keyed_changelog(batch))
     touched = [r[0] for r in keyed.select("kb").dropDuplicates().collect()]
     if not touched:
@@ -104,22 +111,21 @@ def merge_cdc_batch(
             .partitionBy("kb")
             .parquet(staging)
         )
-        os.makedirs(snapshot_path, exist_ok=True)
-        # same escaped-path rendering as the batch merge — kb is a
-        # non-null int today (resolve_keyed_changelog raises on null
-        # keys), but the naming must stay in lockstep with what Spark
-        # wrote if that ever changes
-        from cc_mapreducer_spark.operators.cdc import _partition_dir
-
-        for v in touched:
-            name = _partition_dir("kb", v)
-            dst = os.path.join(snapshot_path, name)
-            src = os.path.join(staging, name)
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
-    finally:
+    except BaseException:
+        # staging never published: snapshot is the intact old state
         shutil.rmtree(staging, ignore_errors=True)
+        raise
+    os.makedirs(snapshot_path, exist_ok=True)
+    # Journaled commit, same protocol (and same escaped-path rendering)
+    # as operators/cdc.merge_into_partitioned: a crash mid-swap leaves
+    # journal + staging for the next batch's recover call to roll
+    # forward — the snapshot is always all-old or all-new, never mixed.
+    # kb is a non-null int today (resolve_keyed_changelog raises on null
+    # keys), but the naming must stay in lockstep with what Spark wrote
+    # if that ever changes.
+    _journaled_swap(
+        snapshot_path, staging, [_partition_dir("kb", v) for v in touched]
+    )
 
 
 def read_current_snapshot(spark: SparkSession, snapshot_path: str) -> DataFrame:
