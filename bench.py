@@ -283,6 +283,265 @@ def skew_trend(spark, queries) -> dict:
     return out
 
 
+def iterative_trend(spark) -> dict:
+    """Fixed-iteration iterative families timed at 1x/10x/30x (VERDICT
+    r4 item 5): logreg GD (classifier.py), Lloyd's k-means (kmeans.py),
+    PageRank (graph.py). Each iteration is claimed to be one bounded
+    aggregate/scan with NO per-round driver growth, so the evidence is
+    the MARGINAL per-iteration cost: wall(iters=8) - wall(iters=2)
+    divided by 6 isolates six pure iterations (setup — feature scan,
+    cache materialization, graph prep — cancels out), and its fitted
+    log-log exponent across sizes must track the per-scan cost (<= ~1).
+    A superlinear exponent or a marginal cost that exceeds the
+    whole-job average would falsify "N bounded aggs"."""
+    import math
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from cc_mapreducer_spark.operators.classifier import (
+        _spark_features,
+        train_logreg,
+    )
+    from cc_mapreducer_spark.operators.graph import pagerank
+    from cc_mapreducer_spark.operators.kmeans import kmeans_train
+    from cc_mapreducer_spark.tables import load_table
+
+    base_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    base_vecs = pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows
+    reps = int(os.environ.get("SPARK_GRAFT_ITER_REPS", "2"))
+    lo, hi = 2, 8
+
+    def run_logreg(d: str, iters: int) -> None:
+        # the synth corpus has no lang column; a deterministic doc_id
+        # label keeps the GD arithmetic identical without one
+        docs = spark.read.parquet(f"{d}/documents.parquet").withColumn(
+            "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("xx")
+        )
+        train_logreg(_spark_features(docs), iters=iters)
+
+    def run_kmeans(d: str, iters: int) -> None:
+        kmeans_train(load_table(spark, d, "embeddings"), k=8, iters=iters)
+
+    def run_pagerank(d: str, iters: int) -> None:
+        # deterministic 8-out-degree hash-jump graph over n(corpus) nodes:
+        # rank vector size scales with the corpus, per-round plan fixed
+        n = pq.read_metadata(f"{d}/documents.parquet").num_rows
+        nodes = spark.range(n)
+        edges = nodes.select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("id") * 2654435761 + (j * 40503 + 7)) % n
+                        for j in range(8)
+                    ]
+                )
+            ).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        pagerank(edges, iterations=iters).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    fams = {"logreg_gd": run_logreg, "kmeans": run_kmeans, "pagerank": run_pagerank}
+    tmp = tempfile.mkdtemp(prefix="cc_mr_spark_iter_")
+    cells: dict[tuple[str, int, int], list[float]] = {}
+    try:
+        for k in TREND_FACTORS:
+            d = f"{tmp}/x{k}"
+            os.makedirs(d, exist_ok=True)
+            _synth_corpus(d, base_docs * k, base_vecs * k, seed=3000 + k)
+        # untimed warmup at the smallest size: the first-ever execution
+        # of each lineage pays whole-stage-codegen JIT + Arrow init
+        # (measured 95s vs 1s warm on the GD feature expressions) —
+        # that's session cost, not iteration cost
+        for name, fn in fams.items():
+            fn(f"{tmp}/x{TREND_FACTORS[0]}", lo)
+            spark.catalog.clearCache()
+        for _ in range(reps):
+            spark.sparkContext._jvm.System.gc()
+            for k in TREND_FACTORS:
+                d = f"{tmp}/x{k}"
+                for name, fn in fams.items():
+                    for iters in (lo, hi):
+                        t0 = time.perf_counter()
+                        fn(d, iters)
+                        cells.setdefault((name, k, iters), []).append(
+                            time.perf_counter() - t0
+                        )
+                        spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    sizes = [base_docs * k for k in TREND_FACTORS]
+    ln = [math.log(s) for s in sizes]
+    out = {"sizes": sizes, "reps": reps, "iters": [lo, hi], "families": {}}
+    for name in fams:
+        t_lo = [round(min(cells[(name, k, lo)]), 3) for k in TREND_FACTORS]
+        t_hi = [round(min(cells[(name, k, hi)]), 3) for k in TREND_FACTORS]
+        per_iter = [
+            round(max((h - l) / (hi - lo), 1e-3), 3)
+            for l, h in zip(t_lo, t_hi)
+        ]
+        lt = [math.log(p) for p in per_iter]
+        n = len(ln)
+        mx, my = sum(ln) / n, sum(lt) / n
+        slope = sum((x - mx) * (y - my) for x, y in zip(ln, lt)) / sum(
+            (x - mx) ** 2 for x in ln
+        )
+        out["families"][name] = {
+            "wall_iters2": t_lo,
+            "wall_iters8": t_hi,
+            "per_iter_marginal": per_iter,
+            "exponent": round(slope, 3),
+        }
+    return out
+
+
+def streaming_bench(spark) -> dict:
+    """Streaming end-to-end latency lane (VERDICT r4 item 6): slice the
+    sf corpus into 8 files, drain each foreachBatch sink with
+    maxFilesPerTrigger=1 (8 micro-batches), and record the per-batch
+    wall plus the final on-disk state size. The claim under test: batch
+    cost is flat in batch INDEX — state accretion (partial partitions,
+    snapshot buckets) must not make batch 8 slower than batch 1 beyond
+    the data each batch itself carries."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cc_mapreducer_spark.operators.text_analysis import _SPARK_WORDS
+    from cc_mapreducer_spark.streaming.cdc_sink import merge_cdc_batch
+    from cc_mapreducer_spark.streaming.cms import write_cms_partial
+    from cc_mapreducer_spark.streaming.drift import (
+        reference_bin_counts,
+        write_psi_partial,
+    )
+    from cc_mapreducer_spark.streaming.heavyhitters import write_mg_partial
+
+    n_slices = 8
+    tmp = tempfile.mkdtemp(prefix="cc_mr_spark_stream_")
+
+    def _slice(table: str, cols, key) -> str:
+        src = f"{tmp}/{table}_src"
+        os.makedirs(src, exist_ok=True)
+        df = spark.read.parquet(f"{SF_DIR}/{table}.parquet").select(*cols)
+        for i in range(n_slices):
+            part = f"{src}/part{i}"
+            df.filter(F.pmod(F.col(key), F.lit(n_slices)) == i).coalesce(
+                1
+            ).write.parquet(part)
+            for f in os.listdir(part):
+                if f.endswith(".parquet"):
+                    os.replace(f"{part}/{f}", f"{src}/s{i}.parquet")
+            shutil.rmtree(part)
+        return src
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    def _drain(src: str, schema: str, apply_fn) -> list[float]:
+        walls: list[float] = []
+        ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=tmp)
+
+        def _apply(df, epoch_id):
+            t0 = time.perf_counter()
+            apply_fn(df, epoch_id)
+            walls.append(round(time.perf_counter() - t0, 3))
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return walls
+
+    out: dict = {"n_batches": n_slices}
+    try:
+        doc_src = _slice("documents", ["doc_id", "text"], "doc_id")
+        ev_src = _slice(
+            "events",
+            ["event_id", "user_id", "ts", "event_type", "value", "props"],
+            "event_id",
+        )
+        ev_schema = (
+            "event_id long, user_id long, ts timestamp, event_type string,"
+            " value double, props string"
+        )
+
+        sinks: dict = {}
+        cms_path = f"{tmp}/cms"
+        sinks["cms"] = (
+            doc_src,
+            "doc_id long, text string",
+            lambda df, e: write_cms_partial(
+                df.select(F.explode(F.expr(_SPARK_WORDS)).alias("word")), e, cms_path
+            ),
+            cms_path,
+        )
+        hh_path = f"{tmp}/hh"
+        sinks["heavy_hitters"] = (
+            doc_src,
+            "doc_id long, text string",
+            lambda df, e: write_mg_partial(
+                df.select(F.explode(F.expr(_SPARK_WORDS)).alias("word")),
+                e,
+                hh_path,
+                "word",
+                64,
+            ),
+            hh_path,
+        )
+        ref = reference_bin_counts(
+            spark.read.parquet(f"{SF_DIR}/events.parquet").select("value")
+        ).localCheckpoint()
+        psi_path = f"{tmp}/psi"
+        sinks["psi_drift"] = (
+            ev_src,
+            ev_schema,
+            lambda df, e: write_psi_partial(df, e, psi_path),
+            psi_path,
+        )
+        snap_path = f"{tmp}/cdc_snapshot"
+        sinks["cdc_sink"] = (
+            ev_src,
+            ev_schema,
+            lambda df, e: merge_cdc_batch(spark, snap_path, df),
+            snap_path,
+        )
+        for name, (src, schema, fn, state) in sinks.items():
+            walls = _drain(src, schema, fn)
+            out[name] = {
+                "batch_secs": walls,
+                "total_secs": round(sum(walls), 3),
+                "state_mb": round(_dir_bytes(state) / 1e6, 3),
+                # flat-cost evidence: mean of the last two batches over
+                # the mean of the first two — ~1 means accreted state
+                # does not tax later batches
+                "tail_over_head": round(
+                    (sum(walls[-2:]) / 2) / max(sum(walls[:2]) / 2, 1e-6), 2
+                )
+                if len(walls) >= 4
+                else None,
+            }
+        _ = ref  # keep the reference bins pinned through the drains
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def scale_trend(spark, queries) -> dict:
     """Time the dedup/similarity family at 1x/10x/30x and fit log-log
     scaling exponents.
@@ -485,6 +744,12 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKEW_TREND", "1") != "0":
         detail["skew_trend"] = skew_trend(spark, queries)
         print(json.dumps({"detail": "skew_trend", "skew_trend": detail["skew_trend"]}))
+    if os.environ.get("SPARK_GRAFT_ITER_TREND", "1") != "0":
+        detail["iterative_trend"] = iterative_trend(spark)
+        print(json.dumps({"detail": "iterative_trend", "iterative_trend": detail["iterative_trend"]}))
+    if os.environ.get("SPARK_GRAFT_STREAMING_LANE", "1") != "0":
+        detail["streaming"] = streaming_bench(spark)
+        print(json.dumps({"detail": "streaming", "streaming": detail["streaming"]}))
     # Measured perf notes (r5): context the headline numbers need.
     detail["notes"] = {
         # r4 flagged simhash_fingerprint 1.68->2.75s and near_dedup_pairs
@@ -500,6 +765,15 @@ def main() -> None:
             "per_occurrence_md5": {"sf0.1": 1.585, "x30_150k_docs": 3.729},
             "tokcnt_preagg": {"sf0.1": 2.192, "x30_150k_docs": 5.259},
             "kept": "per_occurrence_md5",
+            # independently confirmed (scripts/ab_simhash.py, 5 interleaved
+            # reps, best-of, 32g heap): 2.23/3.75 vs 2.92/6.74. A sequential
+            # 8g-heap run of the same A/B had said the OPPOSITE at 150k
+            # (per-occurrence 16-46s) — that run was measuring collector
+            # thrash, not the plan; heap sizing is part of the method.
+            "confirm_32g_interleaved": {
+                "per_occurrence_md5": {"sf0.1": 2.229, "x30_150k_docs": 3.745},
+                "tokcnt_preagg": {"sf0.1": 2.916, "x30_150k_docs": 6.738},
+            },
         },
         # Two same-round headline refreshes can differ by up to the
         # measured ±25% local[32] noise envelope (r4 published 31.9s then
