@@ -61,6 +61,7 @@ HEADLINE = [
     "tfidf_doc_keywords",        # per-doc TF-IDF top-k keywords (r4 s4)
     "classifier_eval_metrics",   # frozen-scorer AUC/confusion eval (r4 s4)
     "contrastive_negatives",     # hash-jump negatives + LSH filter (r4 s4)
+    "span_dup_coverage",         # ExactSubstr-lite repeated-span union (r5)
 ]
 
 

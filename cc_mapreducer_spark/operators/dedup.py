@@ -111,6 +111,73 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_RATE_SQL = """
+WITH hashed AS (
+    SELECT doc_id, source, sha256(text) AS sha,
+           len(list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                           w -> w != '')) AS n_tokens
+    FROM documents
+), canon AS (
+    SELECT sha, min(doc_id) AS canon_id FROM hashed GROUP BY sha
+), tagged AS (
+    SELECT h.source, h.n_tokens, h.doc_id = c.canon_id AS is_canonical
+    FROM hashed h JOIN canon c USING (sha)
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_canonical,
+       CAST(sum(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_dup_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN is_canonical THEN 0 ELSE n_tokens END) AS BIGINT)
+           AS tokens_wasted,
+       round(sum(CASE WHEN is_canonical THEN 0 ELSE 1 END) / count(*), 6)
+           AS dup_doc_frac
+FROM tagged GROUP BY source
+"""
+
+
+@register("dedup_rate_by_source", oracle=_DEDUP_RATE_SQL, driver=False)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication telemetry — the report that drives
+    crawler/acquisition policy: how many of a source's documents are
+    verbatim copies of content seen anywhere in the corpus (canonical =
+    the GLOBAL min doc_id per sha, so a source re-hosting another
+    source's pages is charged for the copies), and how many tokens the
+    copies waste.
+
+    Plan: one window min over sha partitions (one Exchange on 32-byte
+    content hashes — bodies never shuffle beyond their scan) then one
+    agg on source. No joins."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.sha2("text", 256).alias("sha"),
+        F.size(F.expr(_SPARK_TOKS)).alias("n_tokens"),
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("sha"))
+    tagged = hashed.select(
+        "source", "n_tokens", (F.col("doc_id") == canon).alias("is_canonical")
+    )
+    is_dup = F.when(F.col("is_canonical"), 0).otherwise(1)
+    return tagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_canonical"),
+        F.sum(is_dup).cast("bigint").alias("n_dup_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(F.col("is_canonical"), 0).otherwise(F.col("n_tokens")))
+        .cast("bigint")
+        .alias("tokens_wasted"),
+        F.round(F.sum(is_dup) / F.count("*"), 6).alias("dup_doc_frac"),
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dedup (K=8 hashes, 2 bands x 4 rows)
 # --------------------------------------------------------------------------

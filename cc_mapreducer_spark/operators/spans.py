@@ -1,0 +1,329 @@
+"""Exact repeated-span detection and per-document duplicate-span
+coverage — the ExactSubstr layer of the dedup stack.
+
+Lee et al., "Deduplicating Training Data Makes Language Models Better"
+(ACL 2022) showed that EXACT substring repeats (their ExactSubstr tool:
+a suffix array over the byte concatenation of the corpus, repeats >= 50
+tokens removed) matter independently of document-level near-dup removal:
+a memorized span can hide inside two otherwise-different documents,
+where MinHash (whole-doc Jaccard) and even winnowing pair detection
+(operators/winnow.py reports which DOCS pair, not which TOKENS repeat)
+under-report it.
+
+A distributed suffix array is the wrong shape for Spark — it globally
+sorts all suffixes of a 100 TB string. The Spark-native equivalent for a
+FIXED span length L is exact and embarrassingly parallel:
+
+  tokenize -> slide every L-token window -> ONE groupBy on the span
+  (map-side partial agg) -> spans seen >= 2 times are repeats.
+
+Any repeated run of R >= L tokens produces R - L + 1 repeated L-windows,
+so fixed-L windows detect every repeat of length >= L (the suffix
+array's threshold role) and the union of a run's windows reconstructs
+the full repeated region — which is exactly what `span_dup_coverage`
+computes per document: the fraction of its tokens lying inside at least
+one repeated span, via a gaps-and-islands interval union (running-max
+window, no UDF). That is the accounting a removal stage needs: docs
+with coverage ~1.0 are wholesale copies (document dedup's job), a
+mid-range coverage is boilerplate/quotation (surgical span removal),
+~0.0 is clean.
+
+Scale shape: the window explode is ~n_tokens rows per doc (the same
+fanout winnow_fingerprints already carries); the only corpus-wide
+shuffle keys are the span strings — near-uniform by content (at 100 TB
+you would group on xxhash64(span) and keep min(span) as the exemplar;
+here the plain string keeps the oracle 1:1). The coverage join is an
+equi-join on the span key followed by ONE doc_id-partitioned window
+pass. No pair join exists anywhere in this family, so a span repeated a
+million times costs one hot-but-bounded aggregate cell, never a
+quadratic candidate set (the trap the winnowing/LSH operators guard
+against with per-key caps).
+
+Determinism: counts and integer interval arithmetic only; the single
+division (covered / n_tokens) is one IEEE op on small integers —
+bit-identical across engines — rounded to the repo's 6dp grid anyway.
+
+Reference parity note: the reference engine (/root/reference/src/
+index.js) has no span-level operator; this extends SURVEY §2.8's
+training-data-pipeline family (dedup beyond the reference's surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table, spread
+
+L = 8  # tokens per span: repeats of >= L tokens are detected exactly
+MIN_OCCURRENCES = 2
+
+
+def span_rows(docs: DataFrame, length: int = L) -> DataFrame:
+    """Every L-token window of every document: (doc_id, n_words, start,
+    span) with 1-based inclusive start; docs shorter than L contribute
+    nothing. One projection + posexplode — no shuffle."""
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
+        lambda x: x != F.lit(""),
+    )
+    sized = docs.select(
+        "doc_id", words.alias("words"), F.size(words).alias("n_words")
+    ).filter(F.col("n_words") >= length)
+    return (
+        sized.select(
+            "doc_id",
+            "n_words",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, n_words - {length} + 1), i -> "
+                    f"array_join(slice(words, i, {length}), ' '))"
+                )
+            ).alias("pos0", "span"),
+        )
+        .select("doc_id", "n_words", (F.col("pos0") + 1).alias("start"), "span")
+    )
+
+
+_NORM_SQL = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),"
+    " ' '), x -> x <> '')"
+)
+
+_SPANS_CTE = f"""
+WITH norm AS (
+    SELECT doc_id, {_NORM_SQL} AS words FROM documents
+), sized AS (
+    SELECT doc_id, words, len(words) AS n_words
+    FROM norm WHERE len(words) >= {L}
+), lists AS (
+    SELECT doc_id, n_words,
+           [array_to_string(words[i:i+{L - 1}], ' ')
+            for i in range(1, n_words - {L} + 2)] AS sp
+    FROM sized
+), spans AS (
+    SELECT doc_id, n_words,
+           unnest(range(1, n_words - {L} + 2)) AS start, unnest(sp) AS span
+    FROM lists
+)
+"""
+
+_REPEATED_SPANS_SQL = f"""{_SPANS_CTE}
+SELECT span,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM spans
+GROUP BY span
+HAVING count(*) >= {MIN_OCCURRENCES}
+"""
+
+
+@register("repeated_spans", oracle=_REPEATED_SPANS_SQL, driver=False)
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every exactly-repeated L-token span in the corpus with its
+    occurrence and document counts — the report a span-removal stage
+    (or a memorization audit) consumes. One shuffle, on span keys."""
+    spans = span_rows(spread(load_table(spark, sf_dir, "documents")))
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= MIN_OCCURRENCES)
+    )
+
+
+_SPAN_COVERAGE_SQL = f"""{_SPANS_CTE}
+, rep AS (
+    SELECT span FROM spans GROUP BY span HAVING count(*) >= {MIN_OCCURRENCES}
+), hits AS (
+    SELECT s.doc_id, s.n_words, s.start, s.start + {L} - 1 AS e
+    FROM spans s JOIN rep USING (span)
+), flagged AS (
+    SELECT doc_id, n_words, start, e,
+           CASE WHEN start > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS new_island
+    FROM hits
+), islands AS (
+    SELECT doc_id, n_words, start, e,
+           sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+), merged AS (
+    SELECT doc_id, n_words, island,
+           max(e) - min(start) + 1 AS covered
+    FROM islands GROUP BY doc_id, n_words, island
+), per_doc AS (
+    SELECT doc_id, sum(covered) AS covered_tokens
+    FROM merged GROUP BY doc_id
+), base AS (
+    SELECT doc_id, len({_NORM_SQL}) AS total_tokens FROM documents
+)
+SELECT b.doc_id,
+       CAST(coalesce(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST(b.total_tokens AS BIGINT) AS total_tokens,
+       round(coalesce(p.covered_tokens, 0) / greatest(b.total_tokens, 1), 6)
+           AS dup_coverage
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+_SPLIT_CASE = (
+    "CASE WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::BIGINT / 4294967296.0 < 0.8 THEN 'train' "
+    "WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::BIGINT / 4294967296.0 < 0.9 THEN 'val' ELSE 'test' END"
+)
+
+_SPAN_DECONTAM_SQL = f"""{_SPANS_CTE}
+, tagged AS (
+    SELECT doc_id, span, {_SPLIT_CASE} AS split FROM spans
+), train_spans AS (
+    SELECT DISTINCT span FROM tagged WHERE split = 'train'
+), test_spans AS (
+    SELECT doc_id, span FROM tagged WHERE split = 'test'
+), per_doc AS (
+    SELECT t.doc_id,
+           count(*) AS n_spans,
+           sum(CASE WHEN tr.span IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_contaminated
+    FROM test_spans t LEFT JOIN train_spans tr USING (span)
+    GROUP BY t.doc_id
+), test_docs AS (
+    SELECT doc_id FROM (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents)
+    WHERE split = 'test'
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(p.n_contaminated, 0)
+             / greatest(coalesce(p.n_spans, 0), 1), 6) AS contaminated_frac,
+       coalesce(p.n_contaminated, 0) > 0 AS flagged
+FROM test_docs d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("span_decontamination", oracle=_SPAN_DECONTAM_SQL, driver=False)
+def span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/PaLM-style n-gram decontamination, span grain: for every
+    TEST-split document, how many of its L-token spans also occur in a
+    TRAIN-split document (GPT-3 flagged eval examples sharing any 13-gram
+    with training data; PaLM used 8-grams — L here). Catches the leakage
+    doc-level contamination (curation.split_contamination, MinHash
+    whole-doc Jaccard) cannot: one copied benchmark question inside an
+    otherwise-novel test document.
+
+    Plan: ONE span explode, split assigned as a zero-shuffle hash
+    expression on doc_id (sampling.deterministic_split's grid, identical
+    salt), distinct train spans (one agg on span keys), LEFT join of the
+    test spans against it (content keys, no pair join — a span shared by
+    a million train docs is ONE distinct row), per-doc agg, full
+    test-doc domain restored with a left join."""
+    from cc_mapreducer_spark.operators.sampling import deterministic_split
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tagged = deterministic_split(span_rows(docs), "doc_id", weights)
+    train_spans = (
+        tagged.filter(F.col("split") == "train").select("span").distinct()
+    )
+    test_spans = tagged.filter(F.col("split") == "test").select("doc_id", "span")
+    per_doc = (
+        test_spans.join(
+            train_spans.select("span", F.lit(1).alias("hit")), "span", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+        )
+    )
+    test_docs = deterministic_split(
+        docs.select("doc_id"), "doc_id", weights
+    ).filter(F.col("split") == "test").select("doc_id")
+    return test_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("n_contaminated", F.lit(0))
+        .cast("bigint")
+        .alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0))
+            / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
+            6,
+        ).alias("contaminated_frac"),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("flagged"),
+    )
+
+
+@register("span_dup_coverage", oracle=_SPAN_COVERAGE_SQL, driver=False)
+def span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: how many of its tokens sit inside at least one
+    repeated L-token span (interval UNION, so overlapping windows of one
+    long repeated run are not double-counted). Full doc domain — clean
+    and too-short docs report 0 coverage.
+
+    Plan: span explode -> repeated-span semi-join (span keys) -> ONE
+    doc_id window pass for the gaps-and-islands union -> per-doc agg ->
+    left join back to the doc domain (broadcast-eligible at these row
+    counts; hash join on doc_id at scale)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spans = span_rows(docs)
+    rep = (
+        spans.groupBy("span")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= MIN_OCCURRENCES)
+        .select("span")
+    )
+    hits = spans.join(rep, "span").select(
+        "doc_id", "start", (F.col("start") + L - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        hits.withColumn(
+            "new_island",
+            (
+                F.col("start")
+                > F.coalesce(F.max("e").over(w_prev), F.lit(-1))
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+    )
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("start") + 1).alias("covered"))
+        .groupBy("doc_id")
+        .agg(F.sum("covered").alias("covered_tokens"))
+    )
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select("doc_id", F.size(words).alias("total_tokens"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias(
+            "covered_tokens"
+        ),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.coalesce("covered_tokens", F.lit(0))
+            / F.greatest("total_tokens", F.lit(1)),
+            6,
+        ).alias("dup_coverage"),
+    )

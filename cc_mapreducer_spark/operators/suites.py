@@ -61,6 +61,16 @@ from cc_mapreducer_spark.operators.contrastive import (
     _CONTRASTIVE_SQL,
     contrastive_negatives,
 )
+from cc_mapreducer_spark.operators.dedup import (
+    _DEDUP_RATE_SQL,
+    dedup_rate_by_source,
+)
+from cc_mapreducer_spark.operators.spans import (
+    _SPAN_COVERAGE_SQL,
+    _SPAN_DECONTAM_SQL,
+    span_decontamination,
+    span_dup_coverage,
+)
 
 
 def _leg(
@@ -228,6 +238,28 @@ FROM ({_LINKAGE_SQL})
 UNION ALL
 SELECT 'contrast', CAST(doc_id AS VARCHAR) || '|' || CAST(rank AS VARCHAR),
        CAST(neg_id AS DOUBLE) FROM ({_CONTRASTIVE_SQL})
+UNION ALL
+SELECT 'span:cov', CAST(doc_id AS VARCHAR), CAST(covered_tokens AS DOUBLE)
+FROM ({_SPAN_COVERAGE_SQL})
+UNION ALL
+SELECT 'span:frac', CAST(doc_id AS VARCHAR), dup_coverage
+FROM ({_SPAN_COVERAGE_SQL})
+UNION ALL
+SELECT 'decon:n', CAST(doc_id AS VARCHAR), CAST(n_contaminated AS DOUBLE)
+FROM ({_SPAN_DECONTAM_SQL})
+UNION ALL
+SELECT 'decon:flag', CAST(doc_id AS VARCHAR),
+       CAST(CAST(flagged AS INT) AS DOUBLE)
+FROM ({_SPAN_DECONTAM_SQL})
+UNION ALL
+SELECT 'deduprate:dups', source, CAST(n_dup_docs AS DOUBLE)
+FROM ({_DEDUP_RATE_SQL})
+UNION ALL
+SELECT 'deduprate:waste', source, CAST(tokens_wasted AS DOUBLE)
+FROM ({_DEDUP_RATE_SQL})
+UNION ALL
+SELECT 'deduprate:frac', source, dup_doc_frac
+FROM ({_DEDUP_RATE_SQL})
 """
 
 
@@ -236,8 +268,11 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver digest of the mining family: per-doc TF-IDF keywords
     (search.py), the frozen-classifier eval metrics (tie-aware AUC +
     confusion, classifier.py), embedding PSI drift contributions
-    (dq.py), FastSS record linkage (linkage.py), and contrastive
-    hash-jump negatives (contrastive.py)."""
+    (dq.py), FastSS record linkage (linkage.py), contrastive hash-jump
+    negatives (contrastive.py), and — round 5 — the ExactSubstr span
+    family (per-doc duplicate-span coverage + GPT-3-style span
+    decontamination, spans.py) and per-source dedup telemetry
+    (dedup.py): all driver-hashed from their debut round."""
     tfidf = tfidf_doc_keywords(spark, sf_dir)
     tfidf_ent = F.concat_ws("|", "doc_id", "rank", "word")
     ev = classifier_eval_metrics(spark, sf_dir)
@@ -267,6 +302,9 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift_ent = F.concat_ws("|", "slice", "bin")
     link = record_linkage_parts(spark, sf_dir)
     link_ent = F.concat_ws("|", "b_id", "a_id")
+    cov = span_dup_coverage(spark, sf_dir)
+    decon = span_decontamination(spark, sf_dir)
+    rate = dedup_rate_by_source(spark, sf_dir)
     return _union(
         [
             _leg(tfidf, "tfidf", tfidf_ent, F.col("score")),
@@ -300,5 +338,16 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws("|", "doc_id", "rank"),
                 F.col("neg_id"),
             ),
+            _leg(cov, "span:cov", F.col("doc_id"), F.col("covered_tokens")),
+            _leg(cov, "span:frac", F.col("doc_id"), F.col("dup_coverage")),
+            _leg(decon, "decon:n", F.col("doc_id"), F.col("n_contaminated")),
+            _leg(
+                decon, "decon:flag", F.col("doc_id"), F.col("flagged").cast("int")
+            ),
+            _leg(rate, "deduprate:dups", F.col("source"), F.col("n_dup_docs")),
+            _leg(
+                rate, "deduprate:waste", F.col("source"), F.col("tokens_wasted")
+            ),
+            _leg(rate, "deduprate:frac", F.col("source"), F.col("dup_doc_frac")),
         ]
     )

@@ -51,6 +51,9 @@ REPRESENTATIVES = [
     "contrastive_negatives",     # n_docs=0 guard
     "kmeans_cluster_sizes",      # empty embeddings -> no centroids
     "char_entropy_profile",
+    # round 5
+    "repeated_spans",            # empty corpus -> no windows
+    "span_dup_coverage",         # empty doc domain, islands over nothing
 ]
 
 

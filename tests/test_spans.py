@@ -1,0 +1,133 @@
+"""Exact repeated-span detection (operators/spans.py): planted-corpus
+semantics for the fixed-L window family — a shared run longer than L is
+found by every window it contains and its coverage union never
+double-counts overlapping windows; within-doc repeats count; short docs
+and clean docs report zero coverage with the full doc domain intact."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cc_mapreducer_spark.operators.spans import (
+    L,
+    repeated_spans,
+    span_dup_coverage,
+)
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+# 26 distinct all-letter words (the tokenizer drops non a-z) so no span
+# repeats by accident
+W = [f"w{chr(ord('a') + i)}x" for i in range(26)]
+RUN10 = " ".join(W[:10])  # a 10-token run shared by docs 1 and 2
+PHRASE8 = " ".join(W[10:18])  # an 8-token phrase repeated INSIDE doc 3
+
+
+def _plant(tmp_path) -> str:
+    texts = {
+        # docs 1 & 2: the 10-token run at the head, distinct tails
+        1: RUN10 + " " + " ".join(W[18:22]),
+        2: RUN10 + " " + " ".join(W[22:26]),
+        # doc 3: the 8-token phrase twice with a 2-token gap between
+        3: PHRASE8 + " " + " ".join(W[18:20]) + " " + PHRASE8,
+        # doc 4: clean (all-distinct words, nothing repeated elsewhere)
+        4: " ".join(reversed(W[:20])),
+        # doc 5: too short for any L-token window
+        5: " ".join(W[:L - 1]),
+    }
+    docs = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(docs, f"{d}/documents.parquet")
+    return d
+
+
+def test_planted_repeats_and_counts(spark, tmp_path):
+    d = _plant(tmp_path)
+    rows = {r["span"]: r for r in repeated_spans(spark, d).collect()}
+    # the 10-token shared run yields exactly its 10-L+1 = 3 windows,
+    # each seen once per doc
+    run_words = RUN10.split()
+    for i in range(10 - L + 1):
+        span = " ".join(run_words[i : i + L])
+        assert rows[span]["n_occurrences"] == 2, span
+        assert rows[span]["n_docs"] == 2, span
+    # the within-doc phrase repeat: one span, 2 occurrences, 1 doc
+    assert rows[PHRASE8]["n_occurrences"] == 2
+    assert rows[PHRASE8]["n_docs"] == 1
+    assert len(rows) == (10 - L + 1) + 1  # nothing else repeats
+
+
+def test_coverage_union_never_double_counts(spark, tmp_path):
+    d = _plant(tmp_path)
+    cov = {r["doc_id"]: r for r in span_dup_coverage(spark, d).collect()}
+    assert set(cov) == {1, 2, 3, 4, 5}  # full doc domain
+    # docs 1/2: three overlapping windows over one 10-token run ->
+    # union covers exactly 10 tokens, not 3 * L
+    assert cov[1]["covered_tokens"] == 10
+    assert cov[2]["covered_tokens"] == 10
+    assert cov[1]["total_tokens"] == 14
+    assert abs(cov[1]["dup_coverage"] - round(10 / 14, 6)) < 1e-9
+    # doc 3: both copies of the phrase covered, the 2-token gap not
+    assert cov[3]["covered_tokens"] == 16
+    assert cov[3]["total_tokens"] == 18
+    # clean and too-short docs: zero coverage, still present
+    assert cov[4]["covered_tokens"] == 0 and cov[4]["dup_coverage"] == 0.0
+    assert cov[5]["covered_tokens"] == 0 and cov[5]["total_tokens"] == L - 1
+
+
+def test_span_decontamination_planted(spark, tmp_path):
+    """A test-split doc sharing one L-token span with a train-split doc
+    is flagged; a clean test doc is not; val docs never appear. Split
+    membership is the deterministic md5 grid (sampling.py), so the
+    planted ids are chosen by their actual hash: 2-7 land in train,
+    23/25/44 in test, 1 in val."""
+    from cc_mapreducer_spark.operators.spans import span_decontamination
+
+    leak = " ".join(W[:L])  # the contaminating span
+    texts = {
+        2: leak + " " + " ".join(W[20:24]),          # train: carries the span
+        3: " ".join(W[10:22]),                        # train: unrelated
+        23: " ".join(W[22:26]) + " " + leak,          # test: CONTAMINATED
+        25: " ".join(reversed(W[:12])),               # test: clean
+        44: " ".join(W[:L - 1]),                      # test: too short
+        1: leak + " " + " ".join(W[24:26]),           # val: ignored entirely
+    }
+    docs = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(docs, f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in span_decontamination(spark, d).collect()}
+    assert set(rows) == {23, 25, 44}  # full test-doc domain, nothing else
+    assert rows[23]["flagged"] and rows[23]["n_contaminated"] == 1
+    assert not rows[25]["flagged"] and rows[25]["n_contaminated"] == 0
+    assert rows[44]["n_spans"] == 0 and not rows[44]["flagged"]
+
+
+def test_planted_corpus_matches_duckdb(spark, tmp_path):
+    """The gaps-and-islands SQL and the Spark window plan agree on the
+    planted corpus too, not just the driver tables (the islands logic is
+    the part a refactor would silently break)."""
+    import duckdb
+
+    from cc_mapreducer_spark import registry
+    from tests.oracle import compare_frames
+
+    d = _plant(tmp_path)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    for name in ("repeated_spans", "span_dup_coverage"):
+        spdf = registry.all_queries()[name](spark, d).toPandas()
+        odf = con.sql(registry.all_oracles()[name]).df()
+        compare_frames(spdf, odf, name)
