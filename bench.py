@@ -87,6 +87,7 @@ TREND_QUERIES = [
     "simhash_near_pairs",   # 64-bit fingerprint block-pair probing
     "near_dup_embeddings",  # size-adaptive multi-table sign-LSH
     "shared_passages",      # winnowing fingerprints + hash-key pair join
+    "span_dup_coverage",    # fixed-L window explode + span-key agg (r5)
 ]
 
 

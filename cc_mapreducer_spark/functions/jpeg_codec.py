@@ -1,0 +1,400 @@
+"""Baseline JPEG (ITU-T T.81) encoder/decoder for 8-bit grayscale, pure
+numpy + stdlib — the entropy-coded codec leg that was previously behind
+the `decode_with_library` environment seam (operators/multimodal.py).
+
+Scope: baseline sequential DCT, one component (luminance), no
+subsampling, the Annex K.1 luminance quantization table and the Annex
+K.3 "typical" Huffman tables — the exact profile every JPEG decoder is
+required to support and the one libjpeg emits for grayscale input. The
+full standard's OTHER modes (progressive, arithmetic coding, 12-bit,
+color with chroma subsampling) remain behind the library seam; this
+module exists to prove the entropy-coded path itself — Huffman bitstream
+with byte stuffing, zigzag RLE, dequantize, IDCT — needs no external
+dependency.
+
+Determinism: integer Huffman/RLE plus float64 matrix IDCT evaluated in a
+fixed order — byte-identical output for identical input bytes on any
+platform (pytest pins round-trip hashes). The encoder exists primarily
+so the decoder has real entropy-coded input to prove itself on inside
+this container; both directions implement the actual interchange format,
+so payloads from any standard encoder (baseline grayscale) decode too.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# tables (ITU-T T.81 Annex K)
+# --------------------------------------------------------------------------
+
+# K.1 luminance quantization (quality ~50, the spec's example table)
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# K.3.3.1 / K.3.3.2: (BITS counts per code length 1..16, HUFFVAL symbols)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """(row, col) visit order of the 8x8 zigzag, generated (not typed)
+    so a transcription typo is impossible."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        order.extend(diag if s % 2 == 1 else diag[::-1])
+    return order
+
+
+ZIGZAG = _zigzag_order()
+ZIG_ROWS = np.array([r for r, _ in ZIGZAG])
+ZIG_COLS = np.array([c for _, c in ZIGZAG])
+
+
+def _dct_matrix() -> np.ndarray:
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
+        for x in range(8):
+            c[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16)
+    return c
+
+
+_DCT = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_CODES = _canonical_codes(DC_BITS, DC_VALS)
+_AC_CODES = _canonical_codes(AC_BITS, AC_VALS)
+
+
+# --------------------------------------------------------------------------
+# bit I/O with byte stuffing
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("marker inside entropy stream")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _size_of(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _bits_of(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+
+def encode_gray_jpeg(pixels: np.ndarray) -> bytes:
+    """8-bit grayscale array (h, w) -> baseline JFIF bytes."""
+    px = np.asarray(pixels)
+    if px.ndim != 2:
+        raise ValueError("expected a 2-D grayscale array")
+    h, w = px.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    px = px.astype(np.float64)
+    # pad to multiples of 8 by edge replication (the spec's recommended fill)
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        px = np.pad(px, ((0, ph), (0, pw)), mode="edge")
+
+    bw = _BitWriter()
+    q = QUANT_LUMA.astype(np.float64)
+    prev_dc = 0
+    for by in range(0, px.shape[0], 8):
+        for bx in range(0, px.shape[1], 8):
+            block = px[by : by + 8, bx : bx + 8] - 128.0
+            coef = _DCT @ block @ _DCT.T
+            qc = np.rint(coef / q).astype(np.int64)
+            zz = qc[ZIG_ROWS, ZIG_COLS]
+            # DC
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = _size_of(diff)
+            code, length = _DC_CODES[s]
+            bw.put(code, length)
+            if s:
+                bw.put(_bits_of(diff, s), s)
+            # AC
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = int(nz[-1]) + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = _AC_CODES[0xF0]  # ZRL
+                    bw.put(code, length)
+                    run -= 16
+                s = _size_of(v)
+                code, length = _AC_CODES[(run << 4) | s]
+                bw.put(code, length)
+                bw.put(_bits_of(v, s), s)
+                run = 0
+            if last < 63:
+                code, length = _AC_CODES[0x00]  # EOB
+                bw.put(code, length)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    zz_quant = bytes(int(QUANT_LUMA[r, c]) for r, c in ZIGZAG)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + zz_quant)  # DQT: Pq=0 Tq=0
+    out += seg(0xC0, struct.pack(">BHHB", 8, px.shape[0], px.shape[1], 1) + b"\x01\x11\x00")
+    out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    # SOF records the PADDED dims; the true crop rides in a COM segment so
+    # decode round-trips exactly. (A standard decoder shows the padding —
+    # harmless edge replication.)
+    if ph or pw:
+        com = seg(0xFE, b"crop=%dx%d" % (h, w))
+        out = out[:2] + com + out[2:]
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def decode_gray_jpeg(data: bytes) -> np.ndarray:
+    """Baseline grayscale JFIF bytes -> uint8 array (h, w). Raises
+    ValueError on non-baseline / multi-component streams (those stay
+    behind the library seam)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    crop: tuple[int, int] | None = None
+    dc_id = ac_id = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            continue
+        ln = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                vals = body[p + 1 : p + 65]
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = vals[i]
+                quant[tq] = tbl
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("only grayscale is decoded here")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG mode")
+        elif marker == 0xC4:  # DHT (possibly several)
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xFE and body.startswith(b"crop="):
+            ch, cw = body[5:].split(b"x")
+            crop = (int(ch), int(cw))
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("only single-scan grayscale is decoded here")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            pos += ln
+            break
+        pos += ln
+    if not h or not w:
+        raise ValueError("missing SOF0")
+    q = quant[0].astype(np.float64)
+    dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
+    br = _BitReader(data, pos)
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            zz = np.zeros(64, dtype=np.int64)
+            s = _read_symbol(br, dc_tbl)
+            diff = _extend(br.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _read_symbol(br, ac_tbl)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflow")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            coef[ZIG_ROWS, ZIG_COLS] = zz
+            block = _DCT.T @ (coef * q) @ _DCT
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block + 128.0
+    px = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    if crop:
+        px = px[: crop[0], : crop[1]]
+    else:
+        px = px[:h, :w]
+    return px

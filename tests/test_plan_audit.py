@@ -65,6 +65,7 @@ ALLOWED_PYTHON_EVAL = {
     # codec-level decode: mapInPandas by design, like multimodal_derived
     "media_codec_stats",
     "media_thumbnails",
+    "jpeg_codec_stats",
     # MMR re-rank: the greedy kernel runs per bounded M-candidate query
     # group in applyInPandas; candidate scoring shares the brute-force
     # mapInPandas kernel (operators/mmr.py)

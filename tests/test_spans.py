@@ -113,6 +113,83 @@ def test_span_decontamination_planted(spark, tmp_path):
     assert rows[44]["n_spans"] == 0 and not rows[44]["flagged"]
 
 
+def _py_repeats_and_coverage(texts: dict[int, str], length: int = L):
+    """Pure-Python replica of the span family: Counter over every
+    L-window, then an interval union per doc — the independent reference
+    the Spark window/agg plan is checked against."""
+    import re
+    from collections import Counter
+
+    tok = {
+        d: [w for w in re.sub("[^a-z]+", " ", t.lower()).split() if w]
+        for d, t in texts.items()
+    }
+    counts: Counter = Counter()
+    for ws in tok.values():
+        for i in range(len(ws) - length + 1):
+            counts[" ".join(ws[i : i + length])] += 1
+    cov = {}
+    for d, ws in tok.items():
+        ivs = [
+            (i, i + length - 1)
+            for i in range(len(ws) - length + 1)
+            if counts[" ".join(ws[i : i + length])] >= 2
+        ]
+        covered, cur_s, cur_e = 0, None, -1
+        for s, e in ivs:
+            if s > cur_e:
+                if cur_s is not None:
+                    covered += cur_e - cur_s + 1
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_s is not None:
+            covered += cur_e - cur_s + 1
+        cov[d] = (covered, len(ws))
+    return counts, cov
+
+
+def test_randomized_corpora_match_python_replica(spark, tmp_path):
+    """Random low-vocab corpora (repeats arise by chance everywhere,
+    including nested/overlapping runs the planted test can't stage):
+    Spark's repeated_spans and span_dup_coverage must equal the
+    pure-Python Counter + interval-union replica exactly."""
+    import random
+
+    rng = random.Random(77)
+    texts: dict[int, str] = {}
+    doc_id = 0
+    for case in range(6):
+        # tiny per-case vocab forces organic span collisions; per-case
+        # prefix stops spans matching across cases
+        vocab = [f"c{chr(ord('a') + case)}{chr(ord('a') + i)}" for i in range(10)]
+        for _ in range(8):
+            n = rng.randint(0, 40)
+            texts[doc_id] = " ".join(rng.choice(vocab) for _ in range(n))
+            doc_id += 1
+    docs = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(docs, f"{d}/documents.parquet")
+
+    exp_counts, exp_cov = _py_repeats_and_coverage(texts)
+    got = {
+        r["span"]: (r["n_occurrences"], r["n_docs"])
+        for r in repeated_spans(spark, d).collect()
+    }
+    exp_rep = {s: c for s, c in exp_counts.items() if c >= 2}
+    assert {s: c for s, (c, _) in got.items()} == exp_rep
+    cov = {r["doc_id"]: r for r in span_dup_coverage(spark, d).collect()}
+    assert set(cov) == set(texts)
+    for doc, (covered, total) in exp_cov.items():
+        assert cov[doc]["covered_tokens"] == covered, doc
+        assert cov[doc]["total_tokens"] == total, doc
+
+
 def test_planted_corpus_matches_duckdb(spark, tmp_path):
     """The gaps-and-islands SQL and the Spark window plan agree on the
     planted corpus too, not just the driver tables (the islands logic is
