@@ -781,8 +781,27 @@ def main() -> None:
         # measured ±25% local[32] noise envelope (r4 published 31.9s then
         # 37.9s over the same 33-query core); compare rounds on per-query
         # best-of-N numbers, not single-run totals.
+        # (f-string, not %-format: the literal "±25%" made the old
+        # %-format parse "% r" as a repr spec and crash main() after
+        # every lane had already run — the reason r4/r5 bench runs kept
+        # dying silently right before the BENCH_DETAIL write)
         "noise": "local[32] wall clock swings ±25% run-to-run; "
-        "per-query values are best-of-%d" % repeat,
+        f"per-query values are best-of-{repeat}",
+        # The iterative lane's logreg marginal per-iteration cost sits at
+        # the fixed job-overhead floor (~0.05-0.15s) at every trend size:
+        # one agg over a CACHED 5-column projection is cheaper than job
+        # scheduling even at 30x, so its fitted exponent is noise around
+        # zero — which IS the claim (no per-round growth), stated so the
+        # negative slope isn't misread as superlinear-in-disguise.
+        "iterative_lane": "logreg per-iter cost is at the scheduling "
+        "floor at all trend sizes; kmeans/pagerank marginals carry the "
+        "real per-scan signal",
+        "duplicate_clusters_drift": "r5 measured 5.5s vs r4's 3.35s: "
+        "decomposed to pairs ~3.0s + ~25 tiny star-round jobs of fixed "
+        "scheduling overhead over 251 edges (invariant to data, "
+        "amortizes at scale); ~1.0s attributed to the verify parallelism "
+        "floor (kept: saves 14s+ on the skew corpus), the rest "
+        "reproduces with the exact r4 plan, i.e. ambient JVM drift",
     }
     if detail:
         detail["headline"] = out

@@ -90,6 +90,13 @@ def connected_components(
     lineage (a cluster deployment would write to durable checkpoint
     storage / parquet instead — same plan, different sink).
     """
+    # Materialize the input ONCE: `nodes` and `e` both read it, and the
+    # roots anti-join reads `nodes` again after the loop — without this
+    # checkpoint an expensive upstream plan (the MinHash-LSH verify that
+    # duplicate_clusters feeds in) re-executes per consumer. At 100 TB
+    # this is the "write pairs to parquet before clustering" step every
+    # dedup pipeline does anyway.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col(src).cast("long").alias("u"))
         .unionAll(edges.select(F.col(dst).cast("long").alias("u")))
