@@ -72,3 +72,104 @@ def embedding_norm_outliers(
         "norm",
         ((F.col("norm") < F.col("__lo")) | (F.col("norm") > F.col("__hi"))).alias("is_outlier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (round 5)
+# --------------------------------------------------------------------------
+#
+# Dimensionality reduction ahead of ANN/clustering: project d=64 vectors
+# to k=16 with a dense ±1/sqrt(k) matrix (Achlioptas 2003: sign matrices
+# satisfy the JL lemma with the same guarantees as Gaussian ones). The
+# matrix is DERIVED, not drawn: sign(i, j) = +1 iff the first hex digit
+# of md5("jl:i:j") < 8 — both engines (and the numpy replica in tests)
+# rebuild the identical matrix from the string, so there is no runtime
+# randomness and no weight artifact to ship.
+#
+# Plan shape: the projection is 16 literal-signed sum chains over the
+# array elements in a FIXED order — one whole-stage-codegen projection,
+# zero shuffle, nothing driver-side. Fixed order + double math makes the
+# unrounded result bit-identical across engines (the sequential-fold
+# rule the sign-LSH operators already follow); rounded to 6dp anyway.
+
+_JL_D = 64
+_JL_K = 16
+
+
+def _jl_sign(i: int, j: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) < 8 else -1
+
+
+def jl_sign_matrix():
+    """(d, k) ±1 numpy matrix — the tests' replica entry point."""
+    import numpy as np
+
+    return np.array(
+        [[_jl_sign(i, j) for j in range(_JL_K)] for i in range(_JL_D)],
+        dtype=np.float64,
+    )
+
+
+def _jl_terms(j: int, elem_fmt: str) -> str:
+    """The j-th output dim as a fixed-order signed sum chain; elem_fmt
+    renders element i (1 a Spark getItem, 1-based for DuckDB)."""
+    parts = []
+    for i in range(_JL_D):
+        s = "+" if _jl_sign(i, j) > 0 else "-"
+        parts.append(f"{s} {elem_fmt.format(i=i)}")
+    return " ".join(parts).lstrip("+ ")
+
+
+def _jl_sql() -> str:
+    """DuckDB oracle: the same 16 fixed-order signed chains, 1-based
+    element indexing."""
+    cols = []
+    for j in range(_JL_K):
+        terms = []
+        for i in range(_JL_D):
+            s = "+" if _jl_sign(i, j) > 0 else "-"
+            terms.append(f"{s} CAST(embedding[{i + 1}] AS DOUBLE)")
+        chain = " ".join(terms)
+        if chain.startswith("+ "):
+            chain = chain[2:]
+        cols.append(f"round(({chain}) / sqrt({_JL_K}.0), 6) AS p{j}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+def jl_project(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding[64]) -> (vec_id, p0..p15): the ±1/sqrt(k)
+    projection as 16 codegen sum chains, zero shuffle."""
+    cols = [F.col("vec_id")]
+    for j in range(_JL_K):
+        expr = None
+        for i in range(_JL_D):
+            term = F.col("embedding").getItem(i).cast("double")
+            signed = term if _jl_sign(i, j) > 0 else -term
+            expr = signed if expr is None else expr + signed
+        cols.append(
+            F.round(expr / F.lit(float(_JL_K) ** 0.5), 6).alias(f"p{j}")
+        )
+    return emb.select(*cols)
+
+
+def _register_jl():
+    from cc_mapreducer_spark.registry import register
+    from cc_mapreducer_spark.tables import load_table
+
+    @register("embedding_jl_projection", oracle=_jl_sql(), driver=False)
+    def embedding_jl_projection(spark, sf_dir: str) -> DataFrame:
+        """JL sign-matrix projection of the embeddings table to 16
+        dims — the dimensionality-reduction step ahead of ANN or
+        clustering. One zero-shuffle codegen pass; oracle rebuilds the
+        identical derived matrix. Distance-preservation (the JL
+        guarantee this buys) is pinned statistically against the numpy
+        replica in tests/test_embeddings_jl.py."""
+        return jl_project(load_table(spark, sf_dir, "embeddings"))
+
+    return embedding_jl_projection
+
+
+embedding_jl_projection = _register_jl()
