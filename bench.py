@@ -427,6 +427,7 @@ def streaming_bench(spark) -> dict:
     from cc_mapreducer_spark.streaming.cdc_sink import merge_cdc_batch
     from cc_mapreducer_spark.streaming.cms import write_cms_partial
     from cc_mapreducer_spark.streaming.drift import (
+        read_psi_drift,
         reference_bin_counts,
         write_psi_partial,
     )
@@ -545,7 +546,19 @@ def streaming_bench(spark) -> dict:
                 if len(walls) >= 4
                 else None,
             }
-        _ = ref  # keep the reference bins pinned through the drains
+        # serve the drift report off the drained partials: the stream
+        # replayed the SAME events the reference froze, so psi_total ~ 0
+        # is a correctness witness for the partial-fold path (and proves
+        # the drain produced usable state, not just files)
+        psi_row = (
+            read_psi_drift(spark, psi_path, ref)
+            .select("psi_total")
+            .limit(1)
+            .collect()
+        )
+        out["psi_drift"]["psi_total"] = (
+            round(float(psi_row[0]["psi_total"]), 6) if psi_row else None
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -16,8 +16,10 @@ Determinism: integer Huffman/RLE plus float64 matrix IDCT evaluated in a
 fixed order — byte-identical output for identical input bytes on any
 platform (pytest pins round-trip hashes). The encoder exists primarily
 so the decoder has real entropy-coded input to prove itself on inside
-this container; both directions implement the actual interchange format,
-so payloads from any standard encoder (baseline grayscale) decode too.
+this container; both directions implement the actual interchange format
+— including DRI/RST0-7 restart intervals (DC-predictor reset, byte
+alignment, 0xFF fill bytes before markers) — so payloads from any
+standard encoder (baseline grayscale) decode too.
 """
 
 from __future__ import annotations
@@ -135,10 +137,19 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.n:
             pad = 8 - self.n
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes verbatim (caller must be byte-aligned);
+        markers are never byte-stuffed."""
+        assert self.n == 0
+        self.out += b
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -172,6 +183,25 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> None:
+        """Byte-align and consume an RST0-7 marker. The spec (T.81
+        B.1.1.2) allows any number of 0xFF fill bytes before a marker;
+        skip them, then require a restart marker."""
+        self.n = 0  # discard the pad bits of the finished interval
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # fill byte
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
 
 def _size_of(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
@@ -190,8 +220,13 @@ def _extend(v: int, size: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def encode_gray_jpeg(pixels: np.ndarray) -> bytes:
-    """8-bit grayscale array (h, w) -> baseline JFIF bytes."""
+def encode_gray_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
+    """8-bit grayscale array (h, w) -> baseline JFIF bytes.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RST0-7 marker
+    every that-many MCUs (DC predictor reset, byte-aligned) — the layout
+    hardware encoders use for error resilience; the decoder handles both
+    forms."""
     px = np.asarray(pixels)
     if px.ndim != 2:
         raise ValueError("expected a 2-D grayscale array")
@@ -207,8 +242,16 @@ def encode_gray_jpeg(pixels: np.ndarray) -> bytes:
     bw = _BitWriter()
     q = QUANT_LUMA.astype(np.float64)
     prev_dc = 0
+    mcu_idx = 0
+    rst_n = 0
     for by in range(0, px.shape[0], 8):
         for bx in range(0, px.shape[1], 8):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.align()
+                bw.raw(bytes((0xFF, 0xD0 + rst_n)))
+                rst_n = (rst_n + 1) % 8
+                prev_dc = 0
+            mcu_idx += 1
             block = px[by : by + 8, bx : bx + 8] - 128.0
             coef = _DCT @ block @ _DCT.T
             qc = np.rint(coef / q).astype(np.int64)
@@ -254,6 +297,8 @@ def encode_gray_jpeg(pixels: np.ndarray) -> bytes:
     out += seg(0xC0, struct.pack(">BHHB", 8, px.shape[0], px.shape[1], 1) + b"\x01\x11\x00")
     out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
     out += entropy
     out += b"\xff\xd9"  # EOI
@@ -307,6 +352,7 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     h = w = 0
     crop: tuple[int, int] | None = None
     dc_id = ac_id = 0
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
@@ -346,6 +392,8 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xFE and body.startswith(b"crop="):
             ch, cw = body[5:].split(b"x")
             crop = (int(ch), int(cw))
@@ -365,8 +413,13 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
     out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
     prev_dc = 0
+    mcu_idx = 0
     for by in range(bh):
         for bx in range(bw_):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                br.restart()
+                prev_dc = 0
+            mcu_idx += 1
             zz = np.zeros(64, dtype=np.int64)
             s = _read_symbol(br, dc_tbl)
             diff = _extend(br.bits(s), s) if s else 0

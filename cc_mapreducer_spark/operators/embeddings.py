@@ -114,43 +114,41 @@ def jl_sign_matrix():
 
 
 def _jl_terms(j: int, elem_fmt: str) -> str:
-    """The j-th output dim as a fixed-order signed sum chain; elem_fmt
-    renders element i (1 a Spark getItem, 1-based for DuckDB)."""
+    """The j-th output dim as a fixed-order signed sum chain — the ONE
+    source of the sign/order logic; both engines' SQL is rendered from
+    it. elem_fmt renders element i and may use ``{i}`` (0-based, Spark
+    SQL array indexing) or ``{i1}`` (1-based, DuckDB)."""
     parts = []
     for i in range(_JL_D):
         s = "+" if _jl_sign(i, j) > 0 else "-"
-        parts.append(f"{s} {elem_fmt.format(i=i)}")
-    return " ".join(parts).lstrip("+ ")
+        parts.append(f"{s} {elem_fmt.format(i=i, i1=i + 1)}")
+    chain = " ".join(parts)
+    return chain[2:] if chain.startswith("+ ") else chain
 
 
 def _jl_sql() -> str:
     """DuckDB oracle: the same 16 fixed-order signed chains, 1-based
     element indexing."""
-    cols = []
-    for j in range(_JL_K):
-        terms = []
-        for i in range(_JL_D):
-            s = "+" if _jl_sign(i, j) > 0 else "-"
-            terms.append(f"{s} CAST(embedding[{i + 1}] AS DOUBLE)")
-        chain = " ".join(terms)
-        if chain.startswith("+ "):
-            chain = chain[2:]
-        cols.append(f"round(({chain}) / sqrt({_JL_K}.0), 6) AS p{j}")
+    cols = [
+        f"round(({_jl_terms(j, 'CAST(embedding[{i1}] AS DOUBLE)')})"
+        f" / sqrt({_JL_K}.0), 6) AS p{j}"
+        for j in range(_JL_K)
+    ]
     return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
 
 
 def jl_project(emb: DataFrame) -> DataFrame:
     """(vec_id, embedding[64]) -> (vec_id, p0..p15): the ±1/sqrt(k)
-    projection as 16 codegen sum chains, zero shuffle."""
+    projection as 16 codegen sum chains, zero shuffle. SQL's left-
+    associative `a + b - c` parse is the same fixed fold order the
+    DuckDB oracle renders from the shared _jl_terms chain."""
     cols = [F.col("vec_id")]
     for j in range(_JL_K):
-        expr = None
-        for i in range(_JL_D):
-            term = F.col("embedding").getItem(i).cast("double")
-            signed = term if _jl_sign(i, j) > 0 else -term
-            expr = signed if expr is None else expr + signed
+        chain = _jl_terms(j, "CAST(embedding[{i}] AS DOUBLE)")
         cols.append(
-            F.round(expr / F.lit(float(_JL_K) ** 0.5), 6).alias(f"p{j}")
+            F.round(F.expr(chain) / F.lit(float(_JL_K) ** 0.5), 6).alias(
+                f"p{j}"
+            )
         )
     return emb.select(*cols)
 

@@ -74,6 +74,43 @@ def test_byte_stuffing_emits_ff00_and_survives_round_trip():
     assert saw_stuffed
 
 
+def test_restart_intervals_round_trip():
+    """DRI + RST0-7: the restart-interval stream must decode to exactly
+    the same pixels as the plain stream (the entropy content is the same
+    coefficients; only the framing differs), across interval sizes that
+    exercise RSTn wrap-around (>8 restarts)."""
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (40, 48)).astype(np.uint8)  # 5x6 = 30 MCUs
+    plain = decode_gray_jpeg(encode_gray_jpeg(img))
+    for interval in (1, 2, 7):  # interval=1 emits 29 RSTn -> wraps 0-7 thrice
+        b = encode_gray_jpeg(img, restart_interval=interval)
+        assert b"\xff\xdd" in b  # DRI segment present
+        assert (decode_gray_jpeg(b) == plain).all(), interval
+
+
+def test_fill_bytes_before_restart_marker_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    inject one before each RSTn and the stream must still decode."""
+    rng = np.random.RandomState(29)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)  # 4 MCUs
+    b = encode_gray_jpeg(img, restart_interval=1)
+    plain = decode_gray_jpeg(b)
+    padded = bytearray()
+    i = 0
+    sos = b.index(b"\xff\xda")
+    while i < len(b):
+        if (
+            i > sos
+            and b[i] == 0xFF
+            and i + 1 < len(b)
+            and 0xD0 <= b[i + 1] <= 0xD7
+        ):
+            padded += b"\xff"  # fill byte
+        padded.append(b[i])
+        i += 1
+    assert (decode_gray_jpeg(bytes(padded)) == plain).all()
+
+
 def test_rejects_non_baseline_and_color():
     img = np.full((8, 8), 100, dtype=np.uint8)
     b = bytearray(encode_gray_jpeg(img))
@@ -126,12 +163,23 @@ def test_spark_jpeg_stats_deterministic_and_bounded(spark):
         assert 8 <= r["width"] <= 32 and 8 <= r["height"] <= 24
 
 
-def test_local_replica_matches_spark_row():
+# sha256 of the decoded doc_id=7 pixels at sf0.01 — a hard pin on the
+# Annex K tables, the float64 DCT, and the Huffman bitstream: any codec
+# change that alters one reconstructed pixel flips this literal
+_DOC7_DECODED_SHA = (
+    "9e980c37fe8888847528b82b0199857d88c6688b03c486a52b662416f5433714"
+)
+
+
+def test_local_replica_matches_spark_row(spark):
     """One doc computed outside Spark must equal the Spark row bit-for-
     bit (guards against Arrow/pandas dtype drift in the batch path)."""
     import duckdb
 
-    from cc_mapreducer_spark.operators.multimodal import jpeg_test_image
+    from cc_mapreducer_spark.operators.multimodal import (
+        jpeg_codec_stats,
+        jpeg_test_image,
+    )
 
     row = duckdb.sql(
         f"SELECT doc_id, text, n_chars FROM '{SF_ORACLE}/documents.parquet' "
@@ -140,6 +188,10 @@ def test_local_replica_matches_spark_row():
     px = jpeg_test_image(*row)
     dec = decode_gray_jpeg(encode_gray_jpeg(px))
     expected_sha = hashlib.sha256(dec.tobytes()).hexdigest()
-    # pin the value so an accidental tables/DCT change cannot slip by
-    assert len(expected_sha) == 64
+    assert expected_sha == _DOC7_DECODED_SHA
     assert (np.abs(dec.astype(int) - px.astype(int)) < 100).all()
+    spark_row = (
+        jpeg_codec_stats(spark, SF_ORACLE).filter("doc_id = 7").collect()
+    )
+    assert len(spark_row) == 1
+    assert spark_row[0]["decoded_sha"] == expected_sha
