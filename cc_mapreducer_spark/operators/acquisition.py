@@ -1,0 +1,385 @@
+"""Acquisition-side text operators: HTML stripping, URL canonicalization,
+and the per-domain acquisition rollup (VERDICT r5 "Next round" #3).
+
+A real 100 TB web-corpus pipeline does not start at clean
+``documents.text`` — it starts at crawled markup and raw URLs. These are
+the two operators that run BEFORE ``text_profile``/dedup ever see a byte
+(generalizing the reference's `_read` tokenizer,
+/root/reference/src/index.js:48-55, from plain text to markup input),
+plus the per-domain telemetry report that drives crawl policy (the
+domain-grain sibling of ``dedup_rate_by_source``, dedup.py:639).
+
+Scale shape: ``strip_html`` and ``canonicalize_url`` are pure per-row
+regexp/split/sort built-ins — zero shuffle, whole-stage codegen, runs at
+scan speed; the rollup is ONE groupBy on the registered domain (key
+space = number of domains, partial aggregation applies). At 100 TB this
+is exactly the plan you want: the expensive work never leaves the scan
+stage.
+
+Every pattern is kept inside the Java-regex ∩ RE2 subset (no
+backreferences, no lookaround — the ``curation.redact_pii`` policy) so
+DuckDB mirrors each stage verbatim; the fixture derivations below build
+byte-identical messy HTML/URLs from the documents table in BOTH engines,
+so the driver hash pins the full transform, not a summary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table, spread
+
+# --------------------------------------------------------------------------
+# HTML stripping
+# --------------------------------------------------------------------------
+
+# Stage order matters and is part of the contract:
+#   1. script/style blocks go first (their CONTENT may contain '<' that is
+#      not markup — e.g. `if (a < b)` — which would derail naive
+#      tag-stripping);
+#   2. comments next;
+#   3. every remaining tag collapses to a space (so '<p>a</p><p>b</p>'
+#      keeps a word boundary between a and b);
+#   4. character entities decode AFTER tag removal ('&lt;div&gt;' is
+#      CONTENT, and must never resurrect into a strippable tag) with
+#      '&amp;' LAST (the standard rule: '&amp;lt;' means the literal
+#      text '&lt;', not '<');
+#   5. whitespace collapses and trims.
+_HTML_BLOCK_PATTERNS = [
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"<[^>]*>",
+]
+
+# (entity, replacement) in decode order; '&amp;' must stay last.
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+_WS_PATTERN = r"[ \t\r\n\f]+"
+
+
+def strip_html(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Add ``clean_text``: markup stripped to visible text. Pure regexp
+    built-ins in the documented stage order — zero shuffle, codegen."""
+    c: Column = F.col(html_col)
+    for pat in _HTML_BLOCK_PATTERNS:
+        c = F.regexp_replace(c, pat, " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))  # literal, not regex
+    c = F.trim(F.regexp_replace(c, _WS_PATTERN, " "))
+    return df.withColumn("clean_text", c)
+
+
+def _strip_html_sql(expr: str) -> str:
+    """The same stage chain over a DuckDB SQL expression (g = all
+    occurrences; Spark's regexp_replace is always global)."""
+    out = expr
+    for pat in _HTML_BLOCK_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{rep_sql}')"
+    return f"trim(regexp_replace({out}, '{_WS_PATTERN}', ' ', 'g'))"
+
+
+# Fixture: a deterministic messy-HTML wrapping of each document, built
+# byte-identically in both engines. Adversarial on purpose: a script
+# block whose BODY contains '<div>' and a bare '<' (naive tag-stripping
+# leaks from there to the next '>'), a style block, a comment, an
+# UPPERCASE tag (case-insensitive block patterns), and entities
+# including the '&amp;lt;' double-escape trap.
+_HTML_P1 = '<html><head><title>'
+_HTML_P2 = (
+    '</title><style type="text/css">body { color: #000; }</style>'
+    '<script>if (1 < 2) { var s = "<div>"; }</script></head>'
+    '<body><!-- crawl id '
+)
+_HTML_P3 = ' --><h1>Doc &amp;lt; &lt;em&gt;'
+_HTML_P4 = '&lt;/em&gt; &quot;quoted&quot; it&#39;s&nbsp;here</h1><P class="x">'
+_HTML_P5 = "</P><br/></body></html>"
+
+
+def _html_fixture_col() -> Column:
+    return F.concat(
+        F.lit(_HTML_P1),
+        F.col("source"),
+        F.lit(_HTML_P2),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_P3),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_P4),
+        F.col("text"),
+        F.lit(_HTML_P5),
+    )
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+_HTML_FIXTURE_SQL = (
+    f"'{_q(_HTML_P1)}' || source || '{_q(_HTML_P2)}' || "
+    f"CAST(doc_id AS VARCHAR) || '{_q(_HTML_P3)}' || "
+    f"CAST(doc_id AS VARCHAR) || '{_q(_HTML_P4)}' || text || '{_q(_HTML_P5)}'"
+)
+
+_HTML_STRIP_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_HTML_FIXTURE_SQL} AS html FROM documents
+)
+SELECT doc_id,
+       CAST(length(html) AS BIGINT) AS n_chars_html,
+       CAST(length({_strip_html_sql('html')}) AS BIGINT) AS n_chars_clean,
+       CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+       CAST(('0x' || substr(md5({_strip_html_sql('html')}), 1, 12))::BIGINT
+            AS BIGINT) AS clean_h
+FROM raw
+"""
+
+
+@register("html_strip_stats", oracle=_HTML_STRIP_SQL, driver=False)
+def html_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-stripping over a deterministic messy-HTML wrapping of every
+    document: script/style/comment-aware tag removal + entity decode +
+    whitespace collapse, reported as sizes, tag counts, and a 48-bit
+    md5 prefix of the CLEAN TEXT itself (so the hash pins every byte of
+    the transform, not just lengths). Driver-hashed via the
+    ``mining_suite`` html legs. One scan, zero shuffle."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    raw = docs.select("doc_id", _html_fixture_col().alias("html"))
+    stripped = strip_html(raw, "html")
+    return stripped.select(
+        "doc_id",
+        F.length("html").cast("bigint").alias("n_chars_html"),
+        F.length("clean_text").cast("bigint").alias("n_chars_clean"),
+        F.size(F.regexp_extract_all("html", F.lit(r"<[^>]*>"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tags"),
+        F.conv(F.substring(F.md5("clean_text"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("clean_h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization
+# --------------------------------------------------------------------------
+
+# Crawl-frontier canonicalization (the dedup-oriented flavor, stronger
+# than plain RFC 3986 normalization, weaker than anything lossy):
+#   scheme/host lowercased; userinfo dropped; 'www.' prefix dropped;
+#   default port dropped (:80 http, :443 https); duplicate slashes in
+#   the path collapsed; trailing slash dropped (root path renders empty);
+#   query params split, ''/utm_* dropped, remainder SORTED and rejoined;
+#   fragment dropped.
+
+
+def canonicalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``canonical_url``, ``host`` (post-canonicalization), and
+    ``n_params`` (kept query params). Pure regexp/split/sort built-ins —
+    zero shuffle, codegen."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host_port = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
+    host_port = F.regexp_replace(host_port, r"^www\.", "")
+    host_port = F.when(
+        scheme == "http", F.regexp_replace(host_port, ":80$", "")
+    ).otherwise(
+        F.when(
+            scheme == "https", F.regexp_replace(host_port, ":443$", "")
+        ).otherwise(host_port)
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(F.regexp_replace(path, "/{2,}", "/"), "/$", "")
+    kept = F.expr(
+        f"array_sort(filter(split(regexp_extract({url_col}, '\\\\?([^#]*)', 1), '&'),"
+        " p -> p <> '' AND substr(p, 1, 4) <> 'utm_'))"
+    )
+    host = F.regexp_extract(host_port, r"^([^:]*)", 1)
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host_port,
+        path,
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )
+    return df.select(
+        "*",
+        canonical.alias("canonical_url"),
+        host.alias("host"),
+        F.size(kept).cast("int").alias("n_params"),
+    )
+
+
+def _canonicalize_sql(url: str) -> dict[str, str]:
+    """DuckDB rendering of the same stages; returns the canonical/host/
+    n_params expressions over a column named ``url``."""
+    scheme = f"lower(regexp_extract({url}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    auth = f"regexp_extract({url}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    hp = f"regexp_replace(lower(regexp_replace({auth}, '^[^@]*@', '')), '^www\\.', '')"
+    hp = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hp}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({hp}, ':443$', '') "
+        f"ELSE {hp} END"
+    )
+    path = (
+        f"regexp_replace(regexp_replace("
+        f"regexp_extract({url}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),"
+        f" '/{{2,}}', '/', 'g'), '/$', '')"
+    )
+    kept = (
+        f"list_sort(list_filter(string_split("
+        f"regexp_extract({url}, '\\?([^#]*)', 1), '&'),"
+        f" p -> p <> '' AND substr(p, 1, 4) <> 'utm_'))"
+    )
+    canonical = (
+        f"{scheme} || '://' || ({hp}) || {path} || "
+        f"CASE WHEN len({kept}) > 0 THEN '?' || array_to_string({kept}, '&') "
+        f"ELSE '' END"
+    )
+    host = f"regexp_extract({hp}, '^([^:]*)', 1)"
+    return {
+        "canonical": canonical,
+        "host": host,
+        "n_params": f"CAST(len({kept}) AS INT)",
+    }
+
+
+# Fixture: deterministic messy URLs derived per document — uppercase
+# scheme/host, userinfo on every 5th, default vs explicit ports, double
+# slashes, trailing slashes, utm_ params mixed into unsorted queries,
+# fragments. Built byte-identically in both engines.
+def _url_fixture_col() -> Column:
+    scheme = F.when(F.col("doc_id") % 2 == 0, "HTTP://").otherwise("https://")
+    user = F.when(F.col("doc_id") % 5 == 0, "crawler:pw@").otherwise("")
+    port = (
+        F.when(F.col("doc_id") % 4 == 0, ":80")
+        .when(F.col("doc_id") % 4 == 1, ":8080")
+        .otherwise("")
+    )
+    tld = F.when(F.col("doc_id") % 2 == 0, ".COM").otherwise(".org")
+    tail = (
+        F.when(F.col("doc_id") % 3 == 0, "/?utm_source=feed&b=2&a=1#sec")
+        .when(F.col("doc_id") % 3 == 1, "?z=9&y=8&utm_campaign=x")
+        .otherwise("/")
+    )
+    return F.concat(
+        scheme,
+        user,
+        F.lit("WWW."),
+        F.col("source"),
+        tld,
+        port,
+        F.lit("/Docs//page-"),
+        F.col("doc_id").cast("string"),
+        tail,
+    )
+
+
+_URL_FIXTURE_SQL = """
+CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+CASE WHEN doc_id % 5 = 0 THEN 'crawler:pw@' ELSE '' END ||
+'WWW.' || source ||
+CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.org' END ||
+CASE WHEN doc_id % 4 = 0 THEN ':80'
+     WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END ||
+'/Docs//page-' || CAST(doc_id AS VARCHAR) ||
+CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1#sec'
+     WHEN doc_id % 3 = 1 THEN '?z=9&y=8&utm_campaign=x' ELSE '/' END
+"""
+
+_URL_PARTS = _canonicalize_sql("url")
+
+_URL_CANON_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents
+)
+SELECT doc_id,
+       {_URL_PARTS['canonical']} AS canonical_url,
+       {_URL_PARTS['host']} AS host,
+       {_URL_PARTS['n_params']} AS n_params
+FROM raw
+"""
+
+
+@register("url_canonical_stats", oracle=_URL_CANON_SQL, driver=False)
+def url_canonical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization over deterministic messy URLs
+    derived from every document: case, userinfo, www, default ports,
+    duplicate/trailing slashes, utm_* removal, query-param sort,
+    fragment drop. Driver-hashed via the ``mining_suite`` url legs.
+    One scan, zero shuffle."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    raw = docs.select("doc_id", _url_fixture_col().alias("url"))
+    return canonicalize_url(raw, "url").select(
+        "doc_id", "canonical_url", "host", "n_params"
+    )
+
+
+# --------------------------------------------------------------------------
+# per-domain acquisition rollup
+# --------------------------------------------------------------------------
+
+_DOMAIN_ROLLUP_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, text, {_URL_FIXTURE_SQL} AS url FROM documents
+), canon AS (
+    SELECT doc_id, text,
+           regexp_extract({_URL_PARTS['host']}, '[^.]+\\.[^.]+$') AS domain
+    FROM raw
+), hashed AS (
+    SELECT domain, md5(text) AS sha,
+           len(list_filter(string_split(regexp_replace(lower(text),
+               '[^a-z]+', ' ', 'g'), ' '), w -> w != '')) AS n_tokens
+    FROM canon
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT sha) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT sha) AS BIGINT) AS n_dup_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       round((count(*) - count(DISTINCT sha)) / count(*), 6) AS dup_doc_frac
+FROM hashed GROUP BY domain
+"""
+
+
+@register("domain_acquisition_rollup", oracle=_DOMAIN_ROLLUP_SQL, driver=False)
+def domain_acquisition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain acquisition telemetry over the canonicalized
+    fixture URLs: document counts, exact-unique counts (md5 of the body),
+    verbatim-duplicate counts and fraction, and total tokens — the
+    domain-grain report a crawler's politeness/budget policy consumes
+    (the domain sibling of ``dedup_rate_by_source``). ONE groupBy on
+    domain (key space = #domains); everything else stays in the scan."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    raw = docs.select("doc_id", "text", _url_fixture_col().alias("url"))
+    canon = canonicalize_url(raw, "url").select(
+        F.regexp_extract("host", r"[^.]+\.[^.]+$", 0).alias("domain"),
+        F.md5("text").alias("sha"),
+        F.size(
+            F.filter(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
+                lambda w: w != "",
+            )
+        ).alias("n_tokens"),
+    )
+    return canon.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("sha").cast("bigint").alias("n_unique"),
+        (F.count("*") - F.countDistinct("sha")).cast("bigint").alias("n_dup_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.round(
+            (F.count("*") - F.countDistinct("sha")) / F.count("*"), 6
+        ).alias("dup_doc_frac"),
+    )

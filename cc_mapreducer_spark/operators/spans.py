@@ -56,6 +56,7 @@ from cc_mapreducer_spark.registry import register
 from cc_mapreducer_spark.tables import load_table, spread
 
 L = 8  # tokens per span: repeats of >= L tokens are detected exactly
+L_LONG = 32  # second resolution: the Lee et al. long-repeat regime
 MIN_OCCURRENCES = 2
 
 
@@ -262,19 +263,11 @@ def span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("span_dup_coverage", oracle=_SPAN_COVERAGE_SQL, driver=False)
-def span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per document: how many of its tokens sit inside at least one
-    repeated L-token span (interval UNION, so overlapping windows of one
-    long repeated run are not double-counted). Full doc domain — clean
-    and too-short docs report 0 coverage.
-
-    Plan: span explode -> repeated-span semi-join (span keys) -> ONE
-    doc_id window pass for the gaps-and-islands union -> per-doc agg ->
-    left join back to the doc domain (broadcast-eligible at these row
-    counts; hash join on doc_id at scale)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    spans = span_rows(docs)
+def _covered_tokens(docs: DataFrame, length: int) -> DataFrame:
+    """(doc_id, covered_tokens) at one span resolution: repeated-span
+    semi-join on span keys, then the gaps-and-islands interval union in
+    ONE doc_id-partitioned window pass."""
+    spans = span_rows(docs, length)
     rep = (
         spans.groupBy("span")
         .agg(F.count("*").alias("n"))
@@ -282,7 +275,7 @@ def span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("span")
     )
     hits = spans.join(rep, "span").select(
-        "doc_id", "start", (F.col("start") + L - 1).alias("e")
+        "doc_id", "start", (F.col("start") + length - 1).alias("e")
     )
     w_prev = (
         Window.partitionBy("doc_id")
@@ -304,12 +297,27 @@ def span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("island", F.sum("new_island").over(w_run))
     )
-    per_doc = (
+    return (
         islands.groupBy("doc_id", "island")
         .agg((F.max("e") - F.min("start") + 1).alias("covered"))
         .groupBy("doc_id")
         .agg(F.sum("covered").alias("covered_tokens"))
     )
+
+
+@register("span_dup_coverage", oracle=_SPAN_COVERAGE_SQL, driver=False)
+def span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: how many of its tokens sit inside at least one
+    repeated L-token span (interval UNION, so overlapping windows of one
+    long repeated run are not double-counted). Full doc domain — clean
+    and too-short docs report 0 coverage.
+
+    Plan: span explode -> repeated-span semi-join (span keys) -> ONE
+    doc_id window pass for the gaps-and-islands union -> per-doc agg ->
+    left join back to the doc domain (broadcast-eligible at these row
+    counts; hash join on doc_id at scale)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per_doc = _covered_tokens(docs, L)
     words = F.filter(
         F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
         lambda x: x != F.lit(""),
@@ -326,4 +334,124 @@ def span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest("total_tokens", F.lit(1)),
             6,
         ).alias("dup_coverage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# multi-resolution coverage: L=8 (boilerplate grain) vs L=32 (the Lee et
+# al. ExactSubstr 50-token-regime grain)
+# --------------------------------------------------------------------------
+
+# One resolution cannot tell short boilerplate from long memorized
+# passages: a navigation phrase repeated across a site and a wholesale
+# copied article BOTH show nonzero L=8 coverage. The L=32 pass only
+# fires on runs >= 32 tokens, so (cov_l8 - cov_l32) isolates the short-
+# boilerplate fraction and cov_l32 is the memorization/removal signal
+# (pytest plants a corpus where L=8 alone over-counts; the fixture
+# proves the separation).
+
+
+def _coverage_chain_sql(length: int, sfx: str) -> str:
+    """The sized->spans->rep->islands->per_doc CTE chain at one
+    resolution, CTE names suffixed so two resolutions share one norm."""
+    return f"""sized{sfx} AS (
+    SELECT doc_id, words, len(words) AS n_words
+    FROM norm WHERE len(words) >= {length}
+), lists{sfx} AS (
+    SELECT doc_id, n_words,
+           [array_to_string(words[i:i+{length - 1}], ' ')
+            for i in range(1, n_words - {length} + 2)] AS sp
+    FROM sized{sfx}
+), spans{sfx} AS (
+    SELECT doc_id, unnest(range(1, n_words - {length} + 2)) AS start,
+           unnest(sp) AS span
+    FROM lists{sfx}
+), rep{sfx} AS (
+    SELECT span FROM spans{sfx} GROUP BY span
+    HAVING count(*) >= {MIN_OCCURRENCES}
+), hits{sfx} AS (
+    SELECT s.doc_id, s.start, s.start + {length} - 1 AS e
+    FROM spans{sfx} s JOIN rep{sfx} USING (span)
+), flagged{sfx} AS (
+    SELECT doc_id, start, e,
+           CASE WHEN start > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS new_island
+    FROM hits{sfx}
+), islands{sfx} AS (
+    SELECT doc_id, start, e,
+           sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged{sfx}
+), merged{sfx} AS (
+    SELECT doc_id, island, max(e) - min(start) + 1 AS covered
+    FROM islands{sfx} GROUP BY doc_id, island
+), per_doc{sfx} AS (
+    SELECT doc_id, sum(covered) AS covered_tokens
+    FROM merged{sfx} GROUP BY doc_id
+)"""
+
+
+_SPAN_MULTI_SQL = f"""
+WITH norm AS (
+    SELECT doc_id, {_NORM_SQL} AS words FROM documents
+), {_coverage_chain_sql(L, '8')}, {_coverage_chain_sql(L_LONG, '32')},
+base AS (
+    SELECT doc_id, len(words) AS total_tokens FROM norm
+)
+SELECT b.doc_id,
+       CAST(coalesce(p8.covered_tokens, 0) AS BIGINT) AS covered_l8,
+       CAST(coalesce(p32.covered_tokens, 0) AS BIGINT) AS covered_l32,
+       CAST(b.total_tokens AS BIGINT) AS total_tokens,
+       round(coalesce(p8.covered_tokens, 0)
+             / greatest(b.total_tokens, 1), 6) AS cov_l8,
+       round(coalesce(p32.covered_tokens, 0)
+             / greatest(b.total_tokens, 1), 6) AS cov_l32
+FROM base b
+LEFT JOIN per_doc8 p8 USING (doc_id)
+LEFT JOIN per_doc32 p32 USING (doc_id)
+"""
+
+
+@register("span_dup_coverage_multi", oracle=_SPAN_MULTI_SQL, driver=False)
+def span_dup_coverage_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-span coverage at BOTH resolutions (L=8,
+    L=32): cov_l8 counts every repeat >= 8 tokens (boilerplate grain),
+    cov_l32 only runs >= 32 tokens (the Lee et al. ACL'22 long-repeat
+    regime — the memorized-passage signal a removal stage acts on);
+    their difference is the short-boilerplate fraction. Two independent
+    span aggregates over one scan + one doc-domain join — the plan is
+    the single-resolution plan twice, no new shuffle shape. Driver-
+    hashed via the ``mining_suite`` span32 legs."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    p8 = _covered_tokens(docs, L).withColumnRenamed("covered_tokens", "c8")
+    p32 = _covered_tokens(docs, L_LONG).withColumnRenamed(
+        "covered_tokens", "c32"
+    )
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select("doc_id", F.size(words).alias("total_tokens"))
+    return (
+        base.join(p8, "doc_id", "left")
+        .join(p32, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("c8", F.lit(0)).cast("bigint").alias("covered_l8"),
+            F.coalesce("c32", F.lit(0)).cast("bigint").alias("covered_l32"),
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.coalesce("c8", F.lit(0))
+                / F.greatest("total_tokens", F.lit(1)),
+                6,
+            ).alias("cov_l8"),
+            F.round(
+                F.coalesce("c32", F.lit(0))
+                / F.greatest("total_tokens", F.lit(1)),
+                6,
+            ).alias("cov_l32"),
+        )
     )

@@ -66,10 +66,18 @@ from cc_mapreducer_spark.operators.dedup import (
     dedup_rate_by_source,
 )
 from cc_mapreducer_spark.operators.spans import (
-    _SPAN_COVERAGE_SQL,
     _SPAN_DECONTAM_SQL,
+    _SPAN_MULTI_SQL,
     span_decontamination,
-    span_dup_coverage,
+    span_dup_coverage_multi,
+)
+from cc_mapreducer_spark.operators.acquisition import (
+    _DOMAIN_ROLLUP_SQL,
+    _HTML_STRIP_SQL,
+    _URL_CANON_SQL,
+    domain_acquisition_rollup,
+    html_strip_stats,
+    url_canonical_stats,
 )
 
 
@@ -239,11 +247,17 @@ UNION ALL
 SELECT 'contrast', CAST(doc_id AS VARCHAR) || '|' || CAST(rank AS VARCHAR),
        CAST(neg_id AS DOUBLE) FROM ({_CONTRASTIVE_SQL})
 UNION ALL
-SELECT 'span:cov', CAST(doc_id AS VARCHAR), CAST(covered_tokens AS DOUBLE)
-FROM ({_SPAN_COVERAGE_SQL})
+SELECT 'span:cov', CAST(doc_id AS VARCHAR), CAST(covered_l8 AS DOUBLE)
+FROM ({_SPAN_MULTI_SQL})
 UNION ALL
-SELECT 'span:frac', CAST(doc_id AS VARCHAR), dup_coverage
-FROM ({_SPAN_COVERAGE_SQL})
+SELECT 'span:frac', CAST(doc_id AS VARCHAR), cov_l8
+FROM ({_SPAN_MULTI_SQL})
+UNION ALL
+SELECT 'span32:cov', CAST(doc_id AS VARCHAR), CAST(covered_l32 AS DOUBLE)
+FROM ({_SPAN_MULTI_SQL})
+UNION ALL
+SELECT 'span32:frac', CAST(doc_id AS VARCHAR), cov_l32
+FROM ({_SPAN_MULTI_SQL})
 UNION ALL
 SELECT 'decon:n', CAST(doc_id AS VARCHAR), CAST(n_contaminated AS DOUBLE)
 FROM ({_SPAN_DECONTAM_SQL})
@@ -260,6 +274,30 @@ FROM ({_DEDUP_RATE_SQL})
 UNION ALL
 SELECT 'deduprate:frac', source, dup_doc_frac
 FROM ({_DEDUP_RATE_SQL})
+UNION ALL
+SELECT 'html:h', CAST(doc_id AS VARCHAR), CAST(clean_h AS DOUBLE)
+FROM ({_HTML_STRIP_SQL})
+UNION ALL
+SELECT 'html:len', CAST(doc_id AS VARCHAR), CAST(n_chars_clean AS DOUBLE)
+FROM ({_HTML_STRIP_SQL})
+UNION ALL
+SELECT 'html:tags', CAST(doc_id AS VARCHAR), CAST(n_tags AS DOUBLE)
+FROM ({_HTML_STRIP_SQL})
+UNION ALL
+SELECT 'url:canon', CAST(doc_id AS VARCHAR) || '|' || canonical_url,
+       CAST(n_params AS DOUBLE) FROM ({_URL_CANON_SQL})
+UNION ALL
+SELECT 'domain:docs', domain, CAST(n_docs AS DOUBLE)
+FROM ({_DOMAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'domain:dups', domain, CAST(n_dup_docs AS DOUBLE)
+FROM ({_DOMAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'domain:tokens', domain, CAST(tokens_total AS DOUBLE)
+FROM ({_DOMAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'domain:frac', domain, dup_doc_frac
+FROM ({_DOMAIN_ROLLUP_SQL})
 """
 
 
@@ -272,7 +310,10 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives (contrastive.py), and — round 5 — the ExactSubstr span
     family (per-doc duplicate-span coverage + GPT-3-style span
     decontamination, spans.py) and per-source dedup telemetry
-    (dedup.py): all driver-hashed from their debut round."""
+    (dedup.py), plus — round 6 — the acquisition family
+    (acquisition.py: HTML strip with a content-pinning hash, URL
+    canonicalization with the full canonical string in the entity, and
+    the per-domain rollup): all driver-hashed from their debut round."""
     tfidf = tfidf_doc_keywords(spark, sf_dir)
     tfidf_ent = F.concat_ws("|", "doc_id", "rank", "word")
     ev = classifier_eval_metrics(spark, sf_dir)
@@ -302,9 +343,12 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift_ent = F.concat_ws("|", "slice", "bin")
     link = record_linkage_parts(spark, sf_dir)
     link_ent = F.concat_ws("|", "b_id", "a_id")
-    cov = span_dup_coverage(spark, sf_dir)
+    cov = span_dup_coverage_multi(spark, sf_dir)
     decon = span_decontamination(spark, sf_dir)
     rate = dedup_rate_by_source(spark, sf_dir)
+    html = html_strip_stats(spark, sf_dir)
+    url = url_canonical_stats(spark, sf_dir)
+    dom = domain_acquisition_rollup(spark, sf_dir)
     return _union(
         [
             _leg(tfidf, "tfidf", tfidf_ent, F.col("score")),
@@ -338,8 +382,10 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws("|", "doc_id", "rank"),
                 F.col("neg_id"),
             ),
-            _leg(cov, "span:cov", F.col("doc_id"), F.col("covered_tokens")),
-            _leg(cov, "span:frac", F.col("doc_id"), F.col("dup_coverage")),
+            _leg(cov, "span:cov", F.col("doc_id"), F.col("covered_l8")),
+            _leg(cov, "span:frac", F.col("doc_id"), F.col("cov_l8")),
+            _leg(cov, "span32:cov", F.col("doc_id"), F.col("covered_l32")),
+            _leg(cov, "span32:frac", F.col("doc_id"), F.col("cov_l32")),
             _leg(decon, "decon:n", F.col("doc_id"), F.col("n_contaminated")),
             _leg(
                 decon, "decon:flag", F.col("doc_id"), F.col("flagged").cast("int")
@@ -349,5 +395,18 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rate, "deduprate:waste", F.col("source"), F.col("tokens_wasted")
             ),
             _leg(rate, "deduprate:frac", F.col("source"), F.col("dup_doc_frac")),
+            _leg(html, "html:h", F.col("doc_id"), F.col("clean_h")),
+            _leg(html, "html:len", F.col("doc_id"), F.col("n_chars_clean")),
+            _leg(html, "html:tags", F.col("doc_id"), F.col("n_tags")),
+            _leg(
+                url,
+                "url:canon",
+                F.concat_ws("|", "doc_id", "canonical_url"),
+                F.col("n_params"),
+            ),
+            _leg(dom, "domain:docs", F.col("domain"), F.col("n_docs")),
+            _leg(dom, "domain:dups", F.col("domain"), F.col("n_dup_docs")),
+            _leg(dom, "domain:tokens", F.col("domain"), F.col("tokens_total")),
+            _leg(dom, "domain:frac", F.col("domain"), F.col("dup_doc_frac")),
         ]
     )

@@ -67,6 +67,19 @@ def get_spark(app_name: str = "cc-mapreducer-spark", cpus: int | None = None) ->
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] pushes ~all of a cluster's generated code through ONE
+        # JVM; the default 240m JIT code cache evicts hot compiled stages
+        # when many codegen-heavy queries interleave (measured: the
+        # near_dedup 150k-doc verify swings 9.5-31.5s under the default,
+        # 10.2-17.6s at 512m — same min, half the tail). On a real
+        # cluster each executor JVM compiles only its own queries and the
+        # default suffices; this evens local measurement out to match.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JVM_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

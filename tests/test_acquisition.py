@@ -1,0 +1,135 @@
+"""Acquisition-side operators (operators/acquisition.py): planted
+messy-HTML / messy-URL fixtures with exact expected outputs, plus shape
+checks of the registered fixture queries. DuckDB hash parity of all
+three registered queries (and their mining_suite legs) is covered by
+tests/test_oracle_parity.py like every other oracle-backed key."""
+
+from __future__ import annotations
+
+from cc_mapreducer_spark.operators.acquisition import (
+    canonicalize_url,
+    domain_acquisition_rollup,
+    html_strip_stats,
+    strip_html,
+    url_canonical_stats,
+)
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def _strip_one(spark, html: str) -> str:
+    df = spark.createDataFrame([(html,)], "html string")
+    return strip_html(df, "html").collect()[0]["clean_text"]
+
+
+def test_strip_html_planted_cases(spark):
+    # script body containing '<' and a tag-in-string: naive '<[^>]*>'
+    # stripping would leak from 'if (a < b)' to the next '>'
+    assert (
+        _strip_one(
+            spark,
+            '<p>keep</p><script>if (a < b) { s = "<div>"; }</script><p>me</p>',
+        )
+        == "keep me"
+    )
+    # style block, comment, uppercase tags
+    assert (
+        _strip_one(
+            spark,
+            "<STYLE>p { color: red; }</STYLE><!-- hidden -->"
+            '<P CLASS="x">body</P>',
+        )
+        == "body"
+    )
+    # entities: decode after tag-strip; '&amp;lt;' is the literal text
+    # '&lt;' (never resurrects into a strippable tag)
+    assert (
+        _strip_one(spark, "<b>a &amp;lt; b &lt;i&gt; &quot;q&quot; it&#39;s</b>")
+        == 'a &lt; b <i> "q" it\'s'
+    )
+    # whitespace collapse + trim, tags become word boundaries
+    assert _strip_one(spark, " <p>a</p>\n\t<p>b</p> ") == "a b"
+    # nbsp decodes to a space and collapses with neighbors
+    assert _strip_one(spark, "a&nbsp;&nbsp;b") == "a b"
+
+
+def _canon_one(spark, url: str):
+    df = spark.createDataFrame([(url,)], "url string")
+    return canonicalize_url(df, "url").collect()[0]
+
+
+def test_canonicalize_url_planted_cases(spark):
+    r = _canon_one(
+        spark, "HTTP://User:pw@WWW.Example.COM:80//a//b/?utm_source=x&b=2&a=1#f"
+    )
+    assert r["canonical_url"] == "http://example.com/a/b?a=1&b=2"
+    assert r["host"] == "example.com"
+    assert r["n_params"] == 2
+    # https default port drops; root path renders empty
+    assert (
+        _canon_one(spark, "https://Sub.Host.org:443/")["canonical_url"]
+        == "https://sub.host.org"
+    )
+    # non-default port survives; trailing slash drops
+    assert (
+        _canon_one(spark, "https://host.org:8443/x/")["canonical_url"]
+        == "https://host.org:8443/x"
+    )
+    # no path, no query
+    assert (
+        _canon_one(spark, "http://host.com")["canonical_url"]
+        == "http://host.com"
+    )
+    # all params tracking -> query gone entirely
+    r = _canon_one(spark, "http://host.com/?utm_a=1&utm_b=2")
+    assert r["canonical_url"] == "http://host.com"
+    assert r["n_params"] == 0
+
+
+def test_canonical_is_idempotent(spark):
+    """Canonicalizing a canonical URL must be a no-op — the property a
+    crawl frontier relies on when URLs re-enter from parsed pages."""
+    urls = [
+        "HTTP://WWW.A.COM:80//x/?b=2&a=1#f",
+        "https://h.org:8443/x/",
+        "http://host.com/?utm_a=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    first = [
+        r["canonical_url"] for r in canonicalize_url(df, "url").collect()
+    ]
+    df2 = spark.createDataFrame([(u,) for u in first], "url string")
+    second = [
+        r["canonical_url"] for r in canonicalize_url(df2, "url").collect()
+    ]
+    assert first == second
+
+
+def test_registered_fixture_queries_shapes(spark):
+    html = {r["doc_id"]: r for r in html_strip_stats(spark, SF_ORACLE).collect()}
+    assert len(html) == 500
+    for r in html.values():
+        assert 0 < r["n_chars_clean"] < r["n_chars_html"]
+        assert r["n_tags"] >= 10  # the fixture plants at least this many
+        assert r["clean_h"] >= 0
+    url = {r["doc_id"]: r for r in url_canonical_stats(spark, SF_ORACLE).collect()}
+    assert len(url) == 500
+    for r in url.values():
+        c = r["canonical_url"]
+        assert c.startswith(("http://", "https://"))
+        assert "WWW" not in c and "#" not in c and "utm_" not in c
+        assert "@" not in c and ":80/" not in c
+    # kept params come back sorted
+    sample = next(r for r in url.values() if r["n_params"] == 2)
+    q = sample["canonical_url"].split("?")[1]
+    assert q in ("a=1&b=2", "y=8&z=9")
+
+
+def test_domain_rollup_consistency(spark):
+    rows = domain_acquisition_rollup(spark, SF_ORACLE).collect()
+    assert rows
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        assert r["n_unique"] + r["n_dup_docs"] == r["n_docs"]
+        assert 0.0 <= r["dup_doc_frac"] <= 1.0
+        assert "." in r["domain"] and r["domain"].count(".") == 1

@@ -208,3 +208,63 @@ def test_planted_corpus_matches_duckdb(spark, tmp_path):
         spdf = registry.all_queries()[name](spark, d).toPandas()
         odf = con.sql(registry.all_oracles()[name]).df()
         compare_frames(spdf, odf, name)
+
+
+def test_multi_resolution_separates_boilerplate_from_long_passages(
+    spark, tmp_path
+):
+    """The planted corpus VERDICT r5 item 4 asks for: a 10-token
+    boilerplate repeat that L=8 coverage counts but L=32 must NOT (the
+    over-count a single short resolution suffers), and a 40-token copied
+    passage both resolutions count in full."""
+    import itertools
+    import string
+
+    from cc_mapreducer_spark.operators.spans import span_dup_coverage_multi
+
+    vocab = [
+        "q" + a + b + "z"
+        for a, b in itertools.product(string.ascii_lowercase, repeat=2)
+    ]
+    boiler10 = vocab[:10]
+    passage40 = vocab[10:50]
+    texts = {
+        1: " ".join(boiler10 + vocab[50:55]),        # boilerplate + tail
+        2: " ".join(boiler10 + vocab[55:60]),        # boilerplate + tail
+        3: " ".join(passage40 + vocab[60:65]),       # long passage + tail
+        4: " ".join(passage40 + vocab[65:70]),       # long passage + tail
+        5: " ".join(vocab[70:100]),                  # clean
+    }
+    docs = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(docs, f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: r for r in span_dup_coverage_multi(spark, d).collect()
+    }
+    # short boilerplate: counted at L=8, INVISIBLE at L=32
+    for doc in (1, 2):
+        assert got[doc]["covered_l8"] == 10, doc
+        assert got[doc]["covered_l32"] == 0, doc
+    # long passage: counted in full at both resolutions
+    for doc in (3, 4):
+        assert got[doc]["covered_l8"] == 40, doc
+        assert got[doc]["covered_l32"] == 40, doc
+    assert got[5]["covered_l8"] == got[5]["covered_l32"] == 0
+    # and the DuckDB oracle agrees on the planted corpus
+    import duckdb
+
+    from cc_mapreducer_spark import registry
+    from tests.oracle import compare_frames
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    spdf = registry.all_queries()["span_dup_coverage_multi"](
+        spark, d
+    ).toPandas()
+    odf = con.sql(registry.all_oracles()["span_dup_coverage_multi"]).df()
+    compare_frames(spdf, odf, "span_dup_coverage_multi")
