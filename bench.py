@@ -748,6 +748,7 @@ def suite_leg_timings(spark) -> dict:
     from cc_mapreducer_spark.operators.spans import (
         span_decontamination,
         span_dup_coverage_multi,
+        span_removal,
     )
     from cc_mapreducer_spark.operators.acquisition import (
         domain_acquisition_rollup,
@@ -773,6 +774,7 @@ def suite_leg_timings(spark) -> dict:
             "record_linkage_parts": record_linkage_parts,
             "contrastive_negatives": contrastive_negatives,
             "span_dup_coverage_multi": span_dup_coverage_multi,
+            "span_removal": span_removal,
             "span_decontamination": span_decontamination,
             "dedup_rate_by_source": dedup_rate_by_source,
             "html_strip_stats": html_strip_stats,

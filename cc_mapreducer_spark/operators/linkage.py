@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cc_mapreducer_spark.registry import register
-from cc_mapreducer_spark.tables import load_table
+from cc_mapreducer_spark.tables import load_table, spread
 
 MATCH_THRESHOLD = 4
 
@@ -131,8 +131,14 @@ def _variants(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
 @register("record_linkage_parts", oracle=_LINKAGE_SQL, driver=False)
 def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best A-master per B record at score >= {MATCH_THRESHOLD}."""
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand", "p_type"
+    # spread(): the variant explode fans each part row into ~len(name)+1
+    # rows of CPU-dense string work; without it the single-file local
+    # scan ran the whole blocking stage on one core (suite_legs lane
+    # measured 12.4s -> 3.1s at sf0.1 from this line alone)
+    part = spread(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_name", "p_brand", "p_type"
+        )
     )
     b = _derive_b(part)
     va = _variants(part, "p_partkey", "p_name")

@@ -455,3 +455,171 @@ def span_dup_coverage_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov_l32"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# the removal stage: rebuild each document with non-canonical repeated
+# spans excised (Lee et al.'s ExactSubstr dedup KEEPS one occurrence)
+# --------------------------------------------------------------------------
+
+# span_dup_coverage REPORTS duplication; this operator APPLIES the Lee et
+# al. policy: for every repeated L-token span, the globally-first
+# occurrence (lexicographic min of (doc_id, start)) is canonical and
+# stays; every other occurrence's tokens are removed, with overlapping
+# removal windows merged by the same gaps-and-islands union before
+# excision so a long repeated run is cut once, not once per window.
+#
+# Scale shape: canonical election is ONE agg on span keys
+# (min(struct(doc_id, start)) — partial-agg friendly; a span repeated a
+# million times reduces map-side, never a hot window partition), one
+# equi-join back on span, the interval union (doc-partitioned window),
+# a position explode bounded by covered tokens, one anti-join on
+# (doc_id, pos), and a per-doc ordered reassembly. No pair join.
+
+
+def _removal_islands(docs: DataFrame, length: int) -> DataFrame:
+    """(doc_id, s, e) merged intervals of NON-CANONICAL repeated-span
+    occurrences at one resolution."""
+    spans = span_rows(docs, length)
+    rep = (
+        spans.groupBy("span")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.struct("doc_id", "start")).alias("canon"),
+        )
+        .filter(F.col("n") >= MIN_OCCURRENCES)
+        .select("span", "canon")
+    )
+    hits = (
+        spans.join(rep, "span")
+        .filter(
+            (F.col("doc_id") != F.col("canon.doc_id"))
+            | (F.col("start") != F.col("canon.start"))
+        )
+        .select("doc_id", "start", (F.col("start") + length - 1).alias("e"))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        hits.withColumn(
+            "new_island",
+            (
+                F.col("start")
+                > F.coalesce(F.max("e").over(w_prev), F.lit(-1))
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("start").alias("s"), F.max("e").alias("e"))
+        .select("doc_id", "s", "e")
+    )
+
+
+_SPAN_REMOVAL_SQL = f"""{_SPANS_CTE}
+, rep AS (
+    SELECT span, min({{'doc_id': doc_id, 'start': start}}) AS canon
+    FROM spans GROUP BY span HAVING count(*) >= {MIN_OCCURRENCES}
+), hits AS (
+    SELECT s.doc_id, s.start, s.start + {L} - 1 AS e
+    FROM spans s JOIN rep USING (span)
+    WHERE s.doc_id <> rep.canon.doc_id OR s.start <> rep.canon.start
+), flagged AS (
+    SELECT doc_id, start, e,
+           CASE WHEN start > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS new_island
+    FROM hits
+), islands AS (
+    SELECT doc_id, start, e,
+           sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+), merged AS (
+    SELECT doc_id, min(start) AS s, max(e) AS e
+    FROM islands GROUP BY doc_id, island
+), cut AS (
+    SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM merged
+), toks AS (
+    SELECT doc_id, unnest(range(1, len(words) + 1)) AS pos,
+           unnest(words) AS word
+    FROM norm
+), kept AS (
+    SELECT t.doc_id, t.pos, t.word
+    FROM toks t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
+    WHERE c.pos IS NULL
+), rebuilt AS (
+    SELECT doc_id,
+           count(*) AS kept_tokens,
+           string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+    FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(len(n.words) AS BIGINT) AS total_tokens,
+       CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(n.words) - coalesce(r.kept_tokens, 0) AS BIGINT)
+           AS removed_tokens,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+FROM norm n LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register("span_removal", oracle=_SPAN_REMOVAL_SQL, driver=False)
+def span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY ExactSubstr dedup (Lee et al. ACL'22 policy): rebuild every
+    document's token stream with non-canonical repeated-span occurrences
+    excised — the globally-first occurrence of each repeated span stays,
+    overlapping removal windows merge before cutting, untouched docs come
+    back verbatim (token-joined). Returns (doc_id, total_tokens,
+    kept_tokens, removed_tokens, cleaned_text); the mining_suite removal
+    legs hash the cleaned text byte-for-byte via its md5-48.
+
+    Plan: canonical election is one partial-agg on span keys, then one
+    span equi-join, ONE doc-partitioned window pass (interval union), a
+    position explode bounded by removed tokens, one anti-join on
+    (doc_id, pos), and a per-doc ordered reassembly. No pair join; a
+    million-fold repeated span is one agg cell and one canonical row."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
+        lambda x: x != F.lit(""),
+    )
+    norm = docs.select("doc_id", words.alias("words"))
+    toks = norm.select(
+        "doc_id",
+        F.posexplode("words").alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    cut = _removal_islands(docs, L).select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("pos")
+    )
+    kept = toks.join(cut, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return norm.select(
+        "doc_id", F.size("words").alias("total_tokens")
+    ).join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("total_tokens").cast("bigint"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        (F.col("total_tokens") - F.coalesce("kept_tokens", F.lit(0)))
+        .cast("bigint")
+        .alias("removed_tokens"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )

@@ -68,8 +68,10 @@ from cc_mapreducer_spark.operators.dedup import (
 from cc_mapreducer_spark.operators.spans import (
     _SPAN_DECONTAM_SQL,
     _SPAN_MULTI_SQL,
+    _SPAN_REMOVAL_SQL,
     span_decontamination,
     span_dup_coverage_multi,
+    span_removal,
 )
 from cc_mapreducer_spark.operators.acquisition import (
     _DOMAIN_ROLLUP_SQL,
@@ -275,6 +277,13 @@ UNION ALL
 SELECT 'deduprate:frac', source, dup_doc_frac
 FROM ({_DEDUP_RATE_SQL})
 UNION ALL
+SELECT 'removal:kept', CAST(doc_id AS VARCHAR), CAST(kept_tokens AS DOUBLE)
+FROM ({_SPAN_REMOVAL_SQL})
+UNION ALL
+SELECT 'removal:h', CAST(doc_id AS VARCHAR),
+       CAST(('0x' || substr(md5(cleaned_text), 1, 12))::BIGINT AS DOUBLE)
+FROM ({_SPAN_REMOVAL_SQL})
+UNION ALL
 SELECT 'html:h', CAST(doc_id AS VARCHAR), CAST(clean_h AS DOUBLE)
 FROM ({_HTML_STRIP_SQL})
 UNION ALL
@@ -346,6 +355,7 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = span_dup_coverage_multi(spark, sf_dir)
     decon = span_decontamination(spark, sf_dir)
     rate = dedup_rate_by_source(spark, sf_dir)
+    rem = span_removal(spark, sf_dir)
     html = html_strip_stats(spark, sf_dir)
     url = url_canonical_stats(spark, sf_dir)
     dom = domain_acquisition_rollup(spark, sf_dir)
@@ -395,6 +405,15 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rate, "deduprate:waste", F.col("source"), F.col("tokens_wasted")
             ),
             _leg(rate, "deduprate:frac", F.col("source"), F.col("dup_doc_frac")),
+            _leg(rem, "removal:kept", F.col("doc_id"), F.col("kept_tokens")),
+            _leg(
+                rem,
+                "removal:h",
+                F.col("doc_id"),
+                F.conv(F.substring(F.md5("cleaned_text"), 1, 12), 16, 10).cast(
+                    "double"
+                ),
+            ),
             _leg(html, "html:h", F.col("doc_id"), F.col("clean_h")),
             _leg(html, "html:len", F.col("doc_id"), F.col("n_chars_clean")),
             _leg(html, "html:tags", F.col("doc_id"), F.col("n_tags")),

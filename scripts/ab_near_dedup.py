@@ -3,13 +3,26 @@
 Round 5's unconditional ``.repartition(defaultParallelism)`` on the
 candidate-pair frame (operators/dedup.py:315) fixed the skew-corpus
 single-task verify pathology (30s -> ~6s) but the uniform 30x trend point
-regressed 2.6x (8.0s r4 -> 20.6s r5). This script measures three forms on
+regressed 2.6x (8.0s r4 -> 20.6s r5). This script measures four forms on
 BOTH corpora at 1x/10x/30x, interleaved reps, best-of:
 
   A  unconditional repartition(P)                (r5 shipped)
   B  no repartition, plain AQE coalesce          (r4 shipped)
   C  persist cand + count, repartition only when candidates/core exceeds
      a floor (surgical: skew keeps the floor, uniform skips it)
+  D  persist cand + count, broadcast the candidates into the verify
+     joins when small, repartition floor otherwise
+
+OUTCOME (round 6, 3 interleaved reps, 32g heap, 150k docs): A wins —
+uniform 30x best-of A=7.6s C=8.7s D=13.3s B=23.8s; Zipf 30x
+A=14.5s B=13.8s D=18.0s; Zipf 10x A=7.4s B=14.8s. B (removing the
+floor) is 2-3x worse at 30x, D loses because its second verify join
+still shuffles candidate rows with shingle arrays attached, and C's
+extra count job buys nothing over A. The r5 "regression" reproduced
+only under interleaved-lane load and was JIT code-cache eviction
+(session.py now sets -XX:ReservedCodeCacheSize=512m); the shipped
+operator keeps form A. Numbers recorded in BENCH_DETAIL
+notes.near_dedup_ab_r6.
 
 Usage: python scripts/ab_near_dedup.py [reps]
 """

@@ -268,3 +268,45 @@ def test_multi_resolution_separates_boilerplate_from_long_passages(
     ).toPandas()
     odf = con.sql(registry.all_oracles()["span_dup_coverage_multi"]).df()
     compare_frames(spdf, odf, "span_dup_coverage_multi")
+
+
+def test_span_removal_keeps_one_canonical_copy(spark, tmp_path):
+    """The removal stage applies the Lee et al. keep-one policy on the
+    planted corpus: doc 1 (globally first) keeps the shared run, doc 2
+    loses it; doc 3's within-doc phrase repeat keeps its first
+    occurrence only; clean/short docs come back verbatim."""
+    from cc_mapreducer_spark.operators.spans import span_removal
+
+    d = _plant(tmp_path)
+    got = {r["doc_id"]: r for r in span_removal(spark, d).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # doc 1 holds every canonical occurrence of the shared run: untouched
+    assert got[1]["removed_tokens"] == 0
+    assert got[1]["cleaned_text"] == (RUN10 + " " + " ".join(W[18:22]))
+    # doc 2's copy of the 10-token run is excised; its 4-word tail stays
+    assert got[2]["removed_tokens"] == 10
+    assert got[2]["cleaned_text"] == " ".join(W[22:26])
+    # doc 3: first PHRASE8 occurrence canonical, second removed
+    assert got[3]["removed_tokens"] == 8
+    assert got[3]["cleaned_text"] == (
+        PHRASE8 + " " + " ".join(W[18:20])
+    )
+    # clean and too-short docs verbatim (token-joined)
+    assert got[4]["removed_tokens"] == 0
+    assert got[4]["cleaned_text"] == " ".join(reversed(W[:20]))
+    assert got[5]["removed_tokens"] == 0
+    assert got[5]["cleaned_text"] == " ".join(W[: L - 1])
+    # token accounting closes
+    for r in got.values():
+        assert r["kept_tokens"] + r["removed_tokens"] == r["total_tokens"]
+    # and the DuckDB oracle agrees on the planted corpus
+    import duckdb
+
+    from cc_mapreducer_spark import registry
+    from tests.oracle import compare_frames
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    spdf = registry.all_queries()["span_removal"](spark, d).toPandas()
+    odf = con.sql(registry.all_oracles()["span_removal"]).df()
+    compare_frames(spdf, odf, "span_removal")
