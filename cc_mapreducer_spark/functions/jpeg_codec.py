@@ -1,16 +1,18 @@
-"""Baseline JPEG (ITU-T T.81) encoder/decoder for 8-bit grayscale, pure
-numpy + stdlib — the entropy-coded codec leg that was previously behind
-the `decode_with_library` environment seam (operators/multimodal.py).
+"""Baseline JPEG (ITU-T T.81) encoder/decoder, pure numpy + stdlib —
+the entropy-coded codec leg that was previously behind the
+`decode_with_library` environment seam (operators/multimodal.py).
 
-Scope: baseline sequential DCT, one component (luminance), no
-subsampling, the Annex K.1 luminance quantization table and the Annex
-K.3 "typical" Huffman tables — the exact profile every JPEG decoder is
-required to support and the one libjpeg emits for grayscale input. The
-full standard's OTHER modes (progressive, arithmetic coding, 12-bit,
-color with chroma subsampling) remain behind the library seam; this
-module exists to prove the entropy-coded path itself — Huffman bitstream
-with byte stuffing, zigzag RLE, dequantize, IDCT — needs no external
-dependency.
+Scope: baseline sequential DCT, grayscale (1 component) AND color
+(YCbCr 3-component interleaved scans, 4:2:0 chroma subsampling — the
+libjpeg default for color — or 4:4:4), the Annex K.1/K.2 quantization
+tables and all four Annex K "typical" Huffman tables, with DRI/RST0-7
+restart intervals in both directions. This covers the profile every
+JPEG decoder is required to support and the layouts libjpeg emits at
+its defaults. The standard's OTHER modes (progressive, arithmetic
+coding, 12-bit, other subsampling ratios) remain behind the library
+seam; this module exists to prove the entropy-coded path itself —
+Huffman bitstream with byte stuffing, zigzag RLE, dequantize, IDCT,
+chroma resampling, the YCbCr transform — needs no external dependency.
 
 Determinism: integer Huffman/RLE plus float64 matrix IDCT evaluated in a
 fixed order — byte-identical output for identical input bytes on any
@@ -70,6 +72,44 @@ AC_VALS = [
 ]
 
 
+# K.2 chrominance quantization (the spec's example chroma table)
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# K.3.3.1 (Table K.4) / K.3.3.2 (Table K.6): chrominance DC / AC tables
+DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_C_VALS = list(range(12))
+AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
 def _zigzag_order() -> list[tuple[int, int]]:
     """(row, col) visit order of the 8x8 zigzag, generated (not typed)
     so a transcription typo is impossible."""
@@ -113,6 +153,27 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 
 _DC_CODES = _canonical_codes(DC_BITS, DC_VALS)
 _AC_CODES = _canonical_codes(AC_BITS, AC_VALS)
+_DC_C_CODES = _canonical_codes(DC_C_BITS, DC_C_VALS)
+_AC_C_CODES = _canonical_codes(AC_C_BITS, AC_C_VALS)
+
+
+# JFIF (ITU-T T.871) RGB <-> YCbCr, full range, float64 fixed order
+def rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
 # --------------------------------------------------------------------------
@@ -220,6 +281,53 @@ def _extend(v: int, size: int) -> int:
 # --------------------------------------------------------------------------
 
 
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    prev_dc: int,
+) -> int:
+    """FDCT + quantize + zigzag + Huffman one 8x8 block (level-shifted
+    input, i.e. centered on 0); returns the new DC predictor."""
+    coef = _DCT @ block @ _DCT.T
+    qc = np.rint(coef / q).astype(np.int64)
+    zz = qc[ZIG_ROWS, ZIG_COLS]
+    diff = int(zz[0]) - prev_dc
+    new_dc = int(zz[0])
+    s = _size_of(diff)
+    code, length = dc_codes[s]
+    bw.put(code, length)
+    if s:
+        bw.put(_bits_of(diff, s), s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.put(code, length)
+            run -= 16
+        s = _size_of(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(_bits_of(v, s), s)
+        run = 0
+    if last < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.put(code, length)
+    return new_dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
 def encode_gray_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
     """8-bit grayscale array (h, w) -> baseline JFIF bytes.
 
@@ -252,44 +360,17 @@ def encode_gray_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
                 rst_n = (rst_n + 1) % 8
                 prev_dc = 0
             mcu_idx += 1
-            block = px[by : by + 8, bx : bx + 8] - 128.0
-            coef = _DCT @ block @ _DCT.T
-            qc = np.rint(coef / q).astype(np.int64)
-            zz = qc[ZIG_ROWS, ZIG_COLS]
-            # DC
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = _size_of(diff)
-            code, length = _DC_CODES[s]
-            bw.put(code, length)
-            if s:
-                bw.put(_bits_of(diff, s), s)
-            # AC
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = int(nz[-1]) + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = _AC_CODES[0xF0]  # ZRL
-                    bw.put(code, length)
-                    run -= 16
-                s = _size_of(v)
-                code, length = _AC_CODES[(run << 4) | s]
-                bw.put(code, length)
-                bw.put(_bits_of(v, s), s)
-                run = 0
-            if last < 63:
-                code, length = _AC_CODES[0x00]  # EOB
-                bw.put(code, length)
+            prev_dc = _encode_block(
+                bw,
+                px[by : by + 8, bx : bx + 8] - 128.0,
+                q,
+                _DC_CODES,
+                _AC_CODES,
+                prev_dc,
+            )
     entropy = bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
-
+    seg = _seg
     zz_quant = bytes(int(QUANT_LUMA[r, c]) for r, c in ZIGZAG)
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -308,6 +389,109 @@ def encode_gray_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
     if ph or pw:
         com = seg(0xFE, b"crop=%dx%d" % (h, w))
         out = out[:2] + com + out[2:]
+    return bytes(out)
+
+
+def encode_color_jpeg(
+    rgb: np.ndarray, restart_interval: int = 0, subsampling: str = "420"
+) -> bytes:
+    """8-bit RGB array (h, w, 3) -> baseline JFIF bytes: JFIF YCbCr
+    transform, interleaved MCUs, K.1/K.2 quant tables and the four
+    Annex K Huffman tables. ``subsampling="420"`` (the libjpeg default
+    for color: 2x2-mean chroma downsampling, Y Y Y Y Cb Cr 16x16 MCUs)
+    or ``"444"`` (full chroma, Y Cb Cr 8x8 MCUs). ``restart_interval``
+    counts MCUs as in the grayscale encoder."""
+    px = np.asarray(rgb)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected an (h, w, 3) RGB array")
+    if subsampling not in ("420", "444"):
+        raise ValueError("subsampling must be '420' or '444'")
+    sub = subsampling == "420"
+    mcu = 16 if sub else 8
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    # pad to the MCU grid by edge replication
+    ph, pw = -h % mcu, -w % mcu
+    if ph or pw:
+        px = np.pad(px, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    hp, wp = px.shape[:2]
+    y, cb, cr = rgb_to_ycbcr(px)
+    if sub:  # 2x2 mean downsample the chroma planes
+        cb = cb.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+
+    bw = _BitWriter()
+    ql = QUANT_LUMA.astype(np.float64)
+    qc = QUANT_CHROMA.astype(np.float64)
+    dc_y = dc_cb = dc_cr = 0
+    mcu_idx = 0
+    rst_n = 0
+    y_offsets = ((0, 0), (0, 8), (8, 0), (8, 8)) if sub else ((0, 0),)
+    for my in range(0, hp, mcu):
+        for mx in range(0, wp, mcu):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.align()
+                bw.raw(bytes((0xFF, 0xD0 + rst_n)))
+                rst_n = (rst_n + 1) % 8
+                dc_y = dc_cb = dc_cr = 0
+            mcu_idx += 1
+            # Y blocks left-to-right then top-to-bottom (B.2.3)
+            for dy, dx in y_offsets:
+                dc_y = _encode_block(
+                    bw,
+                    y[my + dy : my + dy + 8, mx + dx : mx + dx + 8] - 128.0,
+                    ql,
+                    _DC_CODES,
+                    _AC_CODES,
+                    dc_y,
+                )
+            cy, cx = (my // 2, mx // 2) if sub else (my, mx)
+            dc_cb = _encode_block(
+                bw,
+                cb[cy : cy + 8, cx : cx + 8] - 128.0,
+                qc,
+                _DC_C_CODES,
+                _AC_C_CODES,
+                dc_cb,
+            )
+            dc_cr = _encode_block(
+                bw,
+                cr[cy : cy + 8, cx : cx + 8] - 128.0,
+                qc,
+                _DC_C_CODES,
+                _AC_C_CODES,
+                dc_cr,
+            )
+    entropy = bw.flush()
+
+    zz_ql = bytes(int(QUANT_LUMA[r, c]) for r, c in ZIGZAG)
+    zz_qc = bytes(int(QUANT_CHROMA[r, c]) for r, c in ZIGZAG)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + zz_ql)  # DQT Tq=0 (luma)
+    out += _seg(0xDB, b"\x01" + zz_qc)  # DQT Tq=1 (chroma)
+    # SOF0: 3 components — Y table 0 (2x2 sampling iff 4:2:0),
+    # Cb & Cr 1x1 / table 1
+    y_samp = b"\x22" if sub else b"\x11"
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, hp, wp, 3)
+        + b"\x01" + y_samp + b"\x00"
+        + b"\x02\x11\x01"
+        + b"\x03\x11\x01",
+    )
+    out += _seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _seg(0xC4, b"\x01" + bytes(DC_C_BITS) + bytes(DC_C_VALS))
+    out += _seg(0xC4, b"\x11" + bytes(AC_C_BITS) + bytes(AC_C_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+    out += _seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    if ph or pw:
+        out = out[:2] + _seg(0xFE, b"crop=%dx%d" % (h, w)) + out[2:]
     return bytes(out)
 
 
@@ -330,6 +514,41 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int
     return table
 
 
+def _decode_block(
+    br: _BitReader,
+    dc_tbl: dict[tuple[int, int], int],
+    ac_tbl: dict[tuple[int, int], int],
+    q: np.ndarray,
+    prev_dc: int,
+) -> tuple[np.ndarray, int]:
+    """Huffman-decode + dequantize + IDCT one 8x8 block; returns the
+    level-shifted (centered-on-0) block and the new DC predictor."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _read_symbol(br, dc_tbl)
+    diff = _extend(br.bits(s), s) if s else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_symbol(br, ac_tbl)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflow")
+        zz[k] = _extend(br.bits(size), size)
+        k += 1
+    coef = np.zeros((8, 8), dtype=np.float64)
+    coef[ZIG_ROWS, ZIG_COLS] = zz
+    return _DCT.T @ (coef * q) @ _DCT, prev_dc
+
+
 def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code = 0
     for length in range(1, 17):
@@ -338,6 +557,142 @@ def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code")
+
+
+def decode_color_jpeg(data: bytes) -> np.ndarray:
+    """Baseline YCbCr JFIF bytes -> uint8 RGB array (h, w, 3). Supports
+    the two interleaved-scan layouts real encoders emit for color:
+    4:2:0 (Y 2x2, chroma 1x1) and 4:4:4 (all 1x1); honors DRI/RST0-7
+    (all three DC predictors reset) and the crop COM segment. Raises
+    ValueError on progressive/arithmetic modes, grayscale input (use
+    decode_gray_jpeg), and other subsampling ratios."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    crop: tuple[int, int] | None = None
+    restart_interval = 0
+    comps: list[dict] = []  # SOF order: {cid, hs, vs, tq}
+    scan: list[tuple[int, int, int]] = []  # SOS order: (cid, dc_id, ac_id)
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            continue
+        ln = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                vals = body[p + 1 : p + 65]
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = vals[i]
+                quant[tq] = tbl
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 3:
+                raise ValueError("decode_color_jpeg wants 3 components")
+            for i in range(3):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"cid": cid, "hs": samp >> 4, "vs": samp & 0xF, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG mode")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xFE and body.startswith(b"crop="):
+            ch, cw = body[5:].split(b"x")
+            crop = (int(ch), int(cw))
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 3:
+                raise ValueError("only one interleaved 3-component scan")
+            for i in range(3):
+                cid, ids = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cid, ids >> 4, ids & 0xF))
+            pos += ln
+            break
+        pos += ln
+    if not h or not w or len(comps) != 3:
+        raise ValueError("missing SOF0")
+    samplings = [(c["hs"], c["vs"]) for c in comps]
+    if samplings not in ([(2, 2), (1, 1), (1, 1)], [(1, 1), (1, 1), (1, 1)]):
+        raise ValueError("only 4:2:0 and 4:4:4 subsampling are decoded here")
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_cid = {c["cid"]: c for c in comps}
+    order = []  # scan-order component descriptors
+    for cid, dc_id, ac_id in scan:
+        if cid not in by_cid:
+            raise ValueError("scan references a component SOF0 did not declare")
+        c = by_cid[cid]
+        order.append(
+            {
+                "hs": c["hs"],
+                "vs": c["vs"],
+                "q": quant[c["tq"]].astype(np.float64),
+                "dc": huff[(0, dc_id)],
+                "ac": huff[(1, ac_id)],
+                "plane": np.zeros(
+                    (mcuy * 8 * c["vs"], mcux * 8 * c["hs"]), dtype=np.float64
+                ),
+            }
+        )
+    br = _BitReader(data, pos)
+    pred = [0, 0, 0]
+    mcu_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                br.restart()
+                pred = [0, 0, 0]
+            mcu_idx += 1
+            for ci, c in enumerate(order):
+                for dy in range(c["vs"]):
+                    for dx in range(c["hs"]):
+                        block, pred[ci] = _decode_block(
+                            br, c["dc"], c["ac"], c["q"], pred[ci]
+                        )
+                        py = (my * c["vs"] + dy) * 8
+                        px_ = (mx * c["hs"] + dx) * 8
+                        c["plane"][py : py + 8, px_ : px_ + 8] = block + 128.0
+    # upsample chroma to luma resolution by sample replication
+    yh, yw = order[0]["plane"].shape
+    planes = []
+    for c in order:
+        p = c["plane"]
+        ry, rx = vmax // c["vs"], hmax // c["hs"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        planes.append(p[:yh, :yw])
+    rgb = ycbcr_to_rgb(planes[0], planes[1], planes[2])
+    if crop:
+        return rgb[: crop[0], : crop[1]]
+    return rgb[:h, :w]
 
 
 def decode_gray_jpeg(data: bytes) -> np.ndarray:
@@ -420,30 +775,7 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
                 br.restart()
                 prev_dc = 0
             mcu_idx += 1
-            zz = np.zeros(64, dtype=np.int64)
-            s = _read_symbol(br, dc_tbl)
-            diff = _extend(br.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _read_symbol(br, ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflow")
-                zz[k] = _extend(br.bits(size), size)
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            coef[ZIG_ROWS, ZIG_COLS] = zz
-            block = _DCT.T @ (coef * q) @ _DCT
+            block, prev_dc = _decode_block(br, dc_tbl, ac_tbl, q, prev_dc)
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block + 128.0
     px = np.clip(np.rint(out), 0, 255).astype(np.uint8)
     if crop:

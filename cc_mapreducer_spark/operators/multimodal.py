@@ -308,8 +308,12 @@ def decode_with_library(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     end-to-end by the media_codec_stats query). Round 5 narrowed it
     again: baseline grayscale JPEG — a real entropy-coded codec — is
     encoded AND decoded in pure numpy (functions/jpeg_codec.py, proven
-    end-to-end by jpeg_codec_stats). The seam now covers only color
-    JPEG with chroma subsampling, progressive/arithmetic JPEG modes,
+    end-to-end by jpeg_codec_stats). Round 6 narrowed it FURTHER:
+    baseline COLOR JPEG (YCbCr interleaved scans, 4:2:0 and 4:4:4
+    subsampling, DRI/RST restart markers) is pure numpy too
+    (encode_color_jpeg / decode_color_jpeg, proven end-to-end by
+    jpeg_color_codec_stats). The seam now covers only
+    progressive/arithmetic JPEG modes, other subsampling ratios,
     MP3/AAC, and H.264."""
     try:
         import PIL  # noqa: F401
@@ -845,3 +849,86 @@ def jpeg_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "n_chars"
     )
     return docs.mapInPandas(_jpeg_stats, JPEG_STATS_SCHEMA)
+
+
+def jpeg_color_test_image(doc_id: int, text: str, n_chars: int):
+    """Deterministic RGB image from a document row: each channel is the
+    grayscale derivation with a different byte-phase stride, so the
+    channels differ (real chroma content) while staying reproducible in
+    any replica."""
+    import numpy as np
+
+    b = str(text).encode("utf-8")
+    if not b:
+        return None
+    w = 8 + int(n_chars) % 25
+    h = 8 + int(doc_id) % 17
+    arr = np.frombuffer(b, dtype=np.uint8)
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [arr[(x + s * y) % len(arr)] for s in (3, 5, 7)], axis=-1
+    )
+
+
+def _jpeg_color_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    import numpy as np
+
+    from cc_mapreducer_spark.functions.jpeg_codec import (
+        decode_color_jpeg,
+        encode_color_jpeg,
+        rgb_to_ycbcr,
+    )
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = {k.name: [] for k in JPEG_COLOR_STATS_SCHEMA.fields}
+        for doc_id, text, n_chars in zip(
+            pdf["doc_id"], pdf["text"], pdf["n_chars"]
+        ):
+            px = jpeg_color_test_image(doc_id, text, n_chars)
+            if px is None:
+                continue
+            payload = encode_color_jpeg(px)  # 4:2:0, the libjpeg default
+            dec = decode_color_jpeg(payload)
+            y_src, _, _ = rgb_to_ycbcr(px)
+            y_dec, _, _ = rgb_to_ycbcr(dec)
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(px.shape[1])
+            rows["height"].append(px.shape[0])
+            rows["jpeg_bytes"].append(len(payload))
+            # luma error is the codec-quality witness (chroma error is
+            # dominated by 4:2:0 subsampling loss, by design)
+            rows["max_luma_err"].append(int(np.abs(y_src - y_dec).max()))
+            rows["decoded_sha"].append(hashlib.sha256(dec.tobytes()).hexdigest())
+        yield pd.DataFrame(rows)
+
+
+JPEG_COLOR_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("jpeg_bytes", IntegerType()),
+        StructField("max_luma_err", IntegerType()),
+        StructField("decoded_sha", StringType()),
+    ]
+)
+
+
+@register("jpeg_color_codec_stats", driver=False)  # lossy float DCT: pytest-pinned
+def jpeg_color_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document baseline COLOR (YCbCr 4:2:0) JPEG round trip over
+    deterministic text-derived RGB images: interleaved-MCU encode with
+    the Annex K luma+chroma tables, decode with chroma upsampling,
+    reporting dimensions, compressed size, max LUMA reconstruction
+    error, and the sha256 of the decoded pixels (run-to-run determinism
+    pinned in tests/test_jpeg_codec.py). Closes the color leg of the
+    entropy-coded-codec family that was previously behind the
+    decode_with_library seam."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    return docs.mapInPandas(_jpeg_color_stats, JPEG_COLOR_STATS_SCHEMA)

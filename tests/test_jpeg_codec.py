@@ -195,3 +195,165 @@ def test_local_replica_matches_spark_row(spark):
     )
     assert len(spark_row) == 1
     assert spark_row[0]["decoded_sha"] == expected_sha
+
+
+# --------------------------------------------------------------------------
+# color (YCbCr, 4:2:0 and 4:4:4)
+# --------------------------------------------------------------------------
+
+from cc_mapreducer_spark.functions.jpeg_codec import (  # noqa: E402
+    AC_C_BITS,
+    AC_C_VALS,
+    DC_C_BITS,
+    decode_color_jpeg,
+    encode_color_jpeg,
+    rgb_to_ycbcr,
+)
+
+
+def test_color_constant_round_trips_tightly():
+    for rgb_val in ((0, 0, 0), (255, 255, 255), (200, 60, 30), (10, 200, 90)):
+        img = np.zeros((16, 24, 3), np.uint8)
+        img[...] = rgb_val
+        for sub in ("420", "444"):
+            dec = decode_color_jpeg(encode_color_jpeg(img, subsampling=sub))
+            assert dec.shape == img.shape
+            err = int(np.abs(dec.astype(int) - img.astype(int)).max())
+            assert err <= 2, (rgb_val, sub, err)
+
+
+def test_color_gradient_bounded_and_cropped():
+    y, x = np.mgrid[0:33, 0:47]
+    img = np.stack(
+        [
+            np.clip(60 + 0.5 * x, 0, 255),
+            np.clip(50 + 0.8 * y, 0, 255),
+            np.clip(100 + 0.3 * (x + y), 0, 255),
+        ],
+        -1,
+    ).astype(np.uint8)
+    for sub, bound in (("420", 12), ("444", 12)):
+        dec = decode_color_jpeg(encode_color_jpeg(img, subsampling=sub))
+        assert dec.shape == img.shape  # non-multiple-of-MCU dims crop back
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= bound
+
+
+def test_color_noise_deterministic_and_luma_bounded():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    for sub in ("420", "444"):
+        b = encode_color_jpeg(img, subsampling=sub)
+        d1, d2 = decode_color_jpeg(b), decode_color_jpeg(b)
+        assert (d1 == d2).all()
+        # chroma error on noise is subsampling/K.2-table loss by design;
+        # the LUMA plane must stay inside the grayscale codec's bound
+        ys, _, _ = rgb_to_ycbcr(img)
+        yd, _, _ = rgb_to_ycbcr(d1)
+        assert int(np.abs(ys - yd).max()) < 100, sub
+
+
+def test_color_restart_intervals_and_fill_bytes():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)  # 6 MCUs at 4:2:0
+    plain = decode_color_jpeg(encode_color_jpeg(img))
+    for interval in (1, 2):
+        b = encode_color_jpeg(img, restart_interval=interval)
+        assert b"\xff\xdd" in b
+        assert (decode_color_jpeg(b) == plain).all(), interval
+    # fill byte before each RSTn must be skipped
+    b = encode_color_jpeg(img, restart_interval=1)
+    sos = b.index(b"\xff\xda")
+    padded = bytearray()
+    i = 0
+    while i < len(b):
+        if i > sos and b[i] == 0xFF and i + 1 < len(b) and 0xD0 <= b[i + 1] <= 0xD7:
+            padded += b"\xff"
+        padded.append(b[i])
+        i += 1
+    assert (decode_color_jpeg(bytes(padded)) == plain).all()
+
+
+def test_color_rejects_unsupported():
+    img = np.zeros((16, 16, 3), np.uint8)
+    b = bytearray(encode_color_jpeg(img))
+    sof = b.index(b"\xff\xc0")
+    # progressive -> refuse
+    prog = bytearray(b)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_color_jpeg(bytes(prog))
+    # 4:2:2 (Y sampling 2x1) -> refuse cleanly (not a supported layout)
+    odd = bytearray(b)
+    odd[sof + 11] = 0x21  # comp 1 sampling byte (id at +10, samp at +11)
+    with pytest.raises(ValueError):
+        decode_color_jpeg(bytes(odd))
+    # grayscale payload -> wrong entry point
+    gray = encode_gray_jpeg(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError):
+        decode_color_jpeg(gray)
+    # color payload into the grayscale decoder -> refuse
+    with pytest.raises(ValueError):
+        decode_gray_jpeg(bytes(b))
+    with pytest.raises(ValueError):
+        encode_color_jpeg(img, subsampling="422")
+
+
+def test_chroma_huffman_tables_wellformed():
+    from cc_mapreducer_spark.functions.jpeg_codec import _AC_C_CODES, _DC_C_CODES
+
+    assert sum(DC_C_BITS) == 12
+    assert sum(AC_C_BITS) == len(AC_C_VALS) == 162
+    for table in (_DC_C_CODES, _AC_C_CODES):
+        seen = set()
+        for sym, (code, length) in table.items():
+            assert code < (1 << length)
+            assert (length, code) not in seen
+            seen.add((length, code))
+        codes = sorted(((ln, c) for ln, c in seen))
+        for i, (l1, c1) in enumerate(codes):
+            for l2, c2 in codes[i + 1 :]:
+                if l2 > l1 and (c2 >> (l2 - l1)) == c1:
+                    raise AssertionError("prefix violation")
+
+
+def test_spark_color_jpeg_stats(spark):
+    from cc_mapreducer_spark.operators.multimodal import jpeg_color_codec_stats
+
+    a = {r["doc_id"]: r for r in jpeg_color_codec_stats(spark, SF_ORACLE).collect()}
+    b = {r["doc_id"]: r for r in jpeg_color_codec_stats(spark, SF_ORACLE).collect()}
+    assert len(a) == 500
+    for doc_id, r in a.items():
+        assert r["decoded_sha"] == b[doc_id]["decoded_sha"]  # run-to-run
+        assert r["max_luma_err"] < 100
+        assert r["jpeg_bytes"] > 0
+
+
+# sha256 of the decoded doc_id=7 COLOR pixels at sf0.01 — pins the K.2
+# chroma table, the YCbCr transform, the 2x2 downsample, and the
+# interleaved MCU framing
+_DOC7_COLOR_DECODED_SHA = (
+    "5b08b3a85dac0e704d1df34b67c2d2178c6862a0576808115551ae3711486e2a"
+)
+
+
+def test_color_local_replica_matches_spark_row(spark):
+    import duckdb
+
+    from cc_mapreducer_spark.operators.multimodal import (
+        jpeg_color_codec_stats,
+        jpeg_color_test_image,
+    )
+
+    row = duckdb.sql(
+        f"SELECT doc_id, text, n_chars FROM '{SF_ORACLE}/documents.parquet' "
+        "WHERE doc_id = 7"
+    ).fetchone()
+    px = jpeg_color_test_image(*row)
+    dec = decode_color_jpeg(encode_color_jpeg(px))
+    expected_sha = hashlib.sha256(dec.tobytes()).hexdigest()
+    assert expected_sha == _DOC7_COLOR_DECODED_SHA
+    spark_row = (
+        jpeg_color_codec_stats(spark, SF_ORACLE).filter("doc_id = 7").collect()
+    )
+    assert len(spark_row) == 1
+    assert spark_row[0]["decoded_sha"] == expected_sha
