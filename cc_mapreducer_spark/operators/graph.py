@@ -170,3 +170,147 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("item"), F.round("rank", 6).alias("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# triangle counting (degree orientation) + local clustering coefficients
+# --------------------------------------------------------------------------
+
+# The canonical distributed triangle algorithm (Schank/Wagner's
+# compact-forward, the shape every MPC/Spark treatment uses): orient
+# each undirected edge from its lower-(degree, id) endpoint to the
+# higher, enumerate wedges as pairs of out-neighbors, and close them
+# with one equi-join back on the oriented edges. Orientation bounds
+# every out-degree by O(sqrt(m)), so the wedge fanout — the only
+# superlinear-risk step — is sum_u C(outdeg(u), 2) <= m^1.5 worst case
+# and ~m * sqrt(m) / 2 only on pathological graphs; a power-law graph's
+# hubs become SINKS (high rank), never wedge centers, which is exactly
+# the skew story at 100 TB: the bot item with a million neighbors
+# receives edges but spawns no wedges. Plans: one groupBy for degrees,
+# two broadcast-eligible degree joins, one self-join on the wedge
+# center (out-edges co-partition by `a`), one closing equi-join on
+# (v, w) pairs, one explode + groupBy for per-node counts.
+
+_TRIANGLE_SQL = """
+WITH ui AS (
+    SELECT user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+           count(*) AS n_touches
+    FROM events GROUP BY 1, 2
+), capped AS (
+    SELECT user_id, item FROM (
+        SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n_touches DESC, item) AS rk
+        FROM ui
+    ) WHERE rk <= 64
+), edges AS (
+    SELECT a.item AS src, b.item AS dst
+    FROM capped a
+    JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY 1, 2
+), deg AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges
+    ) GROUP BY node
+), oriented AS (
+    SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.src < e.dst)
+                THEN e.src ELSE e.dst END AS a,
+           CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.src < e.dst)
+                THEN e.dst ELSE e.src END AS b,
+           CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.src < e.dst)
+                THEN db.d ELSE da.d END AS bd
+    FROM edges e
+    JOIN deg da ON da.node = e.src
+    JOIN deg db ON db.node = e.dst
+), wedges AS (
+    SELECT x.a AS u, x.b AS v, y.b AS w
+    FROM oriented x
+    JOIN oriented y ON x.a = y.a
+     AND ((x.bd < y.bd) OR (x.bd = y.bd AND x.b < y.b))
+), tri AS (
+    SELECT wg.u, wg.v, wg.w
+    FROM wedges wg JOIN oriented o ON o.a = wg.v AND o.b = wg.w
+), pernode AS (
+    SELECT node, count(*) AS n FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    ) GROUP BY node
+)
+SELECT d.node AS item,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN d.d >= 2
+                  THEN 2.0 * coalesce(p.n, 0) / (d.d * (d.d - 1))
+                  ELSE 0 END, 6) AS clustering_coeff
+FROM deg d LEFT JOIN pernode p ON p.node = d.node
+"""
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """(item, degree, n_triangles, clustering_coeff) for every node of a
+    canonically-oriented (src < dst, one row per undirected pair) edge
+    frame. Pure integer joins + one rounded small-int division."""
+    und = edges.select("src", "dst")
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionByName(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e = und.join(
+        deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src"
+    ).join(
+        deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst"
+    )
+    fwd = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        F.when(fwd, F.col("dd")).otherwise(F.col("ds")).alias("bd"),
+    )
+    x = oriented.alias("x")
+    y = oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.a") == F.col("y.a"))
+        & (
+            (F.col("x.bd") < F.col("y.bd"))
+            | ((F.col("x.bd") == F.col("y.bd")) & (F.col("x.b") < F.col("y.b")))
+        ),
+    ).select(
+        F.col("x.a").alias("u"), F.col("x.b").alias("v"), F.col("y.b").alias("w")
+    )
+    closing = oriented.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    pernode = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n"))
+    )
+    return deg.join(pernode, "node", "left").select(
+        F.col("node").alias("item"),
+        F.col("d").cast("bigint").alias("degree"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("d") >= 2,
+                2.0 * F.coalesce("n", F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coeff"),
+    )
+
+
+@register("item_triangle_stats", oracle=_TRIANGLE_SQL, driver=False)
+def item_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item triangle counts and local clustering coefficients over
+    the co-engagement graph (build_item_graph's capped, canonically-
+    oriented edges) via degree-oriented wedge closing — the community-
+    density signal next to item_pagerank's centrality. All-integer until
+    one rounded division, so the oracle hashes every value."""
+    return triangle_stats(build_item_graph(spark, sf_dir))

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -312,9 +313,11 @@ def decode_with_library(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     baseline COLOR JPEG (YCbCr interleaved scans, 4:2:0 and 4:4:4
     subsampling, DRI/RST restart markers) is pure numpy too
     (encode_color_jpeg / decode_color_jpeg, proven end-to-end by
-    jpeg_color_codec_stats). The seam now covers only
-    progressive/arithmetic JPEG modes, other subsampling ratios,
-    MP3/AAC, and H.264."""
+    jpeg_color_codec_stats), and IMA ADPCM — a real compressed-audio
+    codec (WAVE fmt 0x0011, 4:1) — is integer-exact stdlib+numpy
+    (functions/adpcm_codec.py, adpcm_codec_stats). The seam now covers
+    only progressive/arithmetic JPEG modes, other subsampling ratios,
+    entropy-coded audio (MP3/AAC), and H.264."""
     try:
         import PIL  # noqa: F401
     except ModuleNotFoundError:
@@ -932,3 +935,84 @@ def jpeg_color_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "n_chars"
     )
     return docs.mapInPandas(_jpeg_color_stats, JPEG_COLOR_STATS_SCHEMA)
+
+
+def adpcm_test_signal(doc_id: int, text: str, n_chars: int):
+    """Deterministic int16 mono signal from a document row: a byte-
+    modulated integer triangle wave (no float anywhere, so the fixture
+    is bit-identical in any replica), long enough to cross the ADPCM
+    505-sample block boundary."""
+    import numpy as np
+
+    b = str(text).encode("utf-8")
+    if not b:
+        return None
+    n = 600 + int(n_chars) % 700
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+    i = np.arange(n)
+    period = 40 + int(doc_id) % 23
+    tri = np.abs((i % period) * 2 - period) - period // 2
+    # amplitude modulated per PERIOD (not per sample): the signal stays
+    # locally smooth, which is the regime ADPCM's step adaptation is
+    # built for; the byte content still drives the envelope
+    amp = 50 + arr[(i // period) % len(arr)]
+    return np.clip(tri * amp, -32768, 32767).astype(np.int16)
+
+
+def _adpcm_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    import numpy as np
+
+    from cc_mapreducer_spark.functions.adpcm_codec import (
+        decode_ima_adpcm,
+        encode_ima_adpcm,
+    )
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = {k.name: [] for k in ADPCM_STATS_SCHEMA.fields}
+        for doc_id, text, n_chars in zip(
+            pdf["doc_id"], pdf["text"], pdf["n_chars"]
+        ):
+            sig = adpcm_test_signal(doc_id, text, n_chars)
+            if sig is None:
+                continue
+            payload = encode_ima_adpcm(sig)
+            dec = decode_ima_adpcm(payload)
+            err = np.abs(dec.astype(np.int64) - sig.astype(np.int64))
+            rows["doc_id"].append(doc_id)
+            rows["n_samples"].append(len(sig))
+            rows["adpcm_bytes"].append(len(payload))
+            rows["max_abs_err"].append(int(err.max()))
+            rows["mean_abs_err"].append(round(float(err.mean()), 6))
+            rows["decoded_sha"].append(hashlib.sha256(dec.tobytes()).hexdigest())
+        yield pd.DataFrame(rows)
+
+
+ADPCM_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("adpcm_bytes", IntegerType()),
+        StructField("max_abs_err", IntegerType()),
+        StructField("mean_abs_err", DoubleType()),
+        StructField("decoded_sha", StringType()),
+    ]
+)
+
+
+@register("adpcm_codec_stats", driver=False)  # integer codec: pytest-pinned
+def adpcm_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document IMA ADPCM (WAVE fmt 0x0011) round trip over
+    deterministic text-derived audio: 4:1 adaptive-differential encode
+    to a real RIFF container, decode back, report sample/byte counts,
+    reconstruction error, and the decoded-sample sha256. Unlike the
+    float-DCT JPEG legs this codec is all-integer, so the shas are
+    platform-exact; registration stays rows-only because no SQL oracle
+    can express a sample-recursive codec."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    return docs.mapInPandas(_adpcm_stats, ADPCM_STATS_SCHEMA)
