@@ -5,14 +5,17 @@ the entropy-coded codec leg that was previously behind the
 Scope: baseline sequential DCT, grayscale (1 component) AND color
 (YCbCr 3-component interleaved scans, 4:2:0 chroma subsampling — the
 libjpeg default for color — or 4:4:4), the Annex K.1/K.2 quantization
-tables and all four Annex K "typical" Huffman tables, with DRI/RST0-7
-restart intervals in both directions. This covers the profile every
-JPEG decoder is required to support and the layouts libjpeg emits at
-its defaults. The standard's OTHER modes (progressive, arithmetic
-coding, 12-bit, other subsampling ratios) remain behind the library
-seam; this module exists to prove the entropy-coded path itself —
-Huffman bitstream with byte stuffing, zigzag RLE, dequantize, IDCT,
-chroma resampling, the YCbCr transform — needs no external dependency.
+tables and all four Annex K "typical" Huffman tables, DRI/RST0-7
+restart intervals in both directions, AND progressive mode (SOF2,
+Annex G: spectral selection + successive approximation with EOBn
+end-of-band runs and refinement correction bits, grayscale, arbitrary
+scan scripts) with the spec's own K.2 Huffman-table construction for
+the EOBn symbols the baseline tables lack. The standard's remaining
+modes (arithmetic coding, 12-bit, hierarchical, other subsampling
+ratios) stay behind the library seam; this module exists to prove the
+entropy-coded path itself — Huffman bitstream with byte stuffing,
+zigzag RLE, dequantize, IDCT, chroma resampling, the YCbCr transform,
+multi-scan coefficient accumulation — needs no external dependency.
 
 Determinism: integer Huffman/RLE plus float64 matrix IDCT evaluated in a
 fixed order — byte-identical output for identical input bytes on any
@@ -783,3 +786,488 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     else:
         px = px[:h, :w]
     return px
+
+
+# --------------------------------------------------------------------------
+# progressive mode (SOF2): spectral selection + successive approximation
+# --------------------------------------------------------------------------
+
+# The scan protocol is T.81 Annex G (Huffman progressive): DC-first
+# scans carry point-transformed (>> Al) DC differences; DC-refinement
+# scans carry one raw bit per block; AC-first scans carry per-band
+# run/size symbols with EOBn end-of-band run codes; AC-refinement scans
+# carry newly-significant coefficients interleaved with one correction
+# bit per already-nonzero coefficient passed. Negative values refine
+# through two's-complement OR exactly as integer hardware does it, so a
+# progressive stream reconstructs the SAME quantized coefficients the
+# baseline framing carries — the tests pin progressive decode ==
+# baseline decode bit-for-bit.
+
+# libjpeg's default grayscale scan script (jcparam.c): DC at Al=1, the
+# 1..5 / 6..63 bands at Al=2, then successive refinements to full
+# precision.
+PROGRESSIVE_SCRIPT_GRAY = [
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (0, 0, 1, 0),
+    (1, 63, 1, 0),
+]
+
+
+def _quantized_blocks(px: np.ndarray) -> list[np.ndarray]:
+    """Level-shifted padded grayscale image -> per-block zigzag-order
+    quantized coefficient vectors (row-major block order)."""
+    q = QUANT_LUMA.astype(np.float64)
+    out = []
+    for by in range(0, px.shape[0], 8):
+        for bx in range(0, px.shape[1], 8):
+            block = px[by : by + 8, bx : bx + 8] - 128.0
+            coef = _DCT @ block @ _DCT.T
+            qc = np.rint(coef / q).astype(np.int64)
+            out.append(qc[ZIG_ROWS, ZIG_COLS])
+    return out
+
+
+class _EobState:
+    """EOBRUN accumulator + the refinement scans' buffered correction
+    bits (T.81 G.1.2.3 / libjpeg's BE/BR buffers)."""
+
+    def __init__(self, bw: _BitWriter) -> None:
+        self.bw = bw
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = _PROG_AC_CODES[nbits << 4]
+            self.bw.put(code, length)
+            if nbits:
+                self.bw.put(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        self.flush_bits()
+
+    def flush_bits(self) -> None:
+        for b in self.bits:
+            self.bw.put(b, 1)
+        self.bits = []
+
+
+def _enc_ac_first(bw, blocks, ss, se, al, state) -> None:
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            m = (-v if v < 0 else v) >> al
+            if m == 0:
+                r += 1
+                continue
+            state.flush()
+            while r > 15:
+                code, length = _PROG_AC_CODES[0xF0]
+                bw.put(code, length)
+                r -= 16
+            s = m.bit_length()
+            code, length = _PROG_AC_CODES[(r << 4) | s]
+            bw.put(code, length)
+            bw.put(_bits_of(m if v > 0 else -m, s), s)
+            r = 0
+        if r > 0:
+            state.eobrun += 1
+            if state.eobrun == 0x7FFF:
+                state.flush()
+
+
+def _enc_ac_refine(bw, blocks, ss, se, al, state) -> None:
+    # mirror of the T.81 G.1.2.3 / libjpeg jcphuff protocol: the run
+    # counts ONLY zero-history positions; already-significant positions
+    # are transparent (one buffered correction bit each); ZRLs are
+    # emitted at ANY nonzero position once the run exceeds 15 (unless
+    # the run can fold into the end-of-band), with the buffered bits
+    # flushed after each emitted symbol — the order the decoder's
+    # inline advance consumes them in.
+    for zz in blocks:
+        vals = [int(v) for v in zz[ss : se + 1]]
+        absv = [(-v if v < 0 else v) >> al for v in vals]
+        eob = -1  # index of the LAST newly-significant coefficient
+        for i, m in enumerate(absv):
+            if m == 1:
+                eob = i
+        r = 0
+        pending: list[int] = []
+        for i, m in enumerate(absv):
+            if m == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                state.flush()
+                code, length = _PROG_AC_CODES[0xF0]
+                bw.put(code, length)
+                r -= 16
+                for b in pending:
+                    bw.put(b, 1)
+                pending = []
+            if m > 1:  # already significant: one correction bit
+                pending.append(m & 1)
+                continue
+            # newly significant
+            state.flush()
+            code, length = _PROG_AC_CODES[(r << 4) | 1]
+            bw.put(code, length)
+            bw.put(1 if vals[i] >= 0 else 0, 1)
+            for b in pending:
+                bw.put(b, 1)
+            pending = []
+            r = 0
+        if r > 0 or pending:
+            state.eobrun += 1
+            state.bits.extend(pending)
+            if state.eobrun == 0x7FFF or len(state.bits) > 900:
+                state.flush()
+
+
+def encode_gray_jpeg_progressive(
+    pixels: np.ndarray, script: list[tuple[int, int, int, int]] | None = None
+) -> bytes:
+    """8-bit grayscale array -> progressive (SOF2) JFIF bytes carrying
+    the same quantized coefficients as encode_gray_jpeg, framed by the
+    given (Ss, Se, Ah, Al) scan script (default: libjpeg's grayscale
+    script)."""
+    if script is None:
+        script = PROGRESSIVE_SCRIPT_GRAY
+    px = np.asarray(pixels)
+    if px.ndim != 2:
+        raise ValueError("expected a 2-D grayscale array")
+    h, w = px.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    px = px.astype(np.float64)
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        px = np.pad(px, ((0, ph), (0, pw)), mode="edge")
+    blocks = _quantized_blocks(px)
+
+    zz_quant = bytes(int(QUANT_LUMA[r, c]) for r, c in ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + zz_quant)
+    out += _seg(
+        0xC2, struct.pack(">BHHB", 8, px.shape[0], px.shape[1], 1) + b"\x01\x11\x00"
+    )
+    out += _seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS))
+    for ss, se, ah, al in script:
+        out += _seg(
+            0xDA, b"\x01\x01\x00" + bytes((ss, se, (ah << 4) | al))
+        )
+        bw = _BitWriter()
+        if ss == 0:  # DC scan
+            if ah == 0:
+                prev = 0
+                for zz in blocks:
+                    t = int(zz[0]) >> al  # arithmetic shift
+                    diff = t - prev
+                    prev = t
+                    s = _size_of(diff)
+                    code, length = _DC_CODES[s]
+                    bw.put(code, length)
+                    if s:
+                        bw.put(_bits_of(diff, s), s)
+            else:  # DC refinement: one raw bit per block
+                for zz in blocks:
+                    bw.put((int(zz[0]) >> al) & 1, 1)
+        else:  # AC scan
+            state = _EobState(bw)
+            if ah == 0:
+                _enc_ac_first(bw, blocks, ss, se, al, state)
+            else:
+                _enc_ac_refine(bw, blocks, ss, se, al, state)
+            state.flush()
+        out += bw.flush()
+    out += b"\xff\xd9"
+    if ph or pw:
+        out = out[:2] + _seg(0xFE, b"crop=%dx%d" % (h, w)) + out[2:]
+    return bytes(out)
+
+
+def _dec_ac_first(br, zz, ss, se, al, ac_tbl, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run overflow")
+        zz[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _dec_ac_refine(br, zz, ss, se, al, ac_tbl, eobrun) -> int:
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(br, ac_tbl)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:  # EOBn: refine the rest of this band below
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if br.bit() else m1
+            # advance past r zero-history positions, emitting one
+            # correction bit for every nonzero-history one passed
+            while k <= se:
+                if zz[k] != 0:
+                    if br.bit() and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if br.bit() and (int(zz[k]) & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def decode_progressive_jpeg(data: bytes) -> np.ndarray:
+    """Progressive (SOF2) grayscale JFIF bytes -> uint8 array: folds
+    every scan's spectral band / approximation bits into one coefficient
+    array per block, then dequantizes + IDCTs once at the end. Raises
+    ValueError on baseline input (use decode_gray_jpeg), color
+    progressive, or restart intervals (not emitted for progressive
+    here)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    crop: tuple[int, int] | None = None
+    blocks: list[np.ndarray] | None = None
+    tq = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            continue
+        ln = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq_ = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                vals = body[p + 1 : p + 65]
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = vals[i]
+                quant[tq_] = tbl
+                p += 65
+        elif marker == 0xC2:  # SOF2 progressive
+            _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("only grayscale progressive is decoded here")
+            tq = body[8]
+            bh, bw_ = (h + 7) // 8, (w + 7) // 8
+            blocks = [np.zeros(64, dtype=np.int64) for _ in range(bh * bw_)]
+        elif marker == 0xC0:
+            raise ValueError("baseline stream: use decode_gray_jpeg")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG mode")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _build_decode_table(
+                    bits, list(body[p + 17 : p + 17 + n])
+                )
+                p += 17 + n
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported in progressive")
+        elif marker == 0xFE and body.startswith(b"crop="):
+            ch, cw = body[5:].split(b"x")
+            crop = (int(ch), int(cw))
+        elif marker == 0xDA:
+            if blocks is None:
+                raise ValueError("SOS before SOF2")
+            if body[0] != 1:
+                raise ValueError("only single-component scans")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0xF
+            br = _BitReader(data, pos + ln)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                if ah == 0:
+                    prev = 0
+                    dc_tbl = huff[(0, dc_id)]
+                    for zz in blocks:
+                        s = _read_symbol(br, dc_tbl)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        prev += diff
+                        zz[0] = prev << al
+                else:
+                    p1 = 1 << al
+                    for zz in blocks:
+                        if br.bit():
+                            zz[0] |= p1
+            else:
+                ac_tbl = huff[(1, ac_id)]
+                eobrun = 0
+                for zz in blocks:
+                    if ah == 0:
+                        eobrun = _dec_ac_first(br, zz, ss, se, al, ac_tbl, eobrun)
+                    else:
+                        eobrun = _dec_ac_refine(br, zz, ss, se, al, ac_tbl, eobrun)
+            # resume header parsing at the next marker after this scan's
+            # entropy bytes (skip stuffed FF00s and fill FFs)
+            pos = br.pos
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF)
+            ):
+                pos += 1
+            continue
+        pos += ln
+    if blocks is None or not h or not w:
+        raise ValueError("missing SOF2")
+    q = quant[tq].astype(np.float64)
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    i = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            coef = np.zeros((8, 8), dtype=np.float64)
+            coef[ZIG_ROWS, ZIG_COLS] = blocks[i]
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _DCT.T @ (coef * q) @ _DCT + 128.0
+            )
+            i += 1
+    px = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    if crop:
+        return px[: crop[0], : crop[1]]
+    return px[:h, :w]
+
+
+# --------------------------------------------------------------------------
+# Huffman table construction (T.81 Annex K.2, Figures K.9-K.12)
+# --------------------------------------------------------------------------
+
+# Progressive AC scans emit EOBn symbols (0x10..0xE0) that the Annex K
+# baseline tables do not define (the K.3 AC table's Kraft slack is one
+# 2^-16 slot — no room to extend it), which is why libjpeg always
+# custom-builds Huffman tables for progressive output. This is the
+# spec's own construction: pair-merge by frequency with the reserved
+# 257th symbol (keeps the all-ones code unused, T.81 K.2), the BITS
+# 16-bit-cap adjustment, and symbols ordered by (code length, value).
+
+
+def _gen_huffman_table(freq_map: dict[int, int]) -> tuple[list[int], list[int]]:
+    """frequencies -> (BITS[16], HUFFVAL) per the K.2 procedure."""
+    freq = [0] * 257
+    for sym, f in freq_map.items():
+        freq[sym] = f
+    freq[256] = 1  # reserved: guarantees the all-ones code stays unused
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, None
+        for i in range(257):
+            if freq[i] > 0 and (v is None or freq[i] <= v):
+                v, c1 = freq[i], i
+        c2, v = -1, None
+        for i in range(257):
+            if freq[i] > 0 and i != c1 and (v is None or freq[i] <= v):
+                v, c2 = freq[i], i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    # cap code lengths at 16 (Figure K.12's adjustment)
+    for i in range(32, 16, -1):
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # remove the reserved symbol's slot
+    huffval = [
+        s
+        for size in range(1, 17)
+        for s in sorted(k for k in range(256) if codesize[k] == size)
+    ]
+    return bits[1:17], huffval
+
+
+def _progressive_ac_freqs() -> dict[int, int]:
+    """Static synthetic frequencies shaping the fixed progressive AC
+    table: EOB0 and small run/size symbols short, EOBn and deep-run
+    symbols present but longer. Deterministic — one fixed table, always
+    transmitted in the stream's DHT."""
+    freqs = {0x00: 2000, 0xF0: 60}
+    for r in range(1, 15):
+        freqs[r << 4] = max(2, 400 >> r)  # EOBn
+    for r in range(16):
+        for s in range(1, 15):
+            freqs[(r << 4) | s] = max(1, 1200 >> (s + max(0, r - 1)))
+    return freqs
+
+
+PROG_AC_BITS, PROG_AC_VALS = _gen_huffman_table(_progressive_ac_freqs())
+_PROG_AC_CODES = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -315,9 +316,13 @@ def decode_with_library(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     (encode_color_jpeg / decode_color_jpeg, proven end-to-end by
     jpeg_color_codec_stats), and IMA ADPCM — a real compressed-audio
     codec (WAVE fmt 0x0011, 4:1) — is integer-exact stdlib+numpy
-    (functions/adpcm_codec.py, adpcm_codec_stats). The seam now covers
-    only progressive/arithmetic JPEG modes, other subsampling ratios,
-    entropy-coded audio (MP3/AAC), and H.264."""
+    (functions/adpcm_codec.py, adpcm_codec_stats), and PROGRESSIVE
+    grayscale JPEG (SOF2 spectral selection + successive approximation)
+    decodes AND encodes in pure numpy — jpeg_codec_stats proves per
+    document that the progressive framing reconstructs the exact
+    baseline pixels. The seam now covers only arithmetic-coded /
+    hierarchical JPEG, other subsampling ratios, entropy-coded audio
+    (MP3/AAC), and H.264."""
     try:
         import PIL  # noqa: F401
     except ModuleNotFoundError:
@@ -787,6 +792,7 @@ JPEG_STATS_SCHEMA = StructType(
         StructField("height", LongType()),
         StructField("jpeg_bytes", LongType()),
         StructField("max_abs_err", LongType()),
+        StructField("prog_matches", BooleanType()),
         StructField("decoded_sha", StringType()),
     ]
 )
@@ -815,7 +821,9 @@ def _jpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     from cc_mapreducer_spark.functions.jpeg_codec import (
         decode_gray_jpeg,
+        decode_progressive_jpeg,
         encode_gray_jpeg,
+        encode_gray_jpeg_progressive,
     )
 
     for pdf in batches:
@@ -830,6 +838,9 @@ def _jpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             payload = encode_gray_jpeg(px)
             dec = decode_gray_jpeg(payload)
+            # the progressive framing carries the SAME quantized
+            # coefficients, so its decode must be bit-identical
+            prog = decode_progressive_jpeg(encode_gray_jpeg_progressive(px))
             rows["doc_id"].append(doc_id)
             rows["width"].append(px.shape[1])
             rows["height"].append(px.shape[0])
@@ -837,6 +848,7 @@ def _jpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["max_abs_err"].append(
                 int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max())
             )
+            rows["prog_matches"].append(bool((prog == dec).all()))
             rows["decoded_sha"].append(hashlib.sha256(dec.tobytes()).hexdigest())
         yield pd.DataFrame(rows)
 

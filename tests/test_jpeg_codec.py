@@ -160,6 +160,7 @@ def test_spark_jpeg_stats_deterministic_and_bounded(spark):
         assert r["decoded_sha"] == b[doc_id]["decoded_sha"]  # run-to-run
         assert r["max_abs_err"] < 100
         assert r["jpeg_bytes"] > 0
+        assert r["prog_matches"]  # progressive framing == baseline pixels
         assert 8 <= r["width"] <= 32 and 8 <= r["height"] <= 24
 
 
@@ -357,3 +358,113 @@ def test_color_local_replica_matches_spark_row(spark):
     )
     assert len(spark_row) == 1
     assert spark_row[0]["decoded_sha"] == expected_sha
+
+
+# --------------------------------------------------------------------------
+# progressive mode (SOF2)
+# --------------------------------------------------------------------------
+
+from cc_mapreducer_spark.functions.jpeg_codec import (  # noqa: E402
+    PROG_AC_BITS,
+    PROG_AC_VALS,
+    PROGRESSIVE_SCRIPT_GRAY,
+    _gen_huffman_table,
+    decode_progressive_jpeg,
+    encode_gray_jpeg_progressive,
+)
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """The invariant that pins the whole Annex G implementation: both
+    framings carry the SAME quantized coefficients, so decoded pixels
+    must be bit-identical — over EOBRUN-heavy (constant), sparse-AC
+    (gradient), dense (noise), and mixed content, at odd shapes."""
+    rng = np.random.RandomState(7)
+    y, x = np.mgrid[0:57, 0:95]
+    cases = [
+        np.full((64, 64), 200, np.uint8),
+        np.clip(30 + 0.7 * x + 1.1 * y, 0, 255).astype(np.uint8),
+        rng.randint(0, 256, (19, 21)).astype(np.uint8),
+        rng.randint(0, 256, (120, 136)).astype(np.uint8),
+    ]
+    half = np.zeros((48, 96), np.uint8)
+    half[:, 48:] = rng.randint(0, 256, (48, 48))
+    cases.append(half)
+    for img in cases:
+        base = decode_gray_jpeg(encode_gray_jpeg(img))
+        prog = decode_progressive_jpeg(encode_gray_jpeg_progressive(img))
+        assert (prog == base).all(), img.shape
+
+
+def test_progressive_alternative_scan_scripts():
+    """Deep successive approximation (Al=3 down to 0), narrow spectral
+    bands with no approximation, and a minimal 3-scan script must all
+    reconstruct the exact coefficients."""
+    rng = np.random.RandomState(11)
+    scripts = [
+        [(0, 0, 0, 3), (1, 63, 0, 3), (0, 0, 3, 2), (1, 63, 3, 2),
+         (0, 0, 2, 1), (1, 63, 2, 1), (0, 0, 1, 0), (1, 63, 1, 0)],
+        [(0, 0, 0, 0), (1, 2, 0, 0), (3, 8, 0, 0), (9, 20, 0, 0),
+         (21, 40, 0, 0), (41, 63, 0, 0)],
+        [(0, 0, 0, 0), (1, 63, 0, 1), (1, 63, 1, 0)],
+    ]
+    for script in scripts:
+        for _ in range(3):
+            img = rng.randint(
+                0, 256, (rng.randint(1, 41), rng.randint(1, 41))
+            ).astype(np.uint8)
+            prog = decode_progressive_jpeg(
+                encode_gray_jpeg_progressive(img, script=script)
+            )
+            base = decode_gray_jpeg(encode_gray_jpeg(img))
+            assert (prog == base).all(), script
+
+
+def test_progressive_stream_structure_and_rejections():
+    img = np.full((16, 16), 90, np.uint8)
+    b = encode_gray_jpeg_progressive(img)
+    assert b"\xff\xc2" in b  # SOF2
+    assert b.count(b"\xff\xda") == len(PROGRESSIVE_SCRIPT_GRAY)  # one SOS/scan
+    # baseline decoder refuses progressive; progressive refuses baseline
+    with pytest.raises(ValueError):
+        decode_gray_jpeg(b)
+    with pytest.raises(ValueError):
+        decode_progressive_jpeg(encode_gray_jpeg(img))
+    with pytest.raises(ValueError):
+        decode_progressive_jpeg(b"junk")
+
+
+def test_progressive_huffman_table_generated_valid():
+    """The K.2-constructed AC table: covers every symbol the progressive
+    encoder can emit (EOBn included — the reason the baseline Annex K
+    table cannot be reused), Kraft-valid, prefix-free, all-ones unused."""
+    from fractions import Fraction
+
+    need = {0x00, 0xF0}
+    need |= {r << 4 for r in range(1, 15)}
+    need |= {(r << 4) | s for r in range(16) for s in range(1, 15)}
+    assert need <= set(PROG_AC_VALS)
+    kraft = sum(Fraction(n, 2 ** (i + 1)) for i, n in enumerate(PROG_AC_BITS))
+    assert kraft <= 1
+    assert max(i + 1 for i, n in enumerate(PROG_AC_BITS) if n) <= 16
+    # the construction itself: a known tiny frequency set produces a
+    # prefix-free code with the all-ones codeword unused
+    bits, vals = _gen_huffman_table({1: 100, 2: 50, 3: 10, 4: 1})
+    assert sorted(vals) == [1, 2, 3, 4]
+    from cc_mapreducer_spark.functions.jpeg_codec import _canonical_codes
+
+    codes = _canonical_codes(bits, vals)
+    for sym, (code, length) in codes.items():
+        assert not (code == (1 << length) - 1 and length == max(
+            l for _, l in codes.values()
+        )), "all-ones codeword must stay reserved"
+
+
+def test_progressive_randomized_vs_baseline():
+    rng = np.random.RandomState(99)
+    for trial in range(40):
+        h, w = rng.randint(1, 50), rng.randint(1, 50)
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        prog = decode_progressive_jpeg(encode_gray_jpeg_progressive(img))
+        base = decode_gray_jpeg(encode_gray_jpeg(img))
+        assert (prog == base).all(), (trial, h, w)
