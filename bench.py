@@ -681,10 +681,26 @@ def _headline_vs_prev(timings: dict) -> dict | None:
     import glob
     import re
 
+    # Skip artifacts of the CURRENT round (ADVICE r6): the driver writes
+    # BENCH_r{N}.json mid-round, so a bench re-run within round N would
+    # otherwise compare against its own round's earlier snapshot. The
+    # current round number comes from PROGRESS.jsonl's last entry.
+    cur_round = None
+    try:
+        last = (REPO / "PROGRESS.jsonl").read_text().strip().splitlines()[-1]
+        cur_round = int(json.loads(last)["round"])
+    except Exception:
+        pass  # no/invalid progress log -> fall back to newest-on-disk
     prevs = sorted(
         glob.glob(str(REPO / "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
+    if cur_round is not None:
+        prevs = [
+            p
+            for p in prevs
+            if int(re.search(r"BENCH_r(\d+)", p).group(1)) < cur_round
+        ]
     if not prevs:
         return None
     prev_path = prevs[-1]

@@ -131,7 +131,11 @@ def encode_ima_adpcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 def decode_ima_adpcm(wav: bytes) -> np.ndarray:
     """fmt-0x0011 mono RIFF/WAVE bytes -> int16 samples (honors the
-    `fact` sample count; raises ValueError on PCM/stereo/other tags)."""
+    `fact` sample count; when `fact` is absent — it is optional for
+    conformant third-party files — the count derives from the data
+    length and block geometry so final-block pad nibbles never leak
+    into the output; raises ValueError on PCM/stereo/other tags and on
+    chunk lengths running past the buffer)."""
     if wav[:4] != b"RIFF" or wav[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
@@ -141,6 +145,11 @@ def decode_ima_adpcm(wav: bytes) -> np.ndarray:
     while pos + 8 <= len(wav):
         cid = wav[pos : pos + 4]
         ln = struct.unpack("<I", wav[pos + 4 : pos + 8])[0]
+        if pos + 8 + ln > len(wav):
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {ln} bytes, "
+                f"{len(wav) - pos - 8} remain"
+            )
         body = wav[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
             fmt = body
@@ -176,6 +185,12 @@ def decode_ima_adpcm(wav: bytes) -> np.ndarray:
                 out.append(pred)
                 produced += 1
     arr = np.array(out, dtype=np.int16)
-    if n_samples is not None:
-        arr = arr[:n_samples]
-    return arr
+    if n_samples is None:
+        # fact is optional: derive the count from block geometry. Full
+        # blocks carry exactly spb samples; a short final block carries
+        # 1 (header predictor) + 2 nibbles per data byte. The trailing
+        # pad nibble of an even-length signal is indistinguishable
+        # without fact — that ambiguity is inherent to the container.
+        full, rem = divmod(len(data), block_align)
+        n_samples = full * spb + (min(spb, 1 + (rem - 4) * 2) if rem >= 4 else 0)
+    return arr[:n_samples]

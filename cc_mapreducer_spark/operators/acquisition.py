@@ -214,11 +214,16 @@ def canonicalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
         ).otherwise(F.lit("")),
     )
+    # A scheme-less/relative input has no authority to canonicalize —
+    # emitting a garbage '://...' string would silently poison a dedup
+    # key downstream (ADVICE r6); all three outputs go NULL so future
+    # callers on real crawl data fail loudly instead.
+    valid = scheme != F.lit("")
     return df.select(
         "*",
-        canonical.alias("canonical_url"),
-        host.alias("host"),
-        F.size(kept).cast("int").alias("n_params"),
+        F.when(valid, canonical).alias("canonical_url"),
+        F.when(valid, host).alias("host"),
+        F.when(valid, F.size(kept)).cast("int").alias("n_params"),
     )
 
 
@@ -243,16 +248,17 @@ def _canonicalize_sql(url: str) -> dict[str, str]:
         f"regexp_extract({url}, '\\?([^#]*)', 1), '&'),"
         f" p -> p <> '' AND substr(p, 1, 4) <> 'utm_'))"
     )
+    valid = f"{scheme} <> ''"
     canonical = (
-        f"{scheme} || '://' || ({hp}) || {path} || "
+        f"CASE WHEN {valid} THEN {scheme} || '://' || ({hp}) || {path} || "
         f"CASE WHEN len({kept}) > 0 THEN '?' || array_to_string({kept}, '&') "
-        f"ELSE '' END"
+        f"ELSE '' END END"
     )
-    host = f"regexp_extract({hp}, '^([^:]*)', 1)"
+    host = f"CASE WHEN {valid} THEN regexp_extract({hp}, '^([^:]*)', 1) END"
     return {
         "canonical": canonical,
         "host": host,
-        "n_params": f"CAST(len({kept}) AS INT)",
+        "n_params": f"CASE WHEN {valid} THEN CAST(len({kept}) AS INT) END",
     }
 
 

@@ -53,11 +53,17 @@ def build_item_graph(
     pairs into one task.
     """
     e = load_table(spark, sf_dir, "events")
+    # Null items (props without '$.k') must drop BEFORE the per-user cap:
+    # a null that ties on n_touches sorts first under Spark's asc NULLS
+    # FIRST but last under DuckDB's default NULLS LAST, so leaving it in
+    # would let the two engines elect different cap slots — and hence
+    # different edge sets (ADVICE r6).
     ui = (
         e.select(
             "user_id",
             F.get_json_object("props", "$.k").cast("bigint").alias("item"),
         )
+        .filter(F.col("item").isNotNull())
         .groupBy("user_id", "item")
         .agg(F.count("*").alias("n_touches"))
     )
@@ -196,7 +202,9 @@ WITH ui AS (
     SELECT user_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
            count(*) AS n_touches
-    FROM events GROUP BY 1, 2
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2
 ), capped AS (
     SELECT user_id, item FROM (
         SELECT user_id, item,

@@ -916,7 +916,7 @@ def _jpeg_color_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             rows["jpeg_bytes"].append(len(payload))
             # luma error is the codec-quality witness (chroma error is
             # dominated by 4:2:0 subsampling loss, by design)
-            rows["max_luma_err"].append(int(np.abs(y_src - y_dec).max()))
+            rows["max_luma_err"].append(int(round(float(np.abs(y_src - y_dec).max()))))
             rows["decoded_sha"].append(hashlib.sha256(dec.tobytes()).hexdigest())
         yield pd.DataFrame(rows)
 

@@ -133,3 +133,18 @@ def test_domain_rollup_consistency(spark):
         assert r["n_unique"] + r["n_dup_docs"] == r["n_docs"]
         assert 0.0 <= r["dup_doc_frac"] <= 1.0
         assert "." in r["domain"] and r["domain"].count(".") == 1
+
+
+def test_schemeless_url_nulls_not_garbage(spark):
+    """A scheme-less or relative input has no authority to canonicalize:
+    all three outputs must be NULL, never a '://...' garbage string that
+    would silently poison a dedup key (ADVICE r6)."""
+    bad = ["example.com/x?a=1", "/relative/path", "", "ftp.example.com:21"]
+    df = spark.createDataFrame([(u,) for u in bad], "url string")
+    for r in canonicalize_url(df, "url").collect():
+        assert r["canonical_url"] is None
+        assert r["host"] is None
+        assert r["n_params"] is None
+    # a real scheme still canonicalizes (guard must not over-trigger)
+    ok = _canon_one(spark, "ftp://Host.org/x/")
+    assert ok["canonical_url"] == "ftp://host.org/x"

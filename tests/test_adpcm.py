@@ -105,3 +105,30 @@ def test_spark_adpcm_stats_deterministic(spark):
         # signals sit between 2x and 4x vs 16-bit PCM
         assert r["adpcm_bytes"] < r["n_samples"]
         assert r["max_abs_err"] < 3000  # step adapts within each period
+
+
+def test_fact_absent_trims_pad_nibbles():
+    """`fact` is optional: without it the decoder derives the sample
+    count from data length + block geometry, so a full-block signal
+    decodes to exactly block-geometry samples and a truncated chunk
+    length raises instead of decoding partially (ADVICE r6)."""
+    import struct
+
+    rng = np.random.RandomState(7)
+    spb = (256 - 4) * 2 + 1  # 505 samples/block at the fixed 256 align
+    s = (rng.randint(-2000, 2000, spb * 2)).astype(np.int16)
+    wav = encode_ima_adpcm(s)
+    # strip the fact chunk (8 header bytes + 4 payload) out of the RIFF
+    i = wav.index(b"fact")
+    stripped = wav[:i] + wav[i + 12 :]
+    stripped = (
+        stripped[:4]
+        + struct.pack("<I", len(stripped) - 8)
+        + stripped[8:]
+    )
+    dec = decode_ima_adpcm(stripped)
+    assert len(dec) == spb * 2  # full blocks -> exact geometry count
+    np.testing.assert_array_equal(dec, decode_ima_adpcm(wav))
+    # truncated data chunk: declared length runs past the buffer
+    with pytest.raises(ValueError):
+        decode_ima_adpcm(wav[: len(wav) - 10])
