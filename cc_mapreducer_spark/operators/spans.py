@@ -91,23 +91,28 @@ _NORM_SQL = (
     " ' '), x -> x <> '')"
 )
 
-_SPANS_CTE = f"""
+def _spans_cte(length: int) -> str:
+    """The norm->sized->lists->spans CTE prefix at one resolution."""
+    return f"""
 WITH norm AS (
     SELECT doc_id, {_NORM_SQL} AS words FROM documents
 ), sized AS (
     SELECT doc_id, words, len(words) AS n_words
-    FROM norm WHERE len(words) >= {L}
+    FROM norm WHERE len(words) >= {length}
 ), lists AS (
     SELECT doc_id, n_words,
-           [array_to_string(words[i:i+{L - 1}], ' ')
-            for i in range(1, n_words - {L} + 2)] AS sp
+           [array_to_string(words[i:i+{length - 1}], ' ')
+            for i in range(1, n_words - {length} + 2)] AS sp
     FROM sized
 ), spans AS (
     SELECT doc_id, n_words,
-           unnest(range(1, n_words - {L} + 2)) AS start, unnest(sp) AS span
+           unnest(range(1, n_words - {length} + 2)) AS start, unnest(sp) AS span
     FROM lists
 )
 """
+
+
+_SPANS_CTE = _spans_cte(L)
 
 _REPEATED_SPANS_SQL = f"""{_SPANS_CTE}
 SELECT span,
@@ -523,12 +528,16 @@ def _removal_islands(docs: DataFrame, length: int) -> DataFrame:
     )
 
 
-_SPAN_REMOVAL_SQL = f"""{_SPANS_CTE}
+def _removal_sql(length: int) -> str:
+    """The full span-removal query at one resolution (the SQL twin of
+    ``_span_removal_frame``): canonical election, non-canonical hit
+    windows, interval union, position anti-join, ordered reassembly."""
+    return f"""{_spans_cte(length)}
 , rep AS (
     SELECT span, min({{'doc_id': doc_id, 'start': start}}) AS canon
     FROM spans GROUP BY span HAVING count(*) >= {MIN_OCCURRENCES}
 ), hits AS (
-    SELECT s.doc_id, s.start, s.start + {L} - 1 AS e
+    SELECT s.doc_id, s.start, s.start + {length} - 1 AS e
     FROM spans s JOIN rep USING (span)
     WHERE s.doc_id <> rep.canon.doc_id OR s.start <> rep.canon.start
 ), flagged AS (
@@ -573,21 +582,14 @@ FROM norm n LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
-@register("span_removal", oracle=_SPAN_REMOVAL_SQL, driver=False)
-def span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPLY ExactSubstr dedup (Lee et al. ACL'22 policy): rebuild every
-    document's token stream with non-canonical repeated-span occurrences
-    excised — the globally-first occurrence of each repeated span stays,
-    overlapping removal windows merge before cutting, untouched docs come
-    back verbatim (token-joined). Returns (doc_id, total_tokens,
-    kept_tokens, removed_tokens, cleaned_text); the mining_suite removal
-    legs hash the cleaned text byte-for-byte via its md5-48.
+_SPAN_REMOVAL_SQL = _removal_sql(L)
+_SPAN_REMOVAL_L32_SQL = _removal_sql(L_LONG)
 
-    Plan: canonical election is one partial-agg on span keys, then one
-    span equi-join, ONE doc-partitioned window pass (interval union), a
-    position explode bounded by removed tokens, one anti-join on
-    (doc_id, pos), and a per-doc ordered reassembly. No pair join; a
-    million-fold repeated span is one agg cell and one canonical row."""
+
+def _span_removal_frame(
+    spark: SparkSession, sf_dir: str, length: int
+) -> DataFrame:
+    """The removal pipeline at one resolution; see ``span_removal``."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     words = F.filter(
         F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
@@ -598,7 +600,7 @@ def span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode("words").alias("pos0", "word"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
-    cut = _removal_islands(docs, L).select(
+    cut = _removal_islands(docs, length).select(
         "doc_id", F.explode(F.sequence("s", "e")).alias("pos")
     )
     kept = toks.join(cut, ["doc_id", "pos"], "left_anti")
@@ -623,3 +625,34 @@ def span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("removed_tokens"),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
+
+
+@register("span_removal", oracle=_SPAN_REMOVAL_SQL, driver=False)
+def span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY ExactSubstr dedup (Lee et al. ACL'22 policy) at the L=8
+    boilerplate grain: rebuild every document's token stream with
+    non-canonical repeated-span occurrences excised — the globally-first
+    occurrence of each repeated span stays, overlapping removal windows
+    merge before cutting, untouched docs come back verbatim
+    (token-joined). Returns (doc_id, total_tokens, kept_tokens,
+    removed_tokens, cleaned_text); the mining_suite removal legs hash the
+    cleaned text byte-for-byte via its md5-48.
+
+    Plan: canonical election is one partial-agg on span keys, then one
+    span equi-join, ONE doc-partitioned window pass (interval union), a
+    position explode bounded by removed tokens, one anti-join on
+    (doc_id, pos), and a per-doc ordered reassembly. No pair join; a
+    million-fold repeated span is one agg cell and one canonical row."""
+    return _span_removal_frame(spark, sf_dir, L)
+
+
+@register("span_removal_l32", oracle=_SPAN_REMOVAL_L32_SQL, driver=False)
+def span_removal_l32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal at the L=32 MEMORIZATION grain (Lee et al.
+    ACL'22's long-repeat regime, the policy a production pipeline
+    actually applies): only runs >= 32 tokens are excised, so legitimate
+    short quotations — which L=8 removal over-cuts — are PRESERVED
+    (tests/test_spans.py plants a 10-token quote that proves the
+    separation). Same plan shape as ``span_removal``, one parameter
+    apart; driver-hashed via the mining_suite removal32 legs."""
+    return _span_removal_frame(spark, sf_dir, L_LONG)

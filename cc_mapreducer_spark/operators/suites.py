@@ -68,10 +68,12 @@ from cc_mapreducer_spark.operators.dedup import (
 from cc_mapreducer_spark.operators.spans import (
     _SPAN_DECONTAM_SQL,
     _SPAN_MULTI_SQL,
+    _SPAN_REMOVAL_L32_SQL,
     _SPAN_REMOVAL_SQL,
     span_decontamination,
     span_dup_coverage_multi,
     span_removal,
+    span_removal_l32,
 )
 from cc_mapreducer_spark.operators.acquisition import (
     _DOMAIN_ROLLUP_SQL,
@@ -284,6 +286,13 @@ SELECT 'removal:h', CAST(doc_id AS VARCHAR),
        CAST(('0x' || substr(md5(cleaned_text), 1, 12))::BIGINT AS DOUBLE)
 FROM ({_SPAN_REMOVAL_SQL})
 UNION ALL
+SELECT 'removal32:kept', CAST(doc_id AS VARCHAR), CAST(kept_tokens AS DOUBLE)
+FROM ({_SPAN_REMOVAL_L32_SQL})
+UNION ALL
+SELECT 'removal32:h', CAST(doc_id AS VARCHAR),
+       CAST(('0x' || substr(md5(cleaned_text), 1, 12))::BIGINT AS DOUBLE)
+FROM ({_SPAN_REMOVAL_L32_SQL})
+UNION ALL
 SELECT 'html:h', CAST(doc_id AS VARCHAR), CAST(clean_h AS DOUBLE)
 FROM ({_HTML_STRIP_SQL})
 UNION ALL
@@ -356,6 +365,7 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     decon = span_decontamination(spark, sf_dir)
     rate = dedup_rate_by_source(spark, sf_dir)
     rem = span_removal(spark, sf_dir)
+    rem32 = span_removal_l32(spark, sf_dir)
     html = html_strip_stats(spark, sf_dir)
     url = url_canonical_stats(spark, sf_dir)
     dom = domain_acquisition_rollup(spark, sf_dir)
@@ -409,6 +419,15 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             _leg(
                 rem,
                 "removal:h",
+                F.col("doc_id"),
+                F.conv(F.substring(F.md5("cleaned_text"), 1, 12), 16, 10).cast(
+                    "double"
+                ),
+            ),
+            _leg(rem32, "removal32:kept", F.col("doc_id"), F.col("kept_tokens")),
+            _leg(
+                rem32,
+                "removal32:h",
                 F.col("doc_id"),
                 F.conv(F.substring(F.md5("cleaned_text"), 1, 12), 16, 10).cast(
                     "double"

@@ -310,3 +310,68 @@ def test_span_removal_keeps_one_canonical_copy(spark, tmp_path):
     spdf = registry.all_queries()["span_removal"](spark, d).toPandas()
     odf = con.sql(registry.all_oracles()["span_removal"]).df()
     compare_frames(spdf, odf, "span_removal")
+
+
+def test_removal_grain_l32_keeps_short_quotes(spark, tmp_path):
+    """The removal POLICY grain matters (VERDICT r6 item 1): a 10-token
+    quotation shared by two documents is over-cut by L=8 removal but
+    PRESERVED by L=32 removal, while a 40-token memorized passage is
+    excised from its non-canonical doc at BOTH grains — the Lee et al.
+    long-repeat regime separation, applied."""
+    import itertools
+
+    from cc_mapreducer_spark.operators.spans import (
+        span_removal,
+        span_removal_l32,
+    )
+
+    # plenty of distinct 3-letter words the tokenizer keeps
+    V = [
+        f"{a}{b}q"
+        for a, b in itertools.product("abcdefghij", "abcdefghijklmnop")
+    ]
+    long40 = V[:40]  # the memorized passage
+    quote10 = V[40:50]  # the legitimate short quotation
+    texts = {
+        11: " ".join(long40 + V[50:55]),
+        12: " ".join(long40 + V[55:60]),
+        13: " ".join(V[60:75] + quote10 + V[75:85]),
+        14: " ".join(V[85:100] + quote10 + V[100:110]),
+    }
+    docs = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(docs, f"{d}/documents.parquet")
+
+    l8 = {r["doc_id"]: r for r in span_removal(spark, d).collect()}
+    l32 = {r["doc_id"]: r for r in span_removal_l32(spark, d).collect()}
+    # the memorized passage: canonical copy (doc 11) stays, doc 12's is
+    # excised at BOTH grains (islands of overlapping windows merge to
+    # the full 40-token run)
+    for got in (l8, l32):
+        assert got[11]["removed_tokens"] == 0
+        assert got[11]["cleaned_text"] == texts[11]
+        assert got[12]["removed_tokens"] == 40
+        assert got[12]["cleaned_text"] == " ".join(V[55:60])
+    # the 10-token quote: L=8 removal over-cuts doc 14's copy...
+    assert l8[14]["removed_tokens"] == 10
+    assert l8[14]["cleaned_text"] == " ".join(V[85:100] + V[100:110])
+    # ...but L=32 removal keeps it verbatim (no repeated 32-token run)
+    assert l32[14]["removed_tokens"] == 0
+    assert l32[14]["cleaned_text"] == texts[14]
+    assert l32[13]["removed_tokens"] == 0
+    # the DuckDB oracle agrees at the L=32 grain on the planted corpus
+    import duckdb
+
+    from cc_mapreducer_spark import registry
+    from tests.oracle import compare_frames
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    spdf = registry.all_queries()["span_removal_l32"](spark, d).toPandas()
+    odf = con.sql(registry.all_oracles()["span_removal_l32"]).df()
+    compare_frames(spdf, odf, "span_removal_l32")
