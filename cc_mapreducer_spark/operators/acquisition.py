@@ -389,3 +389,109 @@ def domain_acquisition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.countDistinct("sha")) / F.count("*"), 6
         ).alias("dup_doc_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# the chain, composed end-to-end (VERDICT r6 item 2)
+# --------------------------------------------------------------------------
+
+# Each stage above is hashed against its own fixture; a real ingest runs
+# them COMPOSED — markup is stripped, the URL canonicalized, and the
+# CLEAN text (not the raw body) feeds the §2.2-descended tokenizer and
+# the per-domain rollup. These two queries prove that composition on the
+# same rows: per-doc (domain, canonical_url, token profile, md5-48 of
+# the clean text) and the domain-grain rollup over the CLEANED corpus.
+# Still one scan + one groupBy on domain — composition adds no shuffle.
+
+_CHAIN_WORDS = (
+    "list_filter(string_split(regexp_replace(lower(clean_text),"
+    " '[^a-z]+', ' ', 'g'), ' '), w -> w <> '')"
+)
+
+_CHAIN_DOC_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_HTML_FIXTURE_SQL} AS html, {_URL_FIXTURE_SQL} AS url
+    FROM documents
+), cleaned AS (
+    SELECT doc_id,
+           {_strip_html_sql('html')} AS clean_text,
+           {_URL_PARTS['canonical']} AS canonical_url,
+           regexp_extract({_URL_PARTS['host']}, '[^.]+\\.[^.]+$') AS domain
+    FROM raw
+), toks AS (
+    SELECT doc_id, domain, canonical_url, clean_text,
+           {_CHAIN_WORDS} AS ws
+    FROM cleaned
+)
+SELECT doc_id, domain, canonical_url,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
+       CAST(('0x' || substr(md5(clean_text), 1, 12))::BIGINT AS BIGINT)
+           AS clean_h
+FROM toks
+"""
+
+_CHAIN_ROLLUP_SQL = f"""
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT clean_h) AS BIGINT) AS n_unique,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(sum(n_distinct_tokens) AS BIGINT) AS distinct_tokens_total,
+       round((count(*) - count(DISTINCT clean_h)) / count(*), 6)
+           AS dup_doc_frac
+FROM ({_CHAIN_DOC_SQL}) GROUP BY domain
+"""
+
+
+def _chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    raw = docs.select(
+        "doc_id",
+        _html_fixture_col().alias("html"),
+        _url_fixture_col().alias("url"),
+    )
+    cleaned = canonicalize_url(strip_html(raw, "html"), "url")
+    ws = F.filter(
+        F.split(F.regexp_replace(F.lower("clean_text"), "[^a-z]+", " "), " "),
+        lambda w: w != F.lit(""),
+    )
+    return cleaned.select(
+        "doc_id",
+        F.regexp_extract("host", r"[^.]+\.[^.]+$", 0).alias("domain"),
+        "canonical_url",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_distinct_tokens"),
+        F.conv(F.substring(F.md5("clean_text"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("clean_h"),
+    )
+
+
+@register("acquisition_chain_profile", oracle=_CHAIN_DOC_SQL, driver=False)
+def acquisition_chain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strip_html -> canonicalize_url -> tokenize, composed on the SAME
+    fixture rows: per document the registered domain (from the
+    canonicalized URL), the canonical URL itself, the token profile of
+    the CLEANED text (the §2.2-descended normalizer, text_analysis.py's
+    grid), and the md5-48 of the clean text. Driver-hashed via the
+    mining_suite chain legs — this key is the proof the acquisition
+    stages compose, not just that each matches its own oracle."""
+    return _chain_docs(spark, sf_dir)
+
+
+@register("acquisition_chain_rollup", oracle=_CHAIN_ROLLUP_SQL, driver=False)
+def acquisition_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-domain acquisition report over the COMPOSED chain: doc
+    counts, exact-unique clean-text counts, total/distinct token mass of
+    the cleaned corpus, and the duplicate fraction — what a crawl-budget
+    policy reads after strip+canonicalize, ONE groupBy on domain."""
+    d = _chain_docs(spark, sf_dir)
+    return d.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("clean_h").cast("bigint").alias("n_unique"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.sum("n_distinct_tokens").cast("bigint").alias("distinct_tokens_total"),
+        F.round(
+            (F.count("*") - F.countDistinct("clean_h")) / F.count("*"), 6
+        ).alias("dup_doc_frac"),
+    )

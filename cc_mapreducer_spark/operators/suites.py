@@ -76,9 +76,13 @@ from cc_mapreducer_spark.operators.spans import (
     span_removal_l32,
 )
 from cc_mapreducer_spark.operators.acquisition import (
+    _CHAIN_DOC_SQL,
+    _CHAIN_ROLLUP_SQL,
     _DOMAIN_ROLLUP_SQL,
     _HTML_STRIP_SQL,
     _URL_CANON_SQL,
+    acquisition_chain_profile,
+    acquisition_chain_rollup,
     domain_acquisition_rollup,
     html_strip_stats,
     url_canonical_stats,
@@ -316,6 +320,24 @@ FROM ({_DOMAIN_ROLLUP_SQL})
 UNION ALL
 SELECT 'domain:frac', domain, dup_doc_frac
 FROM ({_DOMAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'chain:h', CAST(doc_id AS VARCHAR) || '|' || domain || '|' || canonical_url,
+       CAST(clean_h AS DOUBLE) FROM ({_CHAIN_DOC_SQL})
+UNION ALL
+SELECT 'chain:tok', CAST(doc_id AS VARCHAR), CAST(n_tokens AS DOUBLE)
+FROM ({_CHAIN_DOC_SQL})
+UNION ALL
+SELECT 'chain:utok', CAST(doc_id AS VARCHAR), CAST(n_distinct_tokens AS DOUBLE)
+FROM ({_CHAIN_DOC_SQL})
+UNION ALL
+SELECT 'chaindom:docs', domain, CAST(n_docs AS DOUBLE)
+FROM ({_CHAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'chaindom:tokens', domain, CAST(tokens_total AS DOUBLE)
+FROM ({_CHAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'chaindom:frac', domain, dup_doc_frac
+FROM ({_CHAIN_ROLLUP_SQL})
 """
 
 
@@ -369,6 +391,8 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = html_strip_stats(spark, sf_dir)
     url = url_canonical_stats(spark, sf_dir)
     dom = domain_acquisition_rollup(spark, sf_dir)
+    chain = acquisition_chain_profile(spark, sf_dir)
+    chain_dom = acquisition_chain_rollup(spark, sf_dir)
     return _union(
         [
             _leg(tfidf, "tfidf", tfidf_ent, F.col("score")),
@@ -446,5 +470,21 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             _leg(dom, "domain:dups", F.col("domain"), F.col("n_dup_docs")),
             _leg(dom, "domain:tokens", F.col("domain"), F.col("tokens_total")),
             _leg(dom, "domain:frac", F.col("domain"), F.col("dup_doc_frac")),
+            _leg(
+                chain,
+                "chain:h",
+                F.concat_ws("|", "doc_id", "domain", "canonical_url"),
+                F.col("clean_h"),
+            ),
+            _leg(chain, "chain:tok", F.col("doc_id"), F.col("n_tokens")),
+            _leg(chain, "chain:utok", F.col("doc_id"), F.col("n_distinct_tokens")),
+            _leg(chain_dom, "chaindom:docs", F.col("domain"), F.col("n_docs")),
+            _leg(
+                chain_dom,
+                "chaindom:tokens",
+                F.col("domain"),
+                F.col("tokens_total"),
+            ),
+            _leg(chain_dom, "chaindom:frac", F.col("domain"), F.col("dup_doc_frac")),
         ]
     )

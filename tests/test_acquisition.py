@@ -148,3 +148,56 @@ def test_schemeless_url_nulls_not_garbage(spark):
     # a real scheme still canonicalizes (guard must not over-trigger)
     ok = _canon_one(spark, "ftp://Host.org/x/")
     assert ok["canonical_url"] == "ftp://host.org/x"
+
+
+def test_chain_composes_strip_canonicalize_tokenize(spark):
+    """The composed chain (VERDICT r6 item 2): clean TEXT tokens feed the
+    profile (the raw document's own tokens are a subset — title residue
+    adds more), the domain comes from the canonicalized URL, and the
+    rollup is an exact aggregate of the per-doc rows."""
+    from pyspark.sql import functions as F
+
+    from cc_mapreducer_spark.operators.acquisition import (
+        acquisition_chain_profile,
+        acquisition_chain_rollup,
+    )
+    from cc_mapreducer_spark.tables import load_table
+
+    chain = acquisition_chain_profile(spark, SF_ORACLE)
+    rows = chain.collect()
+    assert len(rows) == 500
+    # every doc got a real domain from the canonical URL, never markup
+    for r in rows:
+        assert r["domain"] and "." in r["domain"]
+        assert r["canonical_url"].startswith(("http://", "https://"))
+        assert "<" not in r["canonical_url"]
+        assert r["n_distinct_tokens"] <= r["n_tokens"]
+    # clean-text tokens ⊇ the raw document's tokens (strip keeps content)
+    raw_tokens = {
+        r["doc_id"]: r["nt"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(
+                        F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "
+                    ),
+                    lambda w: w != "",
+                )
+            ).alias("nt"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r["n_tokens"] >= raw_tokens[r["doc_id"]]
+    # the rollup is the per-doc frame aggregated, nothing more
+    roll = {r["domain"]: r for r in acquisition_chain_rollup(spark, SF_ORACLE).collect()}
+    assert sum(r["n_docs"] for r in roll.values()) == 500
+    by_dom: dict = {}
+    for r in rows:
+        by_dom.setdefault(r["domain"], []).append(r)
+    for dom, rs in by_dom.items():
+        assert roll[dom]["n_docs"] == len(rs)
+        assert roll[dom]["tokens_total"] == sum(x["n_tokens"] for x in rs)
+        assert roll[dom]["n_unique"] == len({x["clean_h"] for x in rs})
