@@ -999,6 +999,11 @@ def _adpcm_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["adpcm_bytes"].append(len(payload))
             rows["max_abs_err"].append(int(err.max()))
             rows["mean_abs_err"].append(round(float(err.mean()), 6))
+            # the first decoded sample travels verbatim through the block
+            # header predictor, so it is integer-exact AND independently
+            # derivable in closed form — the sketches_suite adpcm:s0 leg
+            # hashes it against that derivation
+            rows["first_sample"].append(int(dec[0]))
             rows["decoded_sha"].append(hashlib.sha256(dec.tobytes()).hexdigest())
         yield pd.DataFrame(rows)
 
@@ -1010,6 +1015,7 @@ ADPCM_STATS_SCHEMA = StructType(
         StructField("adpcm_bytes", IntegerType()),
         StructField("max_abs_err", IntegerType()),
         StructField("mean_abs_err", DoubleType()),
+        StructField("first_sample", IntegerType()),
         StructField("decoded_sha", StringType()),
     ]
 )

@@ -42,6 +42,8 @@ from cc_mapreducer_spark.operators.dq import (
     approx_quantile_contract,
     embedding_drift_psi,
 )
+from cc_mapreducer_spark.operators.graph import _TRIANGLE_SQL, item_triangle_stats
+from cc_mapreducer_spark.operators.multimodal import adpcm_codec_stats
 from cc_mapreducer_spark.operators.features import (
     _PCT_RANK_SQL,
     _TARGET_ENC_SQL,
@@ -111,6 +113,24 @@ def _union(parts: list[DataFrame]) -> DataFrame:
 # ⊕ approx-quantile contract
 # ---------------------------------------------------------------------------
 
+# ADPCM witnesses the driver CAN hash: container geometry and the
+# first decoded sample are closed-form (the sample-recursive waveform
+# itself is not SQL-expressible; its sha stays pytest-pinned). The
+# encoder (functions/adpcm_codec.py) fixes align=256 -> 505 samples per
+# block, RIFF overhead 60 bytes; the signal fixture
+# (multimodal.adpcm_test_signal) fixes n = 600 + n_chars % 700 and
+# sample0 = ceil(period/2) * (50 + first byte) with period =
+# 40 + doc_id % 23 — the driver corpus is all-ASCII non-empty text, so
+# ascii(substr(text,1,1)) IS the first utf-8 byte.
+_ADPCM_GEOM_SQL = """
+SELECT doc_id,
+       600 + (n_chars % 700) AS n_samples,
+       60 + 256 * (((600 + (n_chars % 700)) + 504) // 505) AS adpcm_bytes,
+       ((40 + (doc_id % 23)) - ((40 + (doc_id % 23)) // 2))
+           * (50 + ascii(substr(text, 1, 1))) AS first_sample
+FROM documents WHERE length(text) > 0
+"""
+
 _SKETCHES_SUITE_SQL = f"""
 SELECT 'cms:true' AS component, word AS entity, CAST(true_cnt AS DOUBLE) AS value
 FROM ({_cms_sql()})
@@ -127,6 +147,24 @@ SELECT 'q:p95', l_returnflag, exact_p95 FROM ({_APPROX_QUANTILE_SQL})
 UNION ALL
 SELECT 'q:within', l_returnflag, CAST(CAST(within_bound AS INT) AS DOUBLE)
 FROM ({_APPROX_QUANTILE_SQL})
+UNION ALL
+SELECT 'tri:deg', CAST(item AS VARCHAR), CAST(degree AS DOUBLE)
+FROM ({_TRIANGLE_SQL})
+UNION ALL
+SELECT 'tri:n', CAST(item AS VARCHAR), CAST(n_triangles AS DOUBLE)
+FROM ({_TRIANGLE_SQL})
+UNION ALL
+SELECT 'tri:cc', CAST(item AS VARCHAR), clustering_coeff
+FROM ({_TRIANGLE_SQL})
+UNION ALL
+SELECT 'adpcm:n', CAST(doc_id AS VARCHAR), CAST(n_samples AS DOUBLE)
+FROM ({_ADPCM_GEOM_SQL})
+UNION ALL
+SELECT 'adpcm:bytes', CAST(doc_id AS VARCHAR), CAST(adpcm_bytes AS DOUBLE)
+FROM ({_ADPCM_GEOM_SQL})
+UNION ALL
+SELECT 'adpcm:s0', CAST(doc_id AS VARCHAR), CAST(first_sample AS DOUBLE)
+FROM ({_ADPCM_GEOM_SQL})
 """
 
 
@@ -134,12 +172,19 @@ FROM ({_APPROX_QUANTILE_SQL})
 def sketches_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver digest of the sketch family: count-min word-count estimates
     with their exact counts and eps-bound verdicts (sketches.py), the
-    Misra-Gries heavy-hitter words (heavyhitters.py), and the
+    Misra-Gries heavy-hitter words (heavyhitters.py), the
     approx-quantile contract (exact p50/p95 + the approx-within-bound
-    flag, dq.py). Every value of every component lands in the driver's
-    hash; the full-schema singles stay driver=False for pytest parity."""
+    flag, dq.py), and — round 7 — the degree-oriented triangle counts /
+    clustering coefficients (graph.py, full per-node values against the
+    SQL oracle) plus the integer-exact ADPCM codec witnesses (container
+    geometry + first decoded sample against a closed-form derivation;
+    the waveform sha stays pytest-pinned, multimodal.py). Every value of
+    every component lands in the driver's hash; the full-schema singles
+    stay driver=False for pytest parity."""
     cms = cms_word_counts(spark, sf_dir)
     quant = approx_quantile_contract(spark, sf_dir)
+    tri = item_triangle_stats(spark, sf_dir)
+    adpcm = adpcm_codec_stats(spark, sf_dir)
     return _union(
         [
             _leg(cms, "cms:true", F.col("word"), F.col("true_cnt")),
@@ -156,6 +201,12 @@ def sketches_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_returnflag"),
                 F.col("within_bound").cast("int"),
             ),
+            _leg(tri, "tri:deg", F.col("item"), F.col("degree")),
+            _leg(tri, "tri:n", F.col("item"), F.col("n_triangles")),
+            _leg(tri, "tri:cc", F.col("item"), F.col("clustering_coeff")),
+            _leg(adpcm, "adpcm:n", F.col("doc_id"), F.col("n_samples")),
+            _leg(adpcm, "adpcm:bytes", F.col("doc_id"), F.col("adpcm_bytes")),
+            _leg(adpcm, "adpcm:s0", F.col("doc_id"), F.col("first_sample")),
         ]
     )
 
