@@ -388,6 +388,15 @@ def iterative_trend(spark) -> dict:
     sizes = [base_docs * k for k in TREND_FACTORS]
     ln = [math.log(s) for s in sizes]
     out = {"sizes": sizes, "reps": reps, "iters": [lo, hi], "families": {}}
+    # Marginals at or below the fixed job-scheduling floor carry no
+    # size signal (an iteration cheaper than job dispatch measures the
+    # scheduler, not the plan) — log-fitting through one manufactures a
+    # fake exponent (r6 published PageRank 2.065 from marginals
+    # [0.001, 0.674, 0.700]; the real 50k->150k signal is flat). Fit
+    # only points above the floor; with <2 such points the honest
+    # answer is "at the floor everywhere", not a number.
+    floor_s = float(os.environ.get("SPARK_GRAFT_ITER_FLOOR_S", "0.15"))
+    out["marginal_floor_s"] = floor_s
     for name in fams:
         t_lo = [round(min(cells[(name, k, lo)]), 3) for k in TREND_FACTORS]
         t_hi = [round(min(cells[(name, k, hi)]), 3) for k in TREND_FACTORS]
@@ -395,18 +404,34 @@ def iterative_trend(spark) -> dict:
             round(max((h - l) / (hi - lo), 1e-3), 3)
             for l, h in zip(t_lo, t_hi)
         ]
-        lt = [math.log(p) for p in per_iter]
-        n = len(ln)
-        mx, my = sum(ln) / n, sum(lt) / n
-        slope = sum((x - mx) * (y - my) for x, y in zip(ln, lt)) / sum(
-            (x - mx) ** 2 for x in ln
-        )
-        out["families"][name] = {
+        pts = [
+            (x, math.log(p))
+            for x, p in zip(ln, per_iter)
+            if p > floor_s
+        ]
+        fam = {
             f"wall_iters{lo}": t_lo,
             f"wall_iters{hi}": t_hi,
             "per_iter_marginal": per_iter,
-            "exponent": round(slope, 3),
+            "points_below_floor": sum(1 for p in per_iter if p <= floor_s),
         }
+        if len(pts) >= 2:
+            n = len(pts)
+            mx = sum(x for x, _ in pts) / n
+            my = sum(y for _, y in pts) / n
+            fam["exponent"] = round(
+                sum((x - mx) * (y - my) for x, y in pts)
+                / sum((x - mx) ** 2 for x, _ in pts),
+                3,
+            )
+            fam["exponent_points"] = n
+        else:
+            fam["exponent"] = None
+            fam["exponent_note"] = (
+                "per-iteration marginal at/below the scheduling floor at "
+                "all sizes — no per-round growth, no fittable size signal"
+            )
+        out["families"][name] = fam
     return out
 
 
@@ -641,6 +666,34 @@ def scale_trend(spark, queries) -> dict:
                         time.perf_counter() - t0
                     )
                     spark.catalog.clearCache()
+        # One more decade for the steepest curves (VERDICT r6 item 4):
+        # the two span/winnow queries fitted closest to linear-in-docs
+        # (exp ~0.7) on the 3-point lane; a 100x (=500k-doc) point either
+        # confirms the exponent on a 4-point fit or exposes the bend a
+        # 3-point fit cannot see. reps=2 and only these two queries —
+        # the point costs ~2 min, not another full lane.
+        deep_factor = int(os.environ.get("SPARK_GRAFT_DEEP_FACTOR", "100"))
+        deep_queries = ["shared_passages", "span_dup_coverage"]
+        deep_cells: dict[str, list[float]] = {}
+        if os.environ.get("SPARK_GRAFT_DEEP_TREND", "1") != "0":
+            deep_reps = int(os.environ.get("SPARK_GRAFT_DEEP_REPS", "2"))
+            dd = f"{tmp}/x{deep_factor}"
+            os.makedirs(dd, exist_ok=True)
+            # n_vecs stays tiny: neither deep query reads embeddings
+            _synth_corpus(
+                dd, base_docs * deep_factor, 1000, seed=1000 + deep_factor
+            )
+            for _ in range(deep_reps):
+                spark.sparkContext._jvm.System.gc()
+                for name in deep_queries:
+                    t0 = time.perf_counter()
+                    timed[name](spark, dd).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    deep_cells.setdefault(name, []).append(
+                        time.perf_counter() - t0
+                    )
+                    spark.catalog.clearCache()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     out = {"sizes": sizes, "reps": reps, "queries": {}}
@@ -668,6 +721,25 @@ def scale_trend(spark, queries) -> dict:
             "exponent": round(slope, 3),
             "max_log_resid": round(resid, 3),
         }
+        if name in deep_cells:
+            # 4-point fit: the three lane points + the 100x decade
+            xs = ln + [math.log(base_docs * deep_factor)]
+            ys = lt + [math.log(max(min(deep_cells[name]), 1e-3))]
+            n4 = len(xs)
+            mx4, my4 = sum(xs) / n4, sum(ys) / n4
+            s4 = sum(
+                (x - mx4) * (y - my4) for x, y in zip(xs, ys)
+            ) / sum((x - mx4) ** 2 for x in xs)
+            r4_ = max(
+                abs(y - (my4 + s4 * (x - mx4))) for x, y in zip(xs, ys)
+            )
+            out["queries"][name]["deep"] = {
+                "size": base_docs * deep_factor,
+                "sec": round(min(deep_cells[name]), 3),
+                "median_sec": round(statistics.median(deep_cells[name]), 3),
+                "exponent_4pt": round(s4, 3),
+                "max_log_resid_4pt": round(r4_, 3),
+            }
     return out
 
 
@@ -765,18 +837,25 @@ def suite_leg_timings(spark) -> dict:
         span_decontamination,
         span_dup_coverage_multi,
         span_removal,
+        span_removal_l32,
     )
     from cc_mapreducer_spark.operators.acquisition import (
+        acquisition_chain_profile,
+        acquisition_chain_rollup,
         domain_acquisition_rollup,
         html_strip_stats,
         url_canonical_stats,
     )
+    from cc_mapreducer_spark.operators.graph import item_triangle_stats
+    from cc_mapreducer_spark.operators.multimodal import adpcm_codec_stats
 
     legs = {
         "sketches_suite": {
             "cms_word_counts": cms_word_counts,
             "heavy_hitter_words": heavy_hitter_words,
             "approx_quantile_contract": approx_quantile_contract,
+            "item_triangle_stats": item_triangle_stats,
+            "adpcm_codec_stats": adpcm_codec_stats,
         },
         "features_suite": {
             "price_percent_rank": price_percent_rank,
@@ -791,11 +870,14 @@ def suite_leg_timings(spark) -> dict:
             "contrastive_negatives": contrastive_negatives,
             "span_dup_coverage_multi": span_dup_coverage_multi,
             "span_removal": span_removal,
+            "span_removal_l32": span_removal_l32,
             "span_decontamination": span_decontamination,
             "dedup_rate_by_source": dedup_rate_by_source,
             "html_strip_stats": html_strip_stats,
             "url_canonical_stats": url_canonical_stats,
             "domain_acquisition_rollup": domain_acquisition_rollup,
+            "acquisition_chain_profile": acquisition_chain_profile,
+            "acquisition_chain_rollup": acquisition_chain_rollup,
         },
     }
     out: dict = {}
@@ -957,6 +1039,28 @@ def main() -> None:
             "interference_probe_default_cache": [13.97, 31.47, 20.02, 9.47],
             "interference_probe_512m_cache": [11.61, 17.59, 10.38, 10.22],
             "verdict": "floor kept; 512m code cache shipped",
+        },
+        # r7 dsir attribution (VERDICT r6 item 3, protocol of
+        # scripts/ab_dsir.py — interleaved reps, best-of, 32g, 512m code
+        # cache): the r5/r6 drift over r4's 1.26s was PLAN-REAL — under
+        # the headline lane's own best-of-4 pattern the query measured
+        # 2.08-2.19s standalone; stage cells blamed the model build
+        # (raw/tgt as two aggs, each consumed twice -> 4 cache re-scans
+        # across ~5 jobs), NOT the ordered fold (plain-sum A/B
+        # identical). Fixed in operators/dsir.py (one conditional-agg
+        # pass + cached models; integer-identical values, oracle
+        # untouched): bench-pattern best-of-4 0.63-0.73s, cold 1.89s.
+        "dsir_ab_r7": {
+            "bench_pattern_bo4_before": [2.12, 2.19, 2.10, 2.08, 2.12],
+            "bench_pattern_bo4_after": [0.73, 0.70, 0.73, 0.71, 0.63],
+            "cold_full_before_best": 2.45,
+            "cold_full_after_best": 1.89,
+            "stage_db_best": 0.72,
+            "stage_w_before_best": 1.60,
+            "stage_w_after_best": 1.35,
+            "fold_ab": {"ordered_best": 2.055, "plain_sum_best": 2.16},
+            "verdict": "plan-real; one-pass conditional-agg model build "
+            "shipped (dsir.py); ordered fold exonerated",
         },
         # r6 k-means fix (VERDICT r5 item 2): assign+update fused inside
         # the Arrow batch (<= k partial rows per batch return to the

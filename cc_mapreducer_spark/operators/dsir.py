@@ -100,27 +100,32 @@ def importance_weights(
     n_buckets: int = N_BUCKETS,
 ) -> DataFrame:
     """(doc_id, lang, weight): per-doc DSIR log importance weight."""
-    # the histogram feeds THREE consumers (raw model, target model,
-    # per-doc contributions) — cache it so the tokenize+window pipeline
-    # runs once (at scale: the parquet feature-table checkpoint)
+    # the histogram feeds TWO consumers (the bucket models, the per-doc
+    # contributions) — cache it so the tokenize+window pipeline runs
+    # once (at scale: the parquet feature-table checkpoint)
     db = doc_bucket_counts(docs, n_buckets).cache()
-    raw = db.groupBy("bucket").agg(F.sum("n").alias("cr"))
-    tgt = (
-        db.filter(F.col("lang") == target_lang)
-        .groupBy("bucket")
-        .agg(F.sum("n").alias("ct"))
-    )
-    totals = raw.agg(F.sum("cr").alias("nr")).crossJoin(
-        tgt.agg(F.sum("ct").alias("nt"))
-    )
+    # BOTH count models in ONE aggregate pass (the target model is a
+    # conditional sum, not a second scan): r7's dsir A/B measured the
+    # old raw/tgt two-agg shape — each consumed twice, by ratios AND
+    # totals — re-reading the cached histogram 4x across ~5 small jobs,
+    # ~1s of pure job overhead at sf0.1 (scripts/ab_dsir.py). Integer
+    # sums, so cr/ct/nr/nt are bit-identical to the two-pass form and
+    # the DuckDB oracle needs no change. One pass over the data is also
+    # the right 100 TB plan.
+    models = db.groupBy("bucket").agg(
+        F.sum("n").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("n")).otherwise(F.lit(0))
+        ).alias("ct"),
+    ).cache()  # <= n_buckets rows, consumed by totals AND ratios
+    totals = models.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     ratios = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
+        models.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             F.log(
                 (
-                    (F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                    (F.col("ct") + 1).cast("double")
                     / (F.col("nt") + n_buckets).cast("double")
                 )
                 / (
