@@ -92,43 +92,39 @@ def _load_bloom(bloom_dir: str) -> tuple[bytes, int, int]:
         return f.read(), p["m"], p["k"]
 
 
-def ingest_batch(
-    spark: SparkSession,
-    batch: DataFrame,
-    accepted_path: str,
-    bloom_dir: str,
-) -> int:
-    """Gate one micro-batch (doc_id, text columns) against the accreted
-    corpus and commit the survivors. Returns the number accepted.
-
-    Plan per batch: one within-batch shuffle on text_sha (first-wins),
-    a join-free bitmap probe, and an anti-join whose LEFT side is only
-    the bitmap hits. The accepted/ scan on the right side reads just the
-    text_sha column (pruned); at scale that table is bucketed by
-    text_sha so the verify join is shuffle-free on the corpus side."""
-    hashed = batch.select(
-        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")
-    )
-    # within-batch first-wins (lowest doc_id per content hash)
-    w = Window.partitionBy("text_sha").orderBy("doc_id")
-    uniq = (
-        hashed.withColumn("__rn", F.row_number().over(w))
+def first_wins(df: DataFrame, key: str = "text_sha") -> DataFrame:
+    """Within-batch dedup: lowest doc_id per content key survives."""
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def gate_batch(
+    spark: SparkSession,
+    uniq: DataFrame,
+    accepted_path: str,
+    bloom_dir: str,
+) -> int:
+    """Commit the never-seen rows of a within-batch-unique frame. The
+    frame must carry ``text_sha``; every other column rides along into
+    accepted/ unchanged (the acquisition ingest carries the cleaned text
+    and canonical URL through). Returns the number accepted.
+
+    Plan per batch: a join-free bitmap probe, then an anti-join whose
+    LEFT side is only the bitmap hits. The accepted/ scan on the right
+    side reads just the text_sha column (pruned); at scale that table is
+    bucketed by text_sha so the verify join is shuffle-free on the
+    corpus side."""
+    cols = uniq.columns
     bloom, m, k = _load_bloom(bloom_dir)
     probed = bloom_might_contain(
-        uniq.select("doc_id", "text_sha", _key_col("text_sha").alias("key")),
-        bloom,
-        m,
-        k,
+        uniq.withColumn("key", _key_col("text_sha")), bloom, m, k
     )
-    definitely_new = probed.filter(~F.col("maybe_seen")).select(
-        "doc_id", "text_sha"
-    )
-    candidates = probed.filter(F.col("maybe_seen")).select(
-        "doc_id", "text_sha"
-    )
+    definitely_new = probed.filter(~F.col("maybe_seen")).select(*cols)
+    candidates = probed.filter(F.col("maybe_seen")).select(*cols)
     if os.path.isdir(accepted_path) and any(
         f.endswith(".parquet") for f in os.listdir(accepted_path)
     ):
@@ -153,6 +149,23 @@ def ingest_batch(
     _atomic_write(_bloom_files(bloom_dir)[0], merged)
     accepted.write.mode("append").parquet(accepted_path)
     return n
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    accepted_path: str,
+    bloom_dir: str,
+) -> int:
+    """Gate one micro-batch (doc_id, text columns) against the accreted
+    corpus and commit the survivors. Returns the number accepted.
+
+    Plan per batch: one within-batch shuffle on text_sha (first-wins)
+    plus gate_batch's probe + verify anti-join."""
+    hashed = batch.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+    return gate_batch(spark, first_wins(hashed), accepted_path, bloom_dir)
 
 
 def stream_ingest_dedup(
