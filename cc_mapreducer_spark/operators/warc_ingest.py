@@ -1,0 +1,223 @@
+"""WARC-native acquisition: parse real crawl containers into records and
+feed them through the proven acquisition chain.
+
+A web-scale corpus does not arrive as parquet — Common Crawl (the
+canonical 100 TB+ text source) publishes WARC (ISO 28500), so the real
+first stage of the pipeline is "WARC bytes -> response records". This
+module runs that stage against spec-shaped container bytes built
+deterministically from the documents table (functions/warc.py), in
+mapInPandas over Arrow batches — decode rides the scan, zero shuffle,
+the same plumbing shape as the multimodal decode stack.
+
+Two registered queries, both oracle-backed:
+
+  warc_response_stats    container geometry + payload pinning: per
+                         response record the target URI, HTTP status,
+                         body byte length, the full block length, and
+                         the md5-48 of the body. The DuckDB oracle
+                         derives every value in closed form from the
+                         same fixture strings — so the hash proves the
+                         bytes written into the container came back out
+                         exactly, through plain AND per-record-gzipped
+                         (.warc.gz member resync) records, past planted
+                         non-response records the filter must skip.
+  warc_acquisition_chain the end-to-end crawl path: WARC bytes ->
+                         response records -> strip_html(body) ->
+                         canonicalize_url(target URI) -> token profile.
+                         Its oracle IS the batch chain's oracle
+                         (acquisition._CHAIN_DOC_SQL, unchanged): the
+                         container round trip must be a semantic no-op,
+                         and the shared oracle pins exactly that.
+
+doc_id is parsed back out of the WARC-Target-URI ('page-N'), never
+passed through — a wrong/missing record would surface as a missing or
+mismatched row, not silently heal.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cc_mapreducer_spark.functions.warc import (
+    build_http_response,
+    build_warc,
+    build_warc_record,
+    parse_http_response,
+    parse_warc,
+)
+from cc_mapreducer_spark.operators.acquisition import (
+    _CHAIN_DOC_SQL,
+    _HTML_FIXTURE_SQL,
+    _URL_FIXTURE_SQL,
+    _html_fixture_col,
+    _url_fixture_col,
+    canonicalize_url,
+    strip_html,
+)
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table, spread
+
+_WARC_DATE = "2026-01-01T00:00:00Z"  # fixed: fixture bytes must be stable
+
+
+def _records_for_doc(doc_id: int, uri: str, html: str) -> bytes:
+    """The WARC blob a crawler would have written for this fetch: the
+    response record, preceded every 7th doc by a `request` record the
+    response filter must skip; every 3rd doc's blob is per-record
+    gzipped (the .warc.gz member layout)."""
+    body = html.encode("utf-8")
+    recs = []
+    if doc_id % 7 == 0:
+        req = (
+            f"GET {uri} HTTP/1.1\r\nHost: crawler\r\n\r\n".encode("utf-8")
+        )
+        recs.append(
+            build_warc_record(
+                "request",
+                uri,
+                _WARC_DATE,
+                req,
+                f"<urn:req:{doc_id}>",
+                content_type="application/http;msgtype=request",
+            )
+        )
+    recs.append(
+        build_warc_record(
+            "response",
+            uri,
+            _WARC_DATE,
+            build_http_response(body),
+            f"<urn:resp:{doc_id}>",
+        )
+    )
+    return build_warc(recs, gzip_per_record=(doc_id % 3 == 0))
+
+
+RECORD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("target_uri", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("content_len", LongType()),
+        StructField("block_len", LongType()),
+        StructField("body_h", LongType()),
+        StructField("body", StringType()),
+    ]
+)
+
+
+def _roundtrip_records(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = {k.name: [] for k in RECORD_SCHEMA.fields}
+        for html, uri, doc_id in zip(pdf["html"], pdf["url"], pdf["doc_id"]):
+            blob = _records_for_doc(int(doc_id), uri, html)
+            for rec in parse_warc(blob):
+                if rec["type"] != "response":
+                    continue  # request/warcinfo records are not content
+                status, _, body = parse_http_response(rec["block"])
+                m = re.search(r"page-(\d+)", rec["target_uri"] or "")
+                rows["doc_id"].append(int(m.group(1)) if m else None)
+                rows["target_uri"].append(rec["target_uri"])
+                rows["http_status"].append(status)
+                rows["content_len"].append(len(body))
+                rows["block_len"].append(rec["content_length"])
+                rows["body_h"].append(
+                    int(hashlib.md5(body).hexdigest()[:12], 16)
+                )
+                rows["body"].append(body.decode("utf-8"))
+        yield pd.DataFrame(rows)
+
+
+def warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture WARC blobs built and parsed back per Arrow batch; one row
+    per RESPONSE record with the payload and its geometry."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        _html_fixture_col().alias("html"),
+        _url_fixture_col().alias("url"),
+    )
+    return docs.mapInPandas(_roundtrip_records, RECORD_SCHEMA)
+
+
+# The oracle derives every output in closed form from the same fixture
+# strings. block_len: the HTTP message is
+#   'HTTP/1.1 200 OK\r\n'            17 bytes
+#   'Content-Type: text/html\r\n'    25 bytes
+#   'Content-Length: ' + digits + CRLF  16 + len(digits) + 2
+#   CRLF                              2
+# + the body itself (documents text is ASCII, so length() = bytes).
+_WARC_STATS_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_HTML_FIXTURE_SQL} AS html, {_URL_FIXTURE_SQL} AS url
+    FROM documents
+)
+SELECT doc_id,
+       url AS target_uri,
+       CAST(200 AS INT) AS http_status,
+       CAST(length(html) AS BIGINT) AS content_len,
+       CAST(62 + length(CAST(length(html) AS VARCHAR)) + length(html)
+            AS BIGINT) AS block_len,
+       CAST(('0x' || substr(md5(html), 1, 12))::BIGINT AS BIGINT) AS body_h
+FROM raw
+"""
+
+
+@register("warc_response_stats", oracle=_WARC_STATS_SQL, driver=False)
+def warc_response_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-response-record WARC round-trip witnesses: URI, status, body
+    and block byte geometry, md5-48 of the body — each value derived in
+    closed form by the DuckDB oracle from the same fixture strings, so
+    the hash proves byte-exact container round trip through plain and
+    member-gzipped records, skipping the planted request records."""
+    return warc_records(spark, sf_dir).select(
+        "doc_id",
+        "target_uri",
+        "http_status",
+        "content_len",
+        "block_len",
+        "body_h",
+    )
+
+
+@register("warc_acquisition_chain", oracle=_CHAIN_DOC_SQL, driver=False)
+def warc_acquisition_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-to-corpus path: WARC bytes -> response records ->
+    strip_html(body) -> canonicalize_url(target URI) -> token profile.
+    Oracle: the batch chain's own SQL (acquisition_chain_profile),
+    UNCHANGED — the container round trip must be a semantic no-op, and
+    sharing the oracle pins exactly that equivalence."""
+    recs = warc_records(spark, sf_dir).select(
+        "doc_id", F.col("body").alias("html"), F.col("target_uri").alias("url")
+    )
+    cleaned = canonicalize_url(strip_html(recs, "html"), "url")
+    ws = F.filter(
+        F.split(F.regexp_replace(F.lower("clean_text"), "[^a-z]+", " "), " "),
+        lambda w: w != F.lit(""),
+    )
+    return cleaned.select(
+        "doc_id",
+        F.regexp_extract("host", r"[^.]+\.[^.]+$", 0).alias("domain"),
+        "canonical_url",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_distinct_tokens"),
+        F.conv(F.substring(F.md5("clean_text"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("clean_h"),
+    )

@@ -1,0 +1,110 @@
+"""WARC reader/writer (functions/warc.py) and the WARC-native
+acquisition queries (operators/warc_ingest.py): spec-shaped record
+round trips (plain and .warc.gz member layout), hostile-input failure
+modes, request-record filtering, and oracle parity of both registered
+queries — including the chain query against the BATCH chain's oracle,
+proving the container round trip is a semantic no-op."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cc_mapreducer_spark.functions.warc import (
+    build_http_response,
+    build_warc,
+    build_warc_record,
+    parse_http_response,
+    parse_warc,
+)
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def _resp(uri: str, body: bytes, rid: str = "<urn:x:1>") -> bytes:
+    return build_warc_record(
+        "response", uri, "2026-01-01T00:00:00Z", build_http_response(body), rid
+    )
+
+
+def test_record_round_trip_plain_and_gzip():
+    body = "héllo <b>world</b>".encode("utf-8")  # bodies are BYTES
+    recs = [
+        _resp("http://a.com/page-1", body),
+        build_warc_record(
+            "request",
+            "http://a.com/page-1",
+            "2026-01-01T00:00:00Z",
+            b"GET / HTTP/1.1\r\n\r\n",
+            "<urn:req:1>",
+            content_type="application/http;msgtype=request",
+        ),
+        _resp("http://b.org/page-2", b"x" * 10_000, "<urn:x:2>"),
+    ]
+    for gz in (False, True):
+        got = parse_warc(build_warc(recs, gzip_per_record=gz))
+        assert [r["type"] for r in got] == ["response", "request", "response"]
+        status, headers, got_body = parse_http_response(got[0]["block"])
+        assert status == 200
+        assert headers["content-type"] == "text/html"
+        assert got_body == body
+        assert got[2]["content_length"] == len(recs[2]) - len(
+            recs[2].split(b"\r\n\r\n", 1)[0]
+        ) - 4 - 4  # header + blank + block + trailing CRLFCRLF
+        _, _, big = parse_http_response(got[2]["block"])
+        assert big == b"x" * 10_000
+
+
+def test_hostile_inputs_fail_loudly():
+    good = _resp("http://a.com/page-1", b"ok")
+    # truncated block: declared length runs past the buffer
+    with pytest.raises(ValueError, match="truncated record"):
+        parse_warc(good[: len(good) - 10])
+    # bad version line
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"HARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    # truncated gzip member
+    gz = build_warc([good], gzip_per_record=True)
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(gz[: len(gz) - 6])
+
+
+def test_member_resync_across_gzip_boundaries():
+    """Three records, each its own gzip member, concatenated — the
+    .warc.gz contract a reader must resync on."""
+    recs = [_resp(f"http://a.com/page-{i}", f"body {i}".encode()) for i in range(3)]
+    got = parse_warc(build_warc(recs, gzip_per_record=True))
+    assert len(got) == 3
+    for i, r in enumerate(got):
+        _, _, body = parse_http_response(r["block"])
+        assert body == f"body {i}".encode()
+
+
+def test_registered_queries_match_oracles(spark):
+    """Both WARC queries against their DuckDB oracles at sf0.01 —
+    warc_acquisition_chain runs against the BATCH chain's oracle, so a
+    container round trip that altered one byte of any body or URI would
+    hash-mismatch."""
+    from cc_mapreducer_spark import registry
+    from tests.oracle import compare_frames
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
+    )
+    for key in ("warc_response_stats", "warc_acquisition_chain"):
+        spdf = registry.all_queries()[key](spark, SF_ORACLE).toPandas()
+        assert len(spdf) == 500  # one response row per document
+        odf = con.sql(registry.all_oracles()[key]).df()
+        compare_frames(spdf, odf, key)
+
+
+def test_request_records_are_filtered(spark):
+    """Every 7th doc plants a request record in front of its response;
+    the stats query must still emit exactly one row per doc."""
+    from cc_mapreducer_spark.operators.warc_ingest import warc_response_stats
+
+    rows = warc_response_stats(spark, SF_ORACLE).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 500
+    assert all(r["http_status"] == 200 for r in rows)
