@@ -479,6 +479,106 @@ def acquisition_chain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chain_docs(spark, sf_dir)
 
 
+# --------------------------------------------------------------------------
+# crawl-policy URL filtering (blocklist + path rules)
+# --------------------------------------------------------------------------
+
+# Every production crawl runs a policy gate between canonicalization and
+# fetch/ingest: registered-domain blocklists (spam/adult/SEO farms) and
+# path-keyword rules (login/cart/search endpoints produce no training
+# text). Both sides are SMALL (thousands of rows) against a huge URL
+# stream — the textbook broadcast-anti-join, the same shape as the
+# anagram stop-word filter (operators/anagram.py:58). The verdict column
+# makes the gate auditable: a row is never silently dropped, it is
+# LABELED, and the ingest filters on the label (the pattern GDPR/audit
+# pipelines need).
+
+_BLOCKED_DOMAINS = ["src2.com", "src7.org"]  # fixture blocklist
+_BLOCKED_PATH_RE = r"/(login|cart|search)(/|$)"
+
+
+def classify_urls(
+    canon: DataFrame,
+    blocked_domains: DataFrame,
+    blocked_path_re: str = _BLOCKED_PATH_RE,
+) -> DataFrame:
+    """Label canonicalized rows (must carry canonical_url + host):
+    verdict in ('ok', 'blocked_domain', 'blocked_path'). Domain check is
+    a broadcast LEFT join on the registered domain; the path rule is a
+    zero-shuffle regexp. Domain blocks take precedence (a blocked host's
+    path is irrelevant)."""
+    dom = F.regexp_extract("host", r"[^.]+\.[^.]+$", 0)
+    path = F.regexp_extract(
+        "canonical_url", r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    flagged = canon.withColumn("__dom", dom).join(
+        F.broadcast(blocked_domains.select(F.col("domain").alias("__bd"))),
+        F.col("__dom") == F.col("__bd"),
+        "left",
+    )
+    return flagged.select(
+        *canon.columns,
+        F.when(F.col("__bd").isNotNull(), F.lit("blocked_domain"))
+        .when(path.rlike(blocked_path_re), F.lit("blocked_path"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    )
+
+
+# Fixture: the canonical URL stream with planted path offenders — every
+# 9th doc's page sits under /cart/. The blocklist is two of the twenty
+# source domains.
+_POLICY_URL_SQL = f"""
+WITH raw AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0
+                THEN regexp_replace({_URL_FIXTURE_SQL}, '/Docs//', '/cart/')
+                ELSE {_URL_FIXTURE_SQL} END AS url
+    FROM documents
+)
+SELECT doc_id, {_URL_PARTS['canonical']} AS canonical_url,
+       {_URL_PARTS['host']} AS host
+FROM raw
+"""
+
+_POLICY_FILTER_SQL = f"""
+SELECT doc_id, canonical_url,
+       CASE WHEN regexp_extract(host, '[^.]+\\.[^.]+$') IN
+                 ({", ".join("'" + d + "'" for d in _BLOCKED_DOMAINS)})
+                THEN 'blocked_domain'
+            WHEN regexp_matches(
+                 regexp_extract(canonical_url,
+                     '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                 '{_BLOCKED_PATH_RE}')
+                THEN 'blocked_path'
+            ELSE 'ok' END AS verdict
+FROM ({_POLICY_URL_SQL})
+"""
+
+
+@register("acquisition_policy_filter", oracle=_POLICY_FILTER_SQL, driver=False)
+def acquisition_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy gate over the canonicalized URL stream: registered-
+    domain blocklist via broadcast anti-semantics (labeled, not
+    dropped) + path-keyword rules, with planted /cart/ offenders every
+    9th doc and two blocked fixture domains. Zero shuffle beyond the
+    broadcast; the verdict column keeps the gate auditable."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    url = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.regexp_replace(_url_fixture_col(), "/Docs//", "/cart/"),
+    ).otherwise(_url_fixture_col())
+    canon = canonicalize_url(
+        docs.select("doc_id", url.alias("url")), "url"
+    ).select("doc_id", "canonical_url", "host")
+    blocked = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    return classify_urls(canon, blocked).select(
+        "doc_id", "canonical_url", "verdict"
+    )
+
+
 @register("acquisition_chain_rollup", oracle=_CHAIN_ROLLUP_SQL, driver=False)
 def acquisition_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-domain acquisition report over the COMPOSED chain: doc

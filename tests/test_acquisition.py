@@ -201,3 +201,41 @@ def test_chain_composes_strip_canonicalize_tokenize(spark):
         assert roll[dom]["n_docs"] == len(rs)
         assert roll[dom]["tokens_total"] == sum(x["n_tokens"] for x in rs)
         assert roll[dom]["n_unique"] == len({x["clean_h"] for x in rs})
+
+
+def test_policy_filter_labels_and_parity(spark):
+    """The crawl-policy gate labels, never drops: full doc domain, all
+    three verdicts present (the planted /cart/ offenders, the two
+    blocked fixture domains, the rest ok), domain block wins over path,
+    and the DuckDB oracle agrees."""
+    import duckdb
+
+    from cc_mapreducer_spark import registry
+    from cc_mapreducer_spark.operators.acquisition import (
+        _BLOCKED_DOMAINS,
+        acquisition_policy_filter,
+    )
+    from tests.oracle import compare_frames
+
+    rows = acquisition_policy_filter(spark, SF_ORACLE).collect()
+    assert len(rows) == 500  # labeled, not dropped
+    by_verdict: dict = {}
+    for r in rows:
+        by_verdict.setdefault(r["verdict"], []).append(r)
+    assert set(by_verdict) == {"ok", "blocked_domain", "blocked_path"}
+    for r in by_verdict["blocked_domain"]:
+        assert any(d in r["canonical_url"] for d in _BLOCKED_DOMAINS)
+    for r in by_verdict["blocked_path"]:
+        assert "/cart/" in r["canonical_url"]
+        # precedence: a doc on a blocked domain labels blocked_domain
+        # even when its path also offends
+        assert not any(d in r["canonical_url"] for d in _BLOCKED_DOMAINS)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
+    )
+    spdf = registry.all_queries()["acquisition_policy_filter"](
+        spark, SF_ORACLE
+    ).toPandas()
+    odf = con.sql(registry.all_oracles()["acquisition_policy_filter"]).df()
+    compare_frames(spdf, odf, "acquisition_policy_filter")
