@@ -82,12 +82,18 @@ from cc_mapreducer_spark.operators.acquisition import (
     _CHAIN_ROLLUP_SQL,
     _DOMAIN_ROLLUP_SQL,
     _HTML_STRIP_SQL,
+    _POLICY_FILTER_SQL,
     _URL_CANON_SQL,
     acquisition_chain_profile,
     acquisition_chain_rollup,
+    acquisition_policy_filter,
     domain_acquisition_rollup,
     html_strip_stats,
     url_canonical_stats,
+)
+from cc_mapreducer_spark.operators.warc_ingest import (
+    _WARC_STATS_SQL,
+    warc_response_stats,
 )
 
 
@@ -389,6 +395,17 @@ FROM ({_CHAIN_ROLLUP_SQL})
 UNION ALL
 SELECT 'chaindom:frac', domain, dup_doc_frac
 FROM ({_CHAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'warc:h', CAST(doc_id AS VARCHAR) || '|' || target_uri,
+       CAST(body_h AS DOUBLE) FROM ({_WARC_STATS_SQL})
+UNION ALL
+SELECT 'warc:len', CAST(doc_id AS VARCHAR), CAST(block_len AS DOUBLE)
+FROM ({_WARC_STATS_SQL})
+UNION ALL
+SELECT 'policy', CAST(doc_id AS VARCHAR) || '|' || verdict,
+       CAST(CASE verdict WHEN 'ok' THEN 0
+            WHEN 'blocked_domain' THEN 1 ELSE 2 END AS DOUBLE)
+FROM ({_POLICY_FILTER_SQL})
 """
 
 
@@ -444,6 +461,8 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     dom = domain_acquisition_rollup(spark, sf_dir)
     chain = acquisition_chain_profile(spark, sf_dir)
     chain_dom = acquisition_chain_rollup(spark, sf_dir)
+    warc = warc_response_stats(spark, sf_dir)
+    policy = acquisition_policy_filter(spark, sf_dir)
     return _union(
         [
             _leg(tfidf, "tfidf", tfidf_ent, F.col("score")),
@@ -537,5 +556,20 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("tokens_total"),
             ),
             _leg(chain_dom, "chaindom:frac", F.col("domain"), F.col("dup_doc_frac")),
+            _leg(
+                warc,
+                "warc:h",
+                F.concat_ws("|", "doc_id", "target_uri"),
+                F.col("body_h"),
+            ),
+            _leg(warc, "warc:len", F.col("doc_id"), F.col("block_len")),
+            _leg(
+                policy,
+                "policy",
+                F.concat_ws("|", "doc_id", "verdict"),
+                F.when(F.col("verdict") == "ok", 0)
+                .when(F.col("verdict") == "blocked_domain", 1)
+                .otherwise(2),
+            ),
         ]
     )
