@@ -307,3 +307,29 @@ def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("img_a", "img_b", F.col("hamming").cast("int"))
     )
+
+
+@register("image_dup_clusters", driver=False)  # integer CC: replica-pinned
+def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs resolved to clusters with canonical keepers —
+    the dedup family's large-star/small-star connected components
+    (operators/clustering.py:78) applied to the image modality: cluster
+    id is the minimum img_id of the component (so the ORIGINAL crawl of
+    a re-crawled image is the keeper, its recompressions/edits are
+    drops), full image domain restored by a left join. All-integer,
+    pytest pins it against a union-find replica over the replica pairs."""
+    from cc_mapreducer_spark.operators.clustering import connected_components
+
+    pairs = image_near_dup_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="img_a", dst="img_b")
+    imgs = image_dhash_fingerprint(spark, sf_dir).select("img_id", "doc_id")
+    return imgs.join(
+        comp, imgs["img_id"] == comp["node"], "left"
+    ).select(
+        "img_id",
+        "doc_id",
+        F.coalesce("component", F.col("img_id")).cast("long").alias("cluster_id"),
+        (
+            F.coalesce("component", F.col("img_id")) == F.col("img_id")
+        ).alias("is_keeper"),
+    )

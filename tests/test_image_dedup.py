@@ -150,3 +150,40 @@ def test_dhash_locality_on_synthetic_edits():
 
 def test_base_image_requires_text():
     assert base_image(1, "", 0) is None
+
+
+def test_clusters_match_union_find_replica(spark):
+    """image_dup_clusters equals a python union-find over the replica
+    pair set: same components, min-id cluster ids, keeper = cluster
+    min; every recompressed/edited re-crawl that paired with its base
+    is a drop, never a keeper."""
+    from cc_mapreducer_spark.operators.image_dedup import image_dup_clusters
+
+    fps = image_dhash_fingerprint(spark, SF_ORACLE).collect()
+    u64 = {r["img_id"]: r["dhash"] & ((1 << 64) - 1) for r in fps}
+    parent = {i: i for i in u64}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(u64)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(u64[a] ^ u64[b]).count("1") <= HAMMING_MAX:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in u64}
+    got = {r["img_id"]: r for r in image_dup_clusters(spark, SF_ORACLE).collect()}
+    assert set(got) == set(expect)
+    for img_id, r in got.items():
+        assert r["cluster_id"] == expect[img_id], img_id
+        assert r["is_keeper"] == (expect[img_id] == img_id)
+    # the keep-one story: a paired re-crawl is never the keeper
+    for r in fps:
+        if r["variant"] == "recompress":  # hamming 0 -> always paired
+            assert not got[r["img_id"]]["is_keeper"]
+            assert got[r["img_id"]]["cluster_id"] <= r["doc_id"] * 10
