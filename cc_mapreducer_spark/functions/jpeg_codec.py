@@ -738,6 +738,10 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
             _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp != 1:
                 raise ValueError("only grayscale is decoded here")
+        elif marker == 0xDE:  # DHP: would otherwise decode only stage 1
+            raise ValueError(
+                "hierarchical stream: use decode_gray_jpeg_hierarchical"
+            )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG mode")
@@ -1106,6 +1110,10 @@ def decode_progressive_jpeg(data: bytes) -> np.ndarray:
             blocks = [np.zeros(64, dtype=np.int64) for _ in range(bh * bw_)]
         elif marker == 0xC0:
             raise ValueError("baseline stream: use decode_gray_jpeg")
+        elif marker == 0xDE:
+            raise ValueError(
+                "hierarchical stream: use decode_gray_jpeg_hierarchical"
+            )
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG mode")
@@ -1271,3 +1279,295 @@ def _progressive_ac_freqs() -> dict[int, int]:
 
 PROG_AC_BITS, PROG_AC_VALS = _gen_huffman_table(_progressive_ac_freqs())
 _PROG_AC_CODES = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+
+# --------------------------------------------------------------------------
+# hierarchical mode (Annex J): DHP pyramid, EXP expansion, differential
+# frames (SOF5)
+# --------------------------------------------------------------------------
+
+# T.81's third and least-implemented Huffman mode: the image is coded as
+# a resolution pyramid — one ordinary (non-differential) frame at the
+# smallest scale, then per stage an EXP marker doubles the reference
+# resolution (the J.1.1.3 bilinear filter) and a DIFFERENTIAL frame
+# (SOF5) codes `source − upsampled reference` with the ordinary DCT
+# machinery, two changes only: no level shift (the signal is already
+# centered on 0) and no DC prediction across blocks (the difference
+# field has no DC continuity to exploit — each block's quantized DC is
+# coded against a zero predictor). Stream state (DQT/DHT) persists
+# across frames per B.2/B.3, so the tables are emitted once before the
+# first frame. The DHP segment (B.3.2) carries the full-resolution
+# frame header up front.
+#
+# Rounding parity: the encoder tracks its own reconstruction with the
+# exact float expressions the decoder evaluates (same matmuls, same
+# order, same rint), so `decode == encoder-predicted recon` is pinned
+# EXACTLY in tests, not within a tolerance — the same policy as the
+# progressive mode's bit-parity pin.
+
+
+def downsample2(px: np.ndarray) -> np.ndarray:
+    """Encoder-side pyramid step: 2x2 integer mean (round-half-up),
+    odd edges replicated. The downsampling filter is explicitly the
+    encoder's choice in Annex J (only the UPSAMPLING filter is
+    normative); a plain mean keeps it integer-exact."""
+    p = np.asarray(px).astype(np.int64)
+    if p.shape[0] % 2:
+        p = np.vstack([p, p[-1:]])
+    if p.shape[1] % 2:
+        p = np.hstack([p, p[:, -1:]])
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) >> 2
+
+
+def upsample2x(ref: np.ndarray) -> np.ndarray:
+    """The NORMATIVE Annex J.1.1.3 expansion filter, both directions:
+    even output samples copy the input, odd ones are the rounded mean
+    of their neighbors, the final odd sample replicates the edge.
+    Separable (horizontal then vertical), all-integer."""
+    r = np.asarray(ref).astype(np.int64)
+    h, w = r.shape
+    hx = np.zeros((h, 2 * w), dtype=np.int64)
+    hx[:, 0::2] = r
+    if w > 1:
+        hx[:, 1:-1:2] = (r[:, :-1] + r[:, 1:] + 1) >> 1
+    hx[:, -1] = r[:, -1]
+    out = np.zeros((2 * h, 2 * w), dtype=np.int64)
+    out[0::2] = hx
+    if h > 1:
+        out[1:-1:2] = (hx[:-1] + hx[1:] + 1) >> 1
+    out[-1] = hx[-1]
+    return out
+
+
+def _emit_zz(
+    bw: _BitWriter,
+    zz: np.ndarray,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    prev_dc: int,
+) -> int:
+    """Huffman-emit one pre-quantized zigzag vector (the tail of
+    _encode_block, split out because hierarchical frames quantize and
+    reconstruct in one pass)."""
+    diff = int(zz[0]) - prev_dc
+    s = _size_of(diff)
+    code, length = dc_codes[s]
+    bw.put(code, length)
+    if s:
+        bw.put(_bits_of(diff, s), s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]
+            bw.put(code, length)
+            run -= 16
+        s = _size_of(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(_bits_of(v, s), s)
+        run = 0
+    if last < 63:
+        code, length = ac_codes[0x00]
+        bw.put(code, length)
+    return int(zz[0])
+
+
+def _hier_frame(img: np.ndarray, shift: float) -> tuple[list[np.ndarray], np.ndarray]:
+    """Quantize one frame's blocks and predict the decoder's spatial
+    reconstruction with the decoder's own float expressions. Returns
+    (zigzag vectors in block order, rint'ed reconstruction cropped to
+    the frame dims — NOT clipped; the caller applies the stage rule)."""
+    h, w = img.shape
+    px = img.astype(np.float64)
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        px = np.pad(px, ((0, ph), (0, pw)), mode="edge")
+    q = QUANT_LUMA.astype(np.float64)
+    zzs: list[np.ndarray] = []
+    recon = np.zeros_like(px)
+    for by in range(0, px.shape[0], 8):
+        for bx in range(0, px.shape[1], 8):
+            block = px[by : by + 8, bx : bx + 8] - shift
+            coef = _DCT @ block @ _DCT.T
+            qc = np.rint(coef / q).astype(np.int64)
+            zzs.append(qc[ZIG_ROWS, ZIG_COLS])
+            # decoder expression order, exactly: IDCT of (int coeffs * q),
+            # plus the shift, rint'ed by the caller's stage rule
+            coef2 = np.zeros((8, 8), dtype=np.float64)
+            coef2[ZIG_ROWS, ZIG_COLS] = zzs[-1]
+            recon[by : by + 8, bx : bx + 8] = _DCT.T @ (coef2 * q) @ _DCT + shift
+    return zzs, np.rint(recon[:h, :w]).astype(np.int64)
+
+
+def encode_gray_jpeg_hierarchical(pixels: np.ndarray, levels: int = 2) -> bytes:
+    """8-bit grayscale array -> hierarchical (Annex J) JFIF bytes:
+    SOI, DHP (full dims), tables once, then the pyramid — one SOF0
+    frame at 1/2^(levels-1) scale and `levels-1` EXP+SOF5 differential
+    stages back up to full resolution."""
+    px = np.asarray(pixels)
+    if px.ndim != 2:
+        raise ValueError("expected a 2-D grayscale array")
+    if px.shape[0] == 0 or px.shape[1] == 0:
+        raise ValueError("empty image")
+    if levels < 2:
+        raise ValueError("hierarchical mode needs >= 2 levels")
+    pyr = [px.astype(np.int64)]
+    for _ in range(levels - 1):
+        pyr.append(downsample2(pyr[-1]))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(
+        0xDE,  # DHP: frame-header layout, full resolution (B.3.2)
+        struct.pack(">BHHB", 8, px.shape[0], px.shape[1], 1) + b"\x01\x11\x00",
+    )
+    zz_quant = bytes(int(QUANT_LUMA[r, c]) for r, c in ZIGZAG)
+    out += _seg(0xDB, b"\x00" + zz_quant)
+    out += _seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+
+    recon: np.ndarray | None = None
+    for k in reversed(range(levels)):
+        img = pyr[k]
+        differential = recon is not None
+        if differential:
+            ref = upsample2x(recon)[: img.shape[0], : img.shape[1]]
+            zzs, drec = _hier_frame(img - ref, shift=0.0)
+            recon = np.clip(ref + drec, 0, 255)
+            out += _seg(0xDF, b"\x11")  # EXP: expand reference 2x both ways
+            sof = 0xC5  # differential sequential DCT, Huffman
+        else:
+            zzs, srec = _hier_frame(img, shift=128.0)
+            recon = np.clip(srec, 0, 255)
+            sof = 0xC0
+        out += _seg(
+            sof,
+            struct.pack(">BHHB", 8, img.shape[0], img.shape[1], 1)
+            + b"\x01\x11\x00",
+        )
+        out += _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        bw = _BitWriter()
+        prev = 0
+        for zz in zzs:
+            new_dc = _emit_zz(bw, zz, _DC_CODES, _AC_CODES, prev)
+            # differential frames: zero DC predictor per block (Annex J)
+            prev = 0 if differential else new_dc
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_gray_jpeg_hierarchical(
+    data: bytes, max_stages: int | None = None
+) -> np.ndarray:
+    """Hierarchical (Annex J) grayscale bytes -> uint8 array. With
+    ``max_stages=n`` decoding stops after n frames and returns that
+    stage's reconstruction — the progressive-transmission property the
+    mode exists for (stage 1 alone is a valid low-resolution image)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    full: tuple[int, int] | None = None
+    frame: tuple[int, int, bool] | None = None  # (h, w, differential)
+    pending_exp = False
+    recon: np.ndarray | None = None
+    stages = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            continue
+        ln = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + ln]
+        if marker == 0xDE:  # DHP
+            _, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("only grayscale hierarchical is decoded here")
+            full = (fh, fw)
+        elif marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = body[p + 1 + i]
+                quant[tq] = tbl
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _build_decode_table(
+                    bits, list(body[p + 17 : p + 17 + n])
+                )
+                p += 17 + n
+        elif marker == 0xDF:  # EXP
+            if body[0] != 0x11:
+                raise ValueError("only 2x/2x reference expansion supported")
+            pending_exp = True
+        elif marker in (0xC0, 0xC5):
+            _, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("only grayscale hierarchical is decoded here")
+            frame = (fh, fw, marker == 0xC5)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported frame type in hierarchical stream")
+        elif marker == 0xDA:
+            if frame is None or full is None:
+                raise ValueError("SOS before DHP/SOF")
+            fh, fw, differential = frame
+            dc_tbl = huff[(0, body[2] >> 4)]
+            ac_tbl = huff[(1, body[2] & 0xF)]
+            q = quant[0].astype(np.float64)
+            br = _BitReader(data, pos + ln)
+            bh, bw_ = (fh + 7) // 8, (fw + 7) // 8
+            out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+            prev = 0
+            for by in range(bh):
+                for bx in range(bw_):
+                    block, prev = _decode_block(br, dc_tbl, ac_tbl, q, prev)
+                    if differential:
+                        prev = 0  # zero DC predictor per block (Annex J)
+                    else:
+                        block = block + 128.0
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            fpx = np.rint(out[:fh, :fw]).astype(np.int64)
+            if differential:
+                if recon is None:
+                    raise ValueError("differential frame before first stage")
+                ref = upsample2x(recon) if pending_exp else recon
+                recon = np.clip(ref[:fh, :fw] + fpx, 0, 255)
+                pending_exp = False
+            else:
+                recon = np.clip(fpx, 0, 255)
+            stages += 1
+            if max_stages is not None and stages >= max_stages:
+                return recon.astype(np.uint8)
+            # resync to the next marker past this frame's entropy bytes
+            pos = br.pos
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF)
+            ):
+                pos += 1
+            continue
+        pos += ln
+    if recon is None:
+        raise ValueError("no frame decoded")
+    return recon.astype(np.uint8)

@@ -320,9 +320,13 @@ def decode_with_library(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     grayscale JPEG (SOF2 spectral selection + successive approximation)
     decodes AND encodes in pure numpy — jpeg_codec_stats proves per
     document that the progressive framing reconstructs the exact
-    baseline pixels. The seam now covers only arithmetic-coded /
-    hierarchical JPEG, other subsampling ratios, entropy-coded audio
-    (MP3/AAC), and H.264."""
+    baseline pixels — and (r7) HIERARCHICAL grayscale JPEG (Annex J:
+    DHP pyramid, EXP expansion, SOF5 differential frames) round-trips
+    with decode pinned exactly to the encoder-predicted reconstruction
+    (jpeg_codec_stats hier_exact). The seam now covers only
+    arithmetic-coded JPEG (the QM-coder's 113-row state table is not
+    reproducible from memory with confidence), other subsampling
+    ratios, entropy-coded audio (MP3/AAC), and H.264."""
     try:
         import PIL  # noqa: F401
     except ModuleNotFoundError:
@@ -793,6 +797,7 @@ JPEG_STATS_SCHEMA = StructType(
         StructField("jpeg_bytes", LongType()),
         StructField("max_abs_err", LongType()),
         StructField("prog_matches", BooleanType()),
+        StructField("hier_exact", BooleanType()),
         StructField("decoded_sha", StringType()),
     ]
 )
@@ -820,11 +825,25 @@ def _jpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     from cc_mapreducer_spark.functions.jpeg_codec import (
+        _hier_frame,
         decode_gray_jpeg,
+        decode_gray_jpeg_hierarchical,
         decode_progressive_jpeg,
+        downsample2,
         encode_gray_jpeg,
+        encode_gray_jpeg_hierarchical,
         encode_gray_jpeg_progressive,
+        upsample2x,
     )
+
+    def _hier_predicted(px):
+        # the encoder-side reconstruction the hierarchical decoder must
+        # reproduce EXACTLY (same float expressions — Annex J pin)
+        lv1 = downsample2(px.astype(np.int64))
+        _, srec = _hier_frame(lv1, shift=128.0)
+        ref = upsample2x(np.clip(srec, 0, 255))[: px.shape[0], : px.shape[1]]
+        _, drec = _hier_frame(px.astype(np.int64) - ref, shift=0.0)
+        return np.clip(ref + drec, 0, 255).astype(np.uint8)
 
     for pdf in batches:
         if not len(pdf):
@@ -841,6 +860,12 @@ def _jpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # the progressive framing carries the SAME quantized
             # coefficients, so its decode must be bit-identical
             prog = decode_progressive_jpeg(encode_gray_jpeg_progressive(px))
+            # the hierarchical framing is a different pipeline (pyramid
+            # + differential stage), so its pin is exact equality with
+            # the encoder-predicted reconstruction, not with baseline
+            hier = decode_gray_jpeg_hierarchical(
+                encode_gray_jpeg_hierarchical(px, levels=2)
+            )
             rows["doc_id"].append(doc_id)
             rows["width"].append(px.shape[1])
             rows["height"].append(px.shape[0])
@@ -849,6 +874,7 @@ def _jpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max())
             )
             rows["prog_matches"].append(bool((prog == dec).all()))
+            rows["hier_exact"].append(bool((hier == _hier_predicted(px)).all()))
             rows["decoded_sha"].append(hashlib.sha256(dec.tobytes()).hexdigest())
         yield pd.DataFrame(rows)
 

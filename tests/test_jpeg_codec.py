@@ -161,6 +161,7 @@ def test_spark_jpeg_stats_deterministic_and_bounded(spark):
         assert r["max_abs_err"] < 100
         assert r["jpeg_bytes"] > 0
         assert r["prog_matches"]  # progressive framing == baseline pixels
+        assert r["hier_exact"]  # hierarchical decode == predicted recon
         assert 8 <= r["width"] <= 32 and 8 <= r["height"] <= 24
 
 
@@ -468,3 +469,134 @@ def test_progressive_randomized_vs_baseline():
         prog = decode_progressive_jpeg(encode_gray_jpeg_progressive(img))
         base = decode_gray_jpeg(encode_gray_jpeg(img))
         assert (prog == base).all(), (trial, h, w)
+
+
+# --------------------------------------------------------------------------
+# hierarchical mode (Annex J)
+# --------------------------------------------------------------------------
+
+
+def _hier_expected_recon(px, levels):
+    """Replicate the decoder's reconstruction with the module's own
+    primitives — the exactness pin: decode must equal this EXACTLY."""
+    import numpy as np
+
+    from cc_mapreducer_spark.functions.jpeg_codec import (
+        _hier_frame,
+        downsample2,
+        upsample2x,
+    )
+
+    pyr = [px.astype(np.int64)]
+    for _ in range(levels - 1):
+        pyr.append(downsample2(pyr[-1]))
+    recon = None
+    for k in reversed(range(levels)):
+        img = pyr[k]
+        if recon is None:
+            _, srec = _hier_frame(img, shift=128.0)
+            recon = np.clip(srec, 0, 255)
+        else:
+            ref = upsample2x(recon)[: img.shape[0], : img.shape[1]]
+            _, drec = _hier_frame(img - ref, shift=0.0)
+            recon = np.clip(ref + drec, 0, 255)
+    return recon.astype(np.uint8)
+
+
+def test_hierarchical_decode_matches_predicted_recon_exactly():
+    import numpy as np
+
+    from cc_mapreducer_spark.functions.jpeg_codec import (
+        decode_gray_jpeg_hierarchical,
+        encode_gray_jpeg_hierarchical,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape, levels in [((64, 48), 2), ((37, 53), 3), ((80, 80), 4), ((9, 11), 2)]:
+        px = (
+            rng.randint(0, 80, shape)
+            + np.linspace(0, 175, shape[1])[None, :].astype(int)
+        ).astype(np.uint8)
+        data = encode_gray_jpeg_hierarchical(px, levels=levels)
+        dec = decode_gray_jpeg_hierarchical(data)
+        np.testing.assert_array_equal(dec, _hier_expected_recon(px, levels))
+
+
+def test_hierarchical_error_bounds_and_stage_property():
+    import numpy as np
+
+    from cc_mapreducer_spark.functions.jpeg_codec import (
+        decode_gray_jpeg_hierarchical,
+        downsample2,
+        encode_gray_jpeg_hierarchical,
+    )
+
+    # constant image: every stage codes a (near-)zero field -> error <= 1
+    const = np.full((48, 40), 77, dtype=np.uint8)
+    dec = decode_gray_jpeg_hierarchical(encode_gray_jpeg_hierarchical(const, 3))
+    assert np.abs(dec.astype(int) - 77).max() <= 1
+    # smooth gradient (no mod-256 wrap — a wrap is a sharp edge, and
+    # quantized DCT ringing at an edge is baseline behavior, not a
+    # hierarchical defect): the differential stage corrects the
+    # upsampling blur, final error stays small
+    y, x = np.mgrid[0:64, 0:56]
+    grad = (x * 2 + y).astype(np.uint8)  # max 173, monotone
+    dec = decode_gray_jpeg_hierarchical(encode_gray_jpeg_hierarchical(grad, 2))
+    assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 16
+    # progressive-transmission property: stage 1 alone is a valid image
+    # at pyramid scale, close to the encoder's own downsampled level
+    data = encode_gray_jpeg_hierarchical(grad, 2)
+    s0 = decode_gray_jpeg_hierarchical(data, max_stages=1)
+    lv1 = downsample2(grad)
+    assert s0.shape == lv1.shape == (32, 28)
+    assert np.abs(s0.astype(int) - lv1.astype(int)).max() <= 16
+    # and each later stage only sharpens: full decode beats upsampled
+    # stage-1 on mean error
+    from cc_mapreducer_spark.functions.jpeg_codec import upsample2x
+
+    full = decode_gray_jpeg_hierarchical(data)
+    up0 = upsample2x(s0.astype(np.int64))[:64, :56]
+    assert (
+        np.abs(full.astype(int) - grad.astype(int)).mean()
+        < np.abs(up0 - grad.astype(int)).mean()
+    )
+
+
+def test_hierarchical_structure_and_mode_guards():
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from cc_mapreducer_spark.functions.jpeg_codec import (
+        decode_gray_jpeg,
+        decode_gray_jpeg_hierarchical,
+        decode_progressive_jpeg,
+        encode_gray_jpeg,
+        encode_gray_jpeg_hierarchical,
+    )
+
+    rng = np.random.RandomState(13)
+    px = rng.randint(0, 256, (40, 40)).astype(np.uint8)
+    data = encode_gray_jpeg_hierarchical(px, levels=3)
+    # container structure: DHP once, EXP and SOF5 once per differential
+    # stage, exactly one non-differential SOF0
+    assert data.count(b"\xff\xde") == 1
+    assert data.count(b"\xff\xdf") == 2
+    assert data.count(b"\xff\xc5") == 2
+    assert data.count(b"\xff\xc0") == 1
+    # the other decoders refuse a hierarchical stream loudly (silently
+    # returning the low-res stage 1 would be the dangerous failure)
+    with pytest.raises(ValueError, match="hierarchical"):
+        decode_gray_jpeg(data)
+    with pytest.raises(ValueError, match="hierarchical"):
+        decode_progressive_jpeg(data)
+    # and the hierarchical decoder refuses a baseline stream
+    with pytest.raises(ValueError):
+        decode_gray_jpeg_hierarchical(encode_gray_jpeg(px))
+    # byte + decode determinism
+    assert hashlib.sha256(data).hexdigest() == hashlib.sha256(
+        encode_gray_jpeg_hierarchical(px, levels=3)
+    ).hexdigest()
+    with pytest.raises(ValueError):
+        encode_gray_jpeg_hierarchical(px, levels=1)
