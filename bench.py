@@ -123,7 +123,12 @@ def _synth_corpus(out_dir: str, n_docs: int, n_vecs: int, seed: int) -> None:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(docs, f"{out_dir}/documents.parquet")
+    # realistic row groups: pyarrow's default wrote the 500k-doc corpus
+    # as ONE row group, so Spark's byte-range splits were all empty but
+    # one and the whole scan stage ran on a single core — the r7 deep
+    # lane's "bend" was this harness artifact, not the operators (a real
+    # 100 TB table arrives as thousands of row groups/files)
+    pq.write_table(docs, f"{out_dir}/documents.parquet", row_group_size=20_000)
     vecs = rng.randn(n_vecs, 64).astype(np.float64)
     emb = pa.table(
         {
@@ -190,7 +195,8 @@ def _synth_corpus_zipf(out_dir: str, n_docs: int, seed: int) -> None:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(docs, f"{out_dir}/documents.parquet")
+    # multiple row groups for real scan parallelism (see _synth_corpus)
+    pq.write_table(docs, f"{out_dir}/documents.parquet", row_group_size=20_000)
 
 
 def skew_trend(spark, queries) -> dict:
@@ -1039,6 +1045,36 @@ def main() -> None:
             "interference_probe_default_cache": [13.97, 31.47, 20.02, 9.47],
             "interference_probe_512m_cache": [11.61, 17.59, 10.38, 10.22],
             "verdict": "floor kept; 512m code cache shipped",
+        },
+        # r7 deep-decade bend attribution (VERDICT r6 item 4): the first
+        # 500k-doc run measured span_dup_coverage 141.8s / shared_passages
+        # 114.1s (4-pt exponents 0.98/0.85 with resid ~0.5-0.6 — a real
+        # bend). Stage-level profiling + active-task sampling found TWO
+        # causes, both fixed: (a) the span pipeline grouped on 36M span
+        # STRINGS (55s explode building them + string-key agg; GC was
+        # measured and ruled out at <0.5s) — spans.py now groups on
+        # xxhash64 span keys, the design its own header prescribed for
+        # 100 TB (span_keys; collision odds ~3.5e-5 at 36M windows);
+        # (b) a HARNESS artifact: _synth_corpus wrote the 500k corpus as
+        # ONE parquet row group, so Spark's byte-range splits were all
+        # empty but one and the scan stage ran single-core (sampled: one
+        # active task for 42-45s) — the generator now writes 20k-row
+        # groups like any real table. Post-fix 150k->500k best-of:
+        # span_dup_coverage 10.5s->27.5s (local exp 0.80),
+        # shared_passages 25.1s->78.7s (0.95).
+        "deep_bend_r7": {
+            "before_500k": {"span_dup_coverage": 141.8, "shared_passages": 114.1},
+            "after_500k": {"span_dup_coverage": 27.5, "shared_passages": 78.7},
+            "causes": [
+                "string-keyed span agg (fixed: xxhash64 span_keys)",
+                "single-row-group synth parquet defeated scan splits "
+                "(fixed: row_group_size=20k)",
+            ],
+            "gc_ruled_out_s": 0.4,
+            "local_exp_150k_500k_after": {
+                "span_dup_coverage": 0.80,
+                "shared_passages": 0.95,
+            },
         },
         # r7 dsir attribution (VERDICT r6 item 3, protocol of
         # scripts/ab_dsir.py — interleaved reps, best-of, 32g, 512m code

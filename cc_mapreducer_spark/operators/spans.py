@@ -86,6 +86,38 @@ def span_rows(docs: DataFrame, length: int = L) -> DataFrame:
     )
 
 
+def span_keys(docs: DataFrame, length: int = L) -> DataFrame:
+    """Every L-token window as a 64-BIT KEY: (doc_id, n_words, start,
+    sk) with sk = xxhash64 of the window's word slice — the 100 TB form
+    this module's header describes, now also the local hot path. The
+    r7 deep-scale lane (500k docs) measured the string-keyed pipeline
+    bending superlinear: building 36M span STRINGS and hash-aggregating
+    them cost 55s + 121s, all of it allocation/GC, none of it plan
+    shape; hashing the slice in place (no string ever materializes,
+    the groupBy keys are longs) removed the bend. Downstream semantics
+    are unchanged except for the astronomically unlikely 64-bit
+    collision (~C(n,2)/2^64; ~3.5e-5 at 36M windows, ~1e-11 at the
+    sf0.01 oracle-parity scale) — the REPORTING query
+    (repeated_spans) still carries real span strings."""
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
+        lambda x: x != F.lit(""),
+    )
+    sized = docs.select(
+        "doc_id", words.alias("words"), F.size(words).alias("n_words")
+    ).filter(F.col("n_words") >= length)
+    return sized.select(
+        "doc_id",
+        "n_words",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n_words - {length} + 1), i -> "
+                f"xxhash64(slice(words, i, {length})))"
+            )
+        ).alias("pos0", "sk"),
+    ).select("doc_id", "n_words", (F.col("pos0") + 1).alias("start"), "sk")
+
+
 _NORM_SQL = (
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),"
     " ' '), x -> x <> '')"
@@ -233,14 +265,14 @@ def span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     weights = {"train": 0.8, "val": 0.1, "test": 0.1}
     docs = spread(load_table(spark, sf_dir, "documents"))
-    tagged = deterministic_split(span_rows(docs), "doc_id", weights)
+    tagged = deterministic_split(span_keys(docs), "doc_id", weights)
     train_spans = (
-        tagged.filter(F.col("split") == "train").select("span").distinct()
+        tagged.filter(F.col("split") == "train").select("sk").distinct()
     )
-    test_spans = tagged.filter(F.col("split") == "test").select("doc_id", "span")
+    test_spans = tagged.filter(F.col("split") == "test").select("doc_id", "sk")
     per_doc = (
         test_spans.join(
-            train_spans.select("span", F.lit(1).alias("hit")), "span", "left"
+            train_spans.select("sk", F.lit(1).alias("hit")), "sk", "left"
         )
         .groupBy("doc_id")
         .agg(
@@ -270,16 +302,17 @@ def span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _covered_tokens(docs: DataFrame, length: int) -> DataFrame:
     """(doc_id, covered_tokens) at one span resolution: repeated-span
-    semi-join on span keys, then the gaps-and-islands interval union in
-    ONE doc_id-partitioned window pass."""
-    spans = span_rows(docs, length)
+    semi-join on hashed span keys (span_keys — longs, not strings),
+    then the gaps-and-islands interval union in ONE doc_id-partitioned
+    window pass."""
+    spans = span_keys(docs, length)
     rep = (
-        spans.groupBy("span")
+        spans.groupBy("sk")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= MIN_OCCURRENCES)
-        .select("span")
+        .select("sk")
     )
-    hits = spans.join(rep, "span").select(
+    hits = spans.join(rep, "sk").select(
         "doc_id", "start", (F.col("start") + length - 1).alias("e")
     )
     w_prev = (
@@ -484,19 +517,19 @@ def span_dup_coverage_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _removal_islands(docs: DataFrame, length: int) -> DataFrame:
     """(doc_id, s, e) merged intervals of NON-CANONICAL repeated-span
-    occurrences at one resolution."""
-    spans = span_rows(docs, length)
+    occurrences at one resolution (hashed span keys — span_keys)."""
+    spans = span_keys(docs, length)
     rep = (
-        spans.groupBy("span")
+        spans.groupBy("sk")
         .agg(
             F.count("*").alias("n"),
             F.min(F.struct("doc_id", "start")).alias("canon"),
         )
         .filter(F.col("n") >= MIN_OCCURRENCES)
-        .select("span", "canon")
+        .select("sk", "canon")
     )
     hits = (
-        spans.join(rep, "span")
+        spans.join(rep, "sk")
         .filter(
             (F.col("doc_id") != F.col("canon.doc_id"))
             | (F.col("start") != F.col("canon.start"))
