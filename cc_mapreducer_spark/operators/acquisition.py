@@ -556,6 +556,161 @@ FROM ({_POLICY_URL_SQL})
 """
 
 
+# --------------------------------------------------------------------------
+# robots.txt (Robots Exclusion Protocol) gate
+# --------------------------------------------------------------------------
+
+# The politeness gate between canonicalization and fetch: per registered
+# domain a small rule set (Allow/Disallow path prefixes), applied with
+# the REP decision rule — the LONGEST matching prefix wins, and on a
+# length tie Allow beats Disallow (RFC 9309 §2.2.2's precedence, here
+# for the original prefix-rule subset; '*'/'$' wildcard extensions are
+# documented out of scope). Rules-per-domain is a tiny broadcast side;
+# the match itself is JVM-side array lambdas over <=4-element rule
+# arrays — zero shuffle, no UDF.
+
+
+def robots_allowed(
+    canon: DataFrame, rules: DataFrame, domain_col: str = "domain"
+) -> DataFrame:
+    """Label canonicalized rows (must carry canonical_url + the domain
+    column) with ``robots_allowed`` and ``robots_rule`` (the winning
+    prefix, NULL when no rule matched). ``rules`` is (domain, prefix,
+    allow) — grouped to one array per domain and broadcast."""
+    rule_arr = rules.groupBy(F.col("domain").alias("__rd")).agg(
+        F.collect_list(F.struct("prefix", "allow")).alias("__rules")
+    )
+    path = F.regexp_extract(
+        "canonical_url", r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    joined = canon.withColumn("__path", path).join(
+        F.broadcast(rule_arr), F.col(domain_col) == F.col("__rd"), "left"
+    )
+    matched = F.expr(
+        "filter(__rules, r -> startswith(__path, r.prefix))"
+    )
+    mx = F.expr(
+        "array_max(transform(filter(__rules, r -> startswith(__path, r.prefix)),"
+        " r -> length(r.prefix)))"
+    )
+    # longest match wins; Allow beats Disallow on a length tie; no
+    # matching rule (or no robots entry at all) defaults to allowed
+    allowed = F.when(
+        F.col("__rules").isNull() | (F.size(matched) == 0), F.lit(True)
+    ).otherwise(
+        F.expr(
+            "exists(filter(__rules, r -> startswith(__path, r.prefix)),"
+            " r -> length(r.prefix) = "
+            "array_max(transform(filter(__rules, r -> startswith(__path,"
+            " r.prefix)), x -> length(x.prefix))) AND r.allow)"
+        )
+    )
+    win = F.when(
+        F.col("__rules").isNotNull() & (F.size(matched) > 0),
+        F.expr(
+            "filter(filter(__rules, r -> startswith(__path, r.prefix)),"
+            " r -> length(r.prefix) = "
+            "array_max(transform(filter(__rules, r -> startswith(__path,"
+            " r.prefix)), x -> length(x.prefix))))"
+        )[0]["prefix"],
+    )
+    _ = mx  # (kept for readability above; inlined in the expressions)
+    return joined.select(
+        *canon.columns,
+        allowed.alias("robots_allowed"),
+        win.alias("robots_rule"),
+    )
+
+
+# Fixture robots rules, derived from the registered domain: every domain
+# disallows /cart/; .com domains disallow /Docs/page-1 (a PREFIX — it
+# also matches page-10..19, page-100.. — the classic REP footgun) but
+# allow the longer /Docs/page-13 back; src7.org disallows everything.
+_ROBOTS_RULES = [
+    ("*", "/cart/", False),
+    (".com", "/Docs/page-1", False),
+    (".com", "/Docs/page-13", True),
+    ("src7.org", "/", False),
+]
+
+_ROBOTS_RULES_SQL = """
+CASE WHEN domain = 'src7.org' THEN
+        [{'prefix': '/cart/', 'allow': false}, {'prefix': '/', 'allow': false}]
+     WHEN domain LIKE '%.com' THEN
+        [{'prefix': '/cart/', 'allow': false},
+         {'prefix': '/Docs/page-1', 'allow': false},
+         {'prefix': '/Docs/page-13', 'allow': true}]
+     ELSE [{'prefix': '/cart/', 'allow': false}] END
+"""
+
+_ROBOTS_FILTER_SQL = f"""
+WITH canon AS (
+    SELECT doc_id, canonical_url,
+           regexp_extract(host, '[^.]+\\.[^.]+$') AS domain,
+           regexp_extract(canonical_url,
+               '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+    FROM ({_POLICY_URL_SQL})
+), ruled AS (
+    SELECT doc_id, canonical_url, path, {_ROBOTS_RULES_SQL} AS rules
+    FROM canon
+), matched AS (
+    SELECT doc_id, canonical_url, path, rules,
+           list_filter(rules, r -> starts_with(path, r.prefix)) AS m
+    FROM ruled
+)
+SELECT doc_id, canonical_url,
+       CASE WHEN len(m) = 0 THEN true
+            ELSE len(list_filter(m, r -> len(r.prefix) =
+                     list_max(list_transform(m, x -> len(x.prefix)))
+                     AND r.allow)) > 0 END AS robots_allowed,
+       CASE WHEN len(m) = 0 THEN NULL
+            ELSE list_filter(m, r -> len(r.prefix) =
+                     list_max(list_transform(m, x -> len(x.prefix))))[1].prefix
+            END AS robots_rule
+FROM matched
+"""
+
+
+@register("robots_policy_filter", oracle=_ROBOTS_FILTER_SQL, driver=False)
+def robots_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REP (robots.txt) gate over the canonicalized URL stream with the
+    planted /cart/ offenders: longest-matching-prefix decision, Allow
+    beating Disallow on length ties (the /Docs/page-13 allow overrides
+    the /Docs/page-1 disallow on .com domains — and page-1's PREFIX
+    nature blocks page-10..19 too, the classic footgun the fixture
+    plants deliberately); src7.org is fully disallowed. Labeled, never
+    dropped; broadcast rules, zero-shuffle lambdas, DuckDB mirror."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    url = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.regexp_replace(_url_fixture_col(), "/Docs//", "/cart/"),
+    ).otherwise(_url_fixture_col())
+    canon = canonicalize_url(
+        docs.select("doc_id", url.alias("url")), "url"
+    ).select(
+        "doc_id",
+        "canonical_url",
+        F.regexp_extract("host", r"[^.]+\.[^.]+$", 0).alias("domain"),
+    )
+    rows = []
+    # the URL fixture assigns .COM to even and .org to odd doc_ids, so
+    # every source can surface under either TLD — rules cover all 40
+    domains = [f"src{i}.com" for i in range(20)] + [
+        f"src{i}.org" for i in range(20)
+    ]
+    for dom in domains:
+        rows.append((dom, "/cart/", False))
+        if dom.endswith(".com"):
+            rows.append((dom, "/Docs/page-1", False))
+            rows.append((dom, "/Docs/page-13", True))
+        if dom == "src7.org":
+            rows.append((dom, "/", False))
+    rules = spark.createDataFrame(rows, "domain string, prefix string, allow boolean")
+    return robots_allowed(canon, rules).select(
+        "doc_id", "canonical_url", "robots_allowed", "robots_rule"
+    )
+
+
 @register("acquisition_policy_filter", oracle=_POLICY_FILTER_SQL, driver=False)
 def acquisition_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-policy gate over the canonicalized URL stream: registered-

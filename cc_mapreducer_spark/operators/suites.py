@@ -83,12 +83,14 @@ from cc_mapreducer_spark.operators.acquisition import (
     _DOMAIN_ROLLUP_SQL,
     _HTML_STRIP_SQL,
     _POLICY_FILTER_SQL,
+    _ROBOTS_FILTER_SQL,
     _URL_CANON_SQL,
     acquisition_chain_profile,
     acquisition_chain_rollup,
     acquisition_policy_filter,
     domain_acquisition_rollup,
     html_strip_stats,
+    robots_policy_filter,
     url_canonical_stats,
 )
 from cc_mapreducer_spark.operators.warc_ingest import (
@@ -406,6 +408,10 @@ SELECT 'policy', CAST(doc_id AS VARCHAR) || '|' || verdict,
        CAST(CASE verdict WHEN 'ok' THEN 0
             WHEN 'blocked_domain' THEN 1 ELSE 2 END AS DOUBLE)
 FROM ({_POLICY_FILTER_SQL})
+UNION ALL
+SELECT 'robots', CAST(doc_id AS VARCHAR) || '|' || coalesce(robots_rule, '-'),
+       CAST(CAST(robots_allowed AS INT) AS DOUBLE)
+FROM ({_ROBOTS_FILTER_SQL})
 """
 
 
@@ -463,6 +469,7 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain_dom = acquisition_chain_rollup(spark, sf_dir)
     warc = warc_response_stats(spark, sf_dir)
     policy = acquisition_policy_filter(spark, sf_dir)
+    robots = robots_policy_filter(spark, sf_dir)
     return _union(
         [
             _leg(tfidf, "tfidf", tfidf_ent, F.col("score")),
@@ -570,6 +577,14 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("verdict") == "ok", 0)
                 .when(F.col("verdict") == "blocked_domain", 1)
                 .otherwise(2),
+            ),
+            _leg(
+                robots,
+                "robots",
+                F.concat_ws(
+                    "|", "doc_id", F.coalesce("robots_rule", F.lit("-"))
+                ),
+                F.col("robots_allowed").cast("int"),
             ),
         ]
     )

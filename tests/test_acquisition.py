@@ -239,3 +239,29 @@ def test_policy_filter_labels_and_parity(spark):
     ).toPandas()
     odf = con.sql(registry.all_oracles()["acquisition_policy_filter"]).df()
     compare_frames(spdf, odf, "acquisition_policy_filter")
+
+
+def test_robots_filter_rep_semantics(spark):
+    """REP decision rule on the planted fixture: longest prefix wins,
+    Allow beats Disallow only via the LONGER match, the /Docs/page-1
+    prefix blocks page-10..19 too (the REP footgun), page-13x comes
+    back via the longer allow, src7.org is fully disallowed, and no
+    row is dropped."""
+    from cc_mapreducer_spark.operators.acquisition import robots_policy_filter
+
+    rows = {r["doc_id"]: r for r in robots_policy_filter(spark, SF_ORACLE).collect()}
+    assert len(rows) == 500
+    for doc_id, r in rows.items():
+        url = r["canonical_url"]
+        if "src7.org" in url:
+            assert not r["robots_allowed"]  # blanket disallow
+        if "/cart/" in url and "src7.org" not in url:
+            assert not r["robots_allowed"]
+            assert r["robots_rule"] == "/cart/"
+        if ".com/Docs/page-13" in url:
+            assert r["robots_allowed"]  # longer Allow overrides
+            assert r["robots_rule"] == "/Docs/page-13"
+        elif ".com/Docs/page-1" in url:
+            assert not r["robots_allowed"]  # prefix catches page-10..19
+        if ".org/" in url and "src7.org" not in url and "/cart/" not in url:
+            assert r["robots_allowed"] and r["robots_rule"] is None
