@@ -1137,7 +1137,13 @@ def main() -> None:
         # every lane had already run — the reason r4/r5 bench runs kept
         # dying silently right before the BENCH_DETAIL write)
         "noise": "local[32] wall clock swings ±25% run-to-run; "
-        f"per-query values are best-of-{repeat}",
+        f"per-query values are best-of-{repeat}. r7 measured the envelope "
+        "directly: two clean same-code full runs in one session totaled "
+        "36.2s and 43.2s over the same 35 queries (1.19x), with "
+        "individual queries drawing up to 1.77x worse in the slower run "
+        "(contrastive_negatives 2.07 vs 3.51) — single-run per-query "
+        "drifts under ~1.8x are not evidence of a plan change; compare "
+        "trends across rounds, not draws",
         # The iterative lane's logreg marginal per-iteration cost sits at
         # the fixed job-overhead floor (~0.05-0.15s) at every trend size:
         # one agg over a CACHED 5-column projection is cheaper than job
