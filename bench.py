@@ -62,6 +62,11 @@ HEADLINE = [
     "classifier_eval_metrics",   # frozen-scorer AUC/confusion eval (r4 s4)
     "contrastive_negatives",     # hash-jump negatives + LSH filter (r4 s4)
     "span_dup_coverage",         # ExactSubstr-lite repeated-span union (r5)
+    "span_removal",              # APPLIED ExactSubstr keep-one dedup (r6/r7)
+    "acquisition_chain_profile", # strip->canonicalize->tokenize composed (r7)
+    "warc_acquisition_chain",    # WARC bytes -> records -> the chain (r7)
+    "image_near_dup_pairs",      # dHash + block-pair probe over PNGs (r7)
+    "unigram_token_stats",       # unigram-LM EM train + Viterbi encode (r7)
 ]
 
 
@@ -962,7 +967,9 @@ def main() -> None:
         # iterative queries truncate lineage per round (localCheckpoint),
         # so the final plan's metrics would under-report their per-round
         # shuffles — exclude rather than publish a misleading number
-        skip_shuffle = {"duplicate_clusters"}
+        # (unigram trains EM inside the builder; only its final Viterbi
+        # encode would be metered)
+        skip_shuffle = {"duplicate_clusters", "unigram_token_stats"}
         for name in [h for h in HEADLINE if h not in skip_shuffle]:
             try:
                 df = queries[name](spark, SF_DIR)
