@@ -734,6 +734,91 @@ def acquisition_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# the admission decision, composed (robots ∧ blocklist ∧ URL dedup)
+# --------------------------------------------------------------------------
+
+# Duplicate plant: the standard fixture URLs embed doc_id (and per-doc
+# source hosts), so genuine cross-doc canonical collisions cannot occur
+# in it; every (10k+6)/(10k+8)th doc's canonical is overridden to ONE
+# shared URL to stand in for "two crawls of the same page" — the
+# window-dedup semantics under test are identical.
+_SHARED_URL = "https://shared.org/page-x"
+
+_ADMISSION_SQL = f"""
+WITH pol AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 IN (6, 8) THEN '{_SHARED_URL}'
+                ELSE canonical_url END AS canonical_url,
+           verdict
+    FROM ({_POLICY_FILTER_SQL})
+), rob AS (
+    SELECT doc_id, robots_allowed, robots_rule FROM ({_ROBOTS_FILTER_SQL})
+), ranked AS (
+    SELECT p.doc_id, p.canonical_url, p.verdict,
+           r.robots_allowed, r.robots_rule,
+           row_number() OVER (PARTITION BY p.canonical_url
+                              ORDER BY p.doc_id) AS rk
+    FROM pol p JOIN rob r USING (doc_id)
+)
+SELECT doc_id, canonical_url,
+       CASE WHEN NOT robots_allowed THEN 'robots:' || robots_rule
+            WHEN verdict <> 'ok' THEN verdict
+            WHEN rk > 1 THEN 'duplicate_url'
+            ELSE 'admitted' END AS decision,
+       (robots_allowed AND verdict = 'ok' AND rk = 1) AS admitted
+FROM ranked
+"""
+
+
+@register("crawl_admission_report", oracle=_ADMISSION_SQL, driver=False)
+def crawl_admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gates COMPOSED into one auditable admission decision per URL
+    — the row a crawl frontier actually acts on: robots first (politeness
+    is non-negotiable), then the operator blocklist, then canonical-URL
+    dedup (first doc_id per canonical URL wins — the frontier's
+    first-seen rule). Every row keeps its reason string; `admitted` is
+    the single boolean the fetcher consumes. One window on
+    canonical_url beyond the gates' own (zero-shuffle + broadcast)
+    work; the DuckDB oracle composes the same three stages."""
+    pol = acquisition_policy_filter(spark, sf_dir).withColumn(
+        "canonical_url",
+        F.when(
+            F.col("doc_id") % 10 == 6, F.lit(_SHARED_URL)
+        )
+        .when(F.col("doc_id") % 10 == 8, F.lit(_SHARED_URL))
+        .otherwise(F.col("canonical_url")),
+    )
+    rob = robots_policy_filter(spark, sf_dir).select(
+        "doc_id", "robots_allowed", "robots_rule"
+    )
+    from pyspark.sql import Window
+
+    ranked = pol.join(rob, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("canonical_url").orderBy("doc_id")
+        ),
+    )
+    return ranked.select(
+        "doc_id",
+        "canonical_url",
+        F.when(
+            ~F.col("robots_allowed"),
+            F.concat(F.lit("robots:"), F.col("robots_rule")),
+        )
+        .when(F.col("verdict") != "ok", F.col("verdict"))
+        .when(F.col("rk") > 1, F.lit("duplicate_url"))
+        .otherwise(F.lit("admitted"))
+        .alias("decision"),
+        (
+            F.col("robots_allowed")
+            & (F.col("verdict") == "ok")
+            & (F.col("rk") == 1)
+        ).alias("admitted"),
+    )
+
+
 @register("acquisition_chain_rollup", oracle=_CHAIN_ROLLUP_SQL, driver=False)
 def acquisition_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-domain acquisition report over the COMPOSED chain: doc

@@ -78,6 +78,7 @@ from cc_mapreducer_spark.operators.spans import (
     span_removal_l32,
 )
 from cc_mapreducer_spark.operators.acquisition import (
+    _ADMISSION_SQL,
     _CHAIN_DOC_SQL,
     _CHAIN_ROLLUP_SQL,
     _DOMAIN_ROLLUP_SQL,
@@ -88,6 +89,7 @@ from cc_mapreducer_spark.operators.acquisition import (
     acquisition_chain_profile,
     acquisition_chain_rollup,
     acquisition_policy_filter,
+    crawl_admission_report,
     domain_acquisition_rollup,
     html_strip_stats,
     robots_policy_filter,
@@ -412,6 +414,10 @@ UNION ALL
 SELECT 'robots', CAST(doc_id AS VARCHAR) || '|' || coalesce(robots_rule, '-'),
        CAST(CAST(robots_allowed AS INT) AS DOUBLE)
 FROM ({_ROBOTS_FILTER_SQL})
+UNION ALL
+SELECT 'admit', CAST(doc_id AS VARCHAR) || '|' || decision,
+       CAST(CAST(admitted AS INT) AS DOUBLE)
+FROM ({_ADMISSION_SQL})
 """
 
 
@@ -470,6 +476,7 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     warc = warc_response_stats(spark, sf_dir)
     policy = acquisition_policy_filter(spark, sf_dir)
     robots = robots_policy_filter(spark, sf_dir)
+    admit = crawl_admission_report(spark, sf_dir)
     return _union(
         [
             _leg(tfidf, "tfidf", tfidf_ent, F.col("score")),
@@ -585,6 +592,12 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "|", "doc_id", F.coalesce("robots_rule", F.lit("-"))
                 ),
                 F.col("robots_allowed").cast("int"),
+            ),
+            _leg(
+                admit,
+                "admit",
+                F.concat_ws("|", "doc_id", "decision"),
+                F.col("admitted").cast("int"),
             ),
         ]
     )

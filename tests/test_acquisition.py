@@ -265,3 +265,33 @@ def test_robots_filter_rep_semantics(spark):
             assert not r["robots_allowed"]  # prefix catches page-10..19
         if ".org/" in url and "src7.org" not in url and "/cart/" not in url:
             assert r["robots_allowed"] and r["robots_rule"] is None
+
+
+def test_admission_composes_gates_with_precedence(spark):
+    """The composed admission decision: robots first (so a /cart/ URL
+    reports the robots rule, not the blocklist), then the operator
+    blocklist, then first-seen canonical dedup; exactly one admitted
+    row per shared canonical URL; admitted == (all gates pass)."""
+    from cc_mapreducer_spark.operators.acquisition import (
+        _SHARED_URL,
+        crawl_admission_report,
+    )
+
+    rows = crawl_admission_report(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    by_dec: dict = {}
+    for r in rows:
+        by_dec.setdefault(r["decision"].split(":")[0], []).append(r)
+        assert r["admitted"] == (r["decision"] == "admitted")
+    assert set(by_dec) >= {"admitted", "robots", "duplicate_url", "blocked_domain"}
+    # robots precedence: every /cart/ URL (also a blocklist path hit)
+    # reports the robots rule
+    for r in rows:
+        if "/cart/" in r["canonical_url"] and "src7.org" not in r["canonical_url"]:
+            assert r["decision"] == "robots:/cart/"
+    # exactly one admitted row among the shared-URL duplicates
+    shared = [r for r in rows if r["canonical_url"] == _SHARED_URL]
+    assert len(shared) > 50
+    winners = [r for r in shared if r["admitted"]]
+    assert len(winners) == 1
+    assert winners[0]["doc_id"] == min(r["doc_id"] for r in shared)
