@@ -605,14 +605,20 @@ def robots_allowed(
             " r.prefix)), x -> length(x.prefix))) AND r.allow)"
         )
     )
+    # winner = lexicographically-smallest prefix among the longest matches
+    # (not element [0] of the filtered array: collect_list order is
+    # non-deterministic, and real robots.txt files may legally repeat a
+    # prefix with opposite verdicts — array_min is order-free and matches
+    # the oracle's list_aggregate('min') exactly)
     win = F.when(
         F.col("__rules").isNotNull() & (F.size(matched) > 0),
         F.expr(
+            "array_min(transform("
             "filter(filter(__rules, r -> startswith(__path, r.prefix)),"
             " r -> length(r.prefix) = "
             "array_max(transform(filter(__rules, r -> startswith(__path,"
-            " r.prefix)), x -> length(x.prefix))))"
-        )[0]["prefix"],
+            " r.prefix)), x -> length(x.prefix)))), x -> x.prefix))"
+        ),
     )
     _ = mx  # (kept for readability above; inlined in the expressions)
     return joined.select(
@@ -664,8 +670,10 @@ SELECT doc_id, canonical_url,
                      list_max(list_transform(m, x -> len(x.prefix)))
                      AND r.allow)) > 0 END AS robots_allowed,
        CASE WHEN len(m) = 0 THEN NULL
-            ELSE list_filter(m, r -> len(r.prefix) =
-                     list_max(list_transform(m, x -> len(x.prefix))))[1].prefix
+            ELSE list_aggregate(list_transform(
+                     list_filter(m, r -> len(r.prefix) =
+                         list_max(list_transform(m, x -> len(x.prefix)))),
+                     x -> x.prefix), 'min')
             END AS robots_rule
 FROM matched
 """

@@ -267,6 +267,39 @@ def test_robots_filter_rep_semantics(spark):
             assert r["robots_allowed"] and r["robots_rule"] is None
 
 
+def test_robots_rule_deterministic_on_equal_length_ties(spark):
+    """ADVICE r7: real robots.txt files may legally carry two matching
+    prefixes of EQUAL length (even the same prefix with opposite
+    verdicts). The winner column must not depend on collect_list order:
+    robots_rule is the lexicographically-smallest prefix among the
+    longest matches, and allow still wins the decision on the tie."""
+    from cc_mapreducer_spark.operators.acquisition import robots_allowed
+
+    canon = spark.createDataFrame(
+        [
+            (1, "https://ex.com/abc/page", "ex.com"),
+            (2, "https://ex.com/xyz/page", "ex.com"),
+        ],
+        "doc_id long, canonical_url string, domain string",
+    )
+    rules = spark.createDataFrame(
+        [
+            # equal-length tie, opposite verdicts, on BOTH paths
+            ("ex.com", "/abc/", False),
+            ("ex.com", "/abc/", True),
+            ("ex.com", "/xyz/", False),
+            ("ex.com", "/xyw/", True),  # same length, non-matching
+        ],
+        "domain string, prefix string, allow boolean",
+    )
+    for _ in range(3):  # repeated evaluation must agree (order-free expr)
+        rows = {r["doc_id"]: r for r in robots_allowed(canon, rules).collect()}
+        assert rows[1]["robots_allowed"] is True  # allow wins the tie
+        assert rows[1]["robots_rule"] == "/abc/"
+        assert rows[2]["robots_allowed"] is False
+        assert rows[2]["robots_rule"] == "/xyz/"
+
+
 def test_admission_composes_gates_with_precedence(spark):
     """The composed admission decision: robots first (so a /cart/ URL
     reports the robots rule, not the blocklist), then the operator
