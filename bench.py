@@ -853,9 +853,16 @@ def suite_leg_timings(spark) -> dict:
     from cc_mapreducer_spark.operators.acquisition import (
         acquisition_chain_profile,
         acquisition_chain_rollup,
+        acquisition_policy_filter,
+        crawl_admission_report,
         domain_acquisition_rollup,
         html_strip_stats,
+        robots_policy_filter,
         url_canonical_stats,
+    )
+    from cc_mapreducer_spark.operators.warc_ingest import (
+        warc_acquisition_chain,
+        warc_response_stats,
     )
     from cc_mapreducer_spark.operators.graph import item_triangle_stats
     from cc_mapreducer_spark.operators.multimodal import adpcm_codec_stats
@@ -884,11 +891,18 @@ def suite_leg_timings(spark) -> dict:
             "span_removal_l32": span_removal_l32,
             "span_decontamination": span_decontamination,
             "dedup_rate_by_source": dedup_rate_by_source,
+        },
+        "acquisition_suite": {
             "html_strip_stats": html_strip_stats,
             "url_canonical_stats": url_canonical_stats,
             "domain_acquisition_rollup": domain_acquisition_rollup,
             "acquisition_chain_profile": acquisition_chain_profile,
             "acquisition_chain_rollup": acquisition_chain_rollup,
+            "warc_response_stats": warc_response_stats,
+            "warc_acquisition_chain": warc_acquisition_chain,
+            "acquisition_policy_filter": acquisition_policy_filter,
+            "robots_policy_filter": robots_policy_filter,
+            "crawl_admission_report": crawl_admission_report,
         },
     }
     out: dict = {}

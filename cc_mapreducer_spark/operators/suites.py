@@ -97,6 +97,7 @@ from cc_mapreducer_spark.operators.acquisition import (
 )
 from cc_mapreducer_spark.operators.warc_ingest import (
     _WARC_STATS_SQL,
+    warc_acquisition_chain,
     warc_response_stats,
 )
 
@@ -357,67 +358,6 @@ UNION ALL
 SELECT 'removal32:h', CAST(doc_id AS VARCHAR),
        CAST(('0x' || substr(md5(cleaned_text), 1, 12))::BIGINT AS DOUBLE)
 FROM ({_SPAN_REMOVAL_L32_SQL})
-UNION ALL
-SELECT 'html:h', CAST(doc_id AS VARCHAR), CAST(clean_h AS DOUBLE)
-FROM ({_HTML_STRIP_SQL})
-UNION ALL
-SELECT 'html:len', CAST(doc_id AS VARCHAR), CAST(n_chars_clean AS DOUBLE)
-FROM ({_HTML_STRIP_SQL})
-UNION ALL
-SELECT 'html:tags', CAST(doc_id AS VARCHAR), CAST(n_tags AS DOUBLE)
-FROM ({_HTML_STRIP_SQL})
-UNION ALL
-SELECT 'url:canon', CAST(doc_id AS VARCHAR) || '|' || canonical_url,
-       CAST(n_params AS DOUBLE) FROM ({_URL_CANON_SQL})
-UNION ALL
-SELECT 'domain:docs', domain, CAST(n_docs AS DOUBLE)
-FROM ({_DOMAIN_ROLLUP_SQL})
-UNION ALL
-SELECT 'domain:dups', domain, CAST(n_dup_docs AS DOUBLE)
-FROM ({_DOMAIN_ROLLUP_SQL})
-UNION ALL
-SELECT 'domain:tokens', domain, CAST(tokens_total AS DOUBLE)
-FROM ({_DOMAIN_ROLLUP_SQL})
-UNION ALL
-SELECT 'domain:frac', domain, dup_doc_frac
-FROM ({_DOMAIN_ROLLUP_SQL})
-UNION ALL
-SELECT 'chain:h', CAST(doc_id AS VARCHAR) || '|' || domain || '|' || canonical_url,
-       CAST(clean_h AS DOUBLE) FROM ({_CHAIN_DOC_SQL})
-UNION ALL
-SELECT 'chain:tok', CAST(doc_id AS VARCHAR), CAST(n_tokens AS DOUBLE)
-FROM ({_CHAIN_DOC_SQL})
-UNION ALL
-SELECT 'chain:utok', CAST(doc_id AS VARCHAR), CAST(n_distinct_tokens AS DOUBLE)
-FROM ({_CHAIN_DOC_SQL})
-UNION ALL
-SELECT 'chaindom:docs', domain, CAST(n_docs AS DOUBLE)
-FROM ({_CHAIN_ROLLUP_SQL})
-UNION ALL
-SELECT 'chaindom:tokens', domain, CAST(tokens_total AS DOUBLE)
-FROM ({_CHAIN_ROLLUP_SQL})
-UNION ALL
-SELECT 'chaindom:frac', domain, dup_doc_frac
-FROM ({_CHAIN_ROLLUP_SQL})
-UNION ALL
-SELECT 'warc:h', CAST(doc_id AS VARCHAR) || '|' || target_uri,
-       CAST(body_h AS DOUBLE) FROM ({_WARC_STATS_SQL})
-UNION ALL
-SELECT 'warc:len', CAST(doc_id AS VARCHAR), CAST(block_len AS DOUBLE)
-FROM ({_WARC_STATS_SQL})
-UNION ALL
-SELECT 'policy', CAST(doc_id AS VARCHAR) || '|' || verdict,
-       CAST(CASE verdict WHEN 'ok' THEN 0
-            WHEN 'blocked_domain' THEN 1 ELSE 2 END AS DOUBLE)
-FROM ({_POLICY_FILTER_SQL})
-UNION ALL
-SELECT 'robots', CAST(doc_id AS VARCHAR) || '|' || coalesce(robots_rule, '-'),
-       CAST(CAST(robots_allowed AS INT) AS DOUBLE)
-FROM ({_ROBOTS_FILTER_SQL})
-UNION ALL
-SELECT 'admit', CAST(doc_id AS VARCHAR) || '|' || decision,
-       CAST(CAST(admitted AS INT) AS DOUBLE)
-FROM ({_ADMISSION_SQL})
 """
 
 
@@ -430,10 +370,9 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives (contrastive.py), and — round 5 — the ExactSubstr span
     family (per-doc duplicate-span coverage + GPT-3-style span
     decontamination, spans.py) and per-source dedup telemetry
-    (dedup.py), plus — round 6 — the acquisition family
-    (acquisition.py: HTML strip with a content-pinning hash, URL
-    canonicalization with the full canonical string in the entity, and
-    the per-domain rollup): all driver-hashed from their debut round."""
+    (dedup.py). The acquisition/WARC legs that rode here in rounds 6-7
+    moved to their own ``acquisition_suite`` in round 8 (roster
+    rotation): this digest is the text-mining family only."""
     tfidf = tfidf_doc_keywords(spark, sf_dir)
     tfidf_ent = F.concat_ws("|", "doc_id", "rank", "word")
     ev = classifier_eval_metrics(spark, sf_dir)
@@ -468,15 +407,6 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = dedup_rate_by_source(spark, sf_dir)
     rem = span_removal(spark, sf_dir)
     rem32 = span_removal_l32(spark, sf_dir)
-    html = html_strip_stats(spark, sf_dir)
-    url = url_canonical_stats(spark, sf_dir)
-    dom = domain_acquisition_rollup(spark, sf_dir)
-    chain = acquisition_chain_profile(spark, sf_dir)
-    chain_dom = acquisition_chain_rollup(spark, sf_dir)
-    warc = warc_response_stats(spark, sf_dir)
-    policy = acquisition_policy_filter(spark, sf_dir)
-    robots = robots_policy_filter(spark, sf_dir)
-    admit = crawl_admission_report(spark, sf_dir)
     return _union(
         [
             _leg(tfidf, "tfidf", tfidf_ent, F.col("score")),
@@ -541,6 +471,121 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "double"
                 ),
             ),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# acquisition_suite: the crawl-to-corpus family as its own driver digest
+# (round 8 roster rotation — these legs debuted inside mining_suite in
+# rounds 6-7; the WARC-chain legs are new here)
+# ---------------------------------------------------------------------------
+
+_ACQUISITION_SUITE_SQL = f"""
+SELECT 'html:h' AS component, CAST(doc_id AS VARCHAR) AS entity,
+       CAST(clean_h AS DOUBLE) AS value
+FROM ({_HTML_STRIP_SQL})
+UNION ALL
+SELECT 'html:len', CAST(doc_id AS VARCHAR), CAST(n_chars_clean AS DOUBLE)
+FROM ({_HTML_STRIP_SQL})
+UNION ALL
+SELECT 'html:tags', CAST(doc_id AS VARCHAR), CAST(n_tags AS DOUBLE)
+FROM ({_HTML_STRIP_SQL})
+UNION ALL
+SELECT 'url:canon', CAST(doc_id AS VARCHAR) || '|' || canonical_url,
+       CAST(n_params AS DOUBLE) FROM ({_URL_CANON_SQL})
+UNION ALL
+SELECT 'domain:docs', domain, CAST(n_docs AS DOUBLE)
+FROM ({_DOMAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'domain:dups', domain, CAST(n_dup_docs AS DOUBLE)
+FROM ({_DOMAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'domain:tokens', domain, CAST(tokens_total AS DOUBLE)
+FROM ({_DOMAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'domain:frac', domain, dup_doc_frac
+FROM ({_DOMAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'chain:h', CAST(doc_id AS VARCHAR) || '|' || domain || '|' || canonical_url,
+       CAST(clean_h AS DOUBLE) FROM ({_CHAIN_DOC_SQL})
+UNION ALL
+SELECT 'chain:tok', CAST(doc_id AS VARCHAR), CAST(n_tokens AS DOUBLE)
+FROM ({_CHAIN_DOC_SQL})
+UNION ALL
+SELECT 'chain:utok', CAST(doc_id AS VARCHAR), CAST(n_distinct_tokens AS DOUBLE)
+FROM ({_CHAIN_DOC_SQL})
+UNION ALL
+SELECT 'chaindom:docs', domain, CAST(n_docs AS DOUBLE)
+FROM ({_CHAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'chaindom:tokens', domain, CAST(tokens_total AS DOUBLE)
+FROM ({_CHAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'chaindom:frac', domain, dup_doc_frac
+FROM ({_CHAIN_ROLLUP_SQL})
+UNION ALL
+SELECT 'warc:h', CAST(doc_id AS VARCHAR) || '|' || target_uri,
+       CAST(body_h AS DOUBLE) FROM ({_WARC_STATS_SQL})
+UNION ALL
+SELECT 'warc:len', CAST(doc_id AS VARCHAR), CAST(block_len AS DOUBLE)
+FROM ({_WARC_STATS_SQL})
+UNION ALL
+SELECT 'warc:clen', CAST(doc_id AS VARCHAR), CAST(content_len AS DOUBLE)
+FROM ({_WARC_STATS_SQL})
+UNION ALL
+SELECT 'warc:status', CAST(doc_id AS VARCHAR), CAST(http_status AS DOUBLE)
+FROM ({_WARC_STATS_SQL})
+UNION ALL
+SELECT 'warcchain:h', CAST(doc_id AS VARCHAR) || '|' || domain || '|' || canonical_url,
+       CAST(clean_h AS DOUBLE) FROM ({_CHAIN_DOC_SQL})
+UNION ALL
+SELECT 'warcchain:tok', CAST(doc_id AS VARCHAR), CAST(n_tokens AS DOUBLE)
+FROM ({_CHAIN_DOC_SQL})
+UNION ALL
+SELECT 'warcchain:utok', CAST(doc_id AS VARCHAR), CAST(n_distinct_tokens AS DOUBLE)
+FROM ({_CHAIN_DOC_SQL})
+UNION ALL
+SELECT 'policy', CAST(doc_id AS VARCHAR) || '|' || verdict,
+       CAST(CASE verdict WHEN 'ok' THEN 0
+            WHEN 'blocked_domain' THEN 1 ELSE 2 END AS DOUBLE)
+FROM ({_POLICY_FILTER_SQL})
+UNION ALL
+SELECT 'robots', CAST(doc_id AS VARCHAR) || '|' || coalesce(robots_rule, '-'),
+       CAST(CAST(robots_allowed AS INT) AS DOUBLE)
+FROM ({_ROBOTS_FILTER_SQL})
+UNION ALL
+SELECT 'admit', CAST(doc_id AS VARCHAR) || '|' || decision,
+       CAST(CAST(admitted AS INT) AS DOUBLE)
+FROM ({_ADMISSION_SQL})
+"""
+
+
+@register("acquisition_suite", oracle=_ACQUISITION_SUITE_SQL)
+def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver digest of the acquisition family (acquisition.py,
+    warc_ingest.py): HTML strip with a content-pinning hash, URL
+    canonicalization, the per-domain rollup, the composed
+    strip->canonicalize->tokenize chain (per-doc and per-domain), the
+    WARC round-trip witnesses (body hash, block/content byte geometry,
+    HTTP status), the crawl-policy and robots.txt gates, and the
+    composed admission decision. The ``warcchain:*`` legs run the WARC
+    path (bytes -> response records -> the chain) against the SAME
+    oracle SQL as the batch chain — hashing green means the container
+    round trip is a semantic no-op end to end, per-value."""
+    html = html_strip_stats(spark, sf_dir)
+    url = url_canonical_stats(spark, sf_dir)
+    dom = domain_acquisition_rollup(spark, sf_dir)
+    chain = acquisition_chain_profile(spark, sf_dir)
+    chain_dom = acquisition_chain_rollup(spark, sf_dir)
+    warc = warc_response_stats(spark, sf_dir)
+    wchain = warc_acquisition_chain(spark, sf_dir)
+    policy = acquisition_policy_filter(spark, sf_dir)
+    robots = robots_policy_filter(spark, sf_dir)
+    admit = crawl_admission_report(spark, sf_dir)
+    chain_ent = F.concat_ws("|", "doc_id", "domain", "canonical_url")
+    return _union(
+        [
             _leg(html, "html:h", F.col("doc_id"), F.col("clean_h")),
             _leg(html, "html:len", F.col("doc_id"), F.col("n_chars_clean")),
             _leg(html, "html:tags", F.col("doc_id"), F.col("n_tags")),
@@ -577,6 +622,16 @@ def mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("body_h"),
             ),
             _leg(warc, "warc:len", F.col("doc_id"), F.col("block_len")),
+            _leg(warc, "warc:clen", F.col("doc_id"), F.col("content_len")),
+            _leg(warc, "warc:status", F.col("doc_id"), F.col("http_status")),
+            _leg(wchain, "warcchain:h", chain_ent, F.col("clean_h")),
+            _leg(wchain, "warcchain:tok", F.col("doc_id"), F.col("n_tokens")),
+            _leg(
+                wchain,
+                "warcchain:utok",
+                F.col("doc_id"),
+                F.col("n_distinct_tokens"),
+            ),
             _leg(
                 policy,
                 "policy",

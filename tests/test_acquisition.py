@@ -1,7 +1,7 @@
 """Acquisition-side operators (operators/acquisition.py): planted
 messy-HTML / messy-URL fixtures with exact expected outputs, plus shape
-checks of the registered fixture queries. DuckDB hash parity of all
-three registered queries (and their mining_suite legs) is covered by
+checks of the registered fixture queries. DuckDB hash parity of the
+registered queries (and their acquisition_suite legs) is covered by
 tests/test_oracle_parity.py like every other oracle-backed key."""
 
 from __future__ import annotations
