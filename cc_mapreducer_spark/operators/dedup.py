@@ -420,7 +420,7 @@ def _simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", word("hi"), word("lo"))
 
 
-@register("simhash_fingerprint", oracle=_SIMHASH_SQL)
+@register("simhash_fingerprint", oracle=_SIMHASH_SQL, driver=False)  # hashed via simhash_suite
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint, rendered as 16 lowercase hex chars.
 
@@ -454,7 +454,7 @@ WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
 _BLOCK_PAIRS = [(i, j) for i in range(8) for j in range(i + 1, 8)]
 
 
-@register("simhash_near_pairs", oracle=_SIMHASH_PAIRS_SQL)
+@register("simhash_near_pairs", oracle=_SIMHASH_PAIRS_SQL, driver=False)  # hashed via simhash_suite
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs within Hamming distance 6 on the 64-bit SimHash,
     found by exact multi-probe blocking (Manku/Das Sarma/Sarawagi-style,

@@ -360,7 +360,7 @@ GROUP BY 1
 """
 
 
-@register("multimodal_binary_stats", oracle=_BINARY_STATS_SQL)
+@register("multimodal_binary_stats", oracle=_BINARY_STATS_SQL, driver=False)  # hashed via multimodal_suite
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only scan over the media table: per media type, payload
     counts/sizes and distinct-content counts — the query pattern that must
@@ -507,7 +507,7 @@ def _derive_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register("multimodal_derived", oracle=_DERIVED_SQL)
+@register("multimodal_derived", oracle=_DERIVED_SQL, driver=False)  # hashed via multimodal_suite
 def multimodal_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union of the Arrow-batched media derivation stages, every
     field read from REAL container bytes and hash-checked against a DuckDB

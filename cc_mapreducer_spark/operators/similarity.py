@@ -154,7 +154,7 @@ FROM ranked WHERE rn <= {_TOPK}
 """
 
 
-@register("similarity_topk_bruteforce", oracle=_BRUTE_SQL)
+@register("similarity_topk_bruteforce", oracle=_BRUTE_SQL, driver=False)  # hashed via similarity_suite
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine: the query matrix rides into a mapInPandas scan
     of the corpus (one numpy matmul per Arrow batch, zero data shuffle),
@@ -302,7 +302,7 @@ FROM ranked WHERE rn <= {_TOPK}
 """
 
 
-@register("similarity_topk_signlsh", oracle=_ANN_SQL)
+@register("similarity_topk_signlsh", oracle=_ANN_SQL, driver=False)  # hashed via similarity_suite
 def similarity_topk_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane sign-LSH:
     _N_TABLES tables of _BITS_PER_TABLE seeded Gaussian projections each.

@@ -65,7 +65,23 @@ from cc_mapreducer_spark.operators.contrastive import (
 )
 from cc_mapreducer_spark.operators.dedup import (
     _DEDUP_RATE_SQL,
+    _SIMHASH_PAIRS_SQL,
+    _SIMHASH_SQL,
     dedup_rate_by_source,
+    simhash_fingerprint,
+    simhash_near_pairs,
+)
+from cc_mapreducer_spark.operators.similarity import (
+    _ANN_SQL,
+    _BRUTE_SQL,
+    similarity_topk_bruteforce,
+    similarity_topk_signlsh,
+)
+from cc_mapreducer_spark.operators.multimodal import (
+    _BINARY_STATS_SQL,
+    _DERIVED_SQL,
+    multimodal_binary_stats,
+    multimodal_derived,
 )
 from cc_mapreducer_spark.operators.spans import (
     _SPAN_DECONTAM_SQL,
@@ -654,5 +670,159 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws("|", "doc_id", "decision"),
                 F.col("admitted").cast("int"),
             ),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash_suite / similarity_suite / multimodal_suite (round 8 roster
+# rotation): each merges two driver singles into one digest key with
+# every value still hashed, freeing roster slots for the round-7
+# families (acquisition_suite, image_dedup_suite, binary_dedup_suite).
+# The singles stay registered driver=False with their full schemas.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SUITE_SQL = f"""
+SELECT 'fp' AS component,
+       CAST(doc_id AS VARCHAR) || '|' || simhash AS entity,
+       1.0 AS value
+FROM ({_SIMHASH_SQL})
+UNION ALL
+SELECT 'pair', CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR),
+       CAST(hamming AS DOUBLE)
+FROM ({_SIMHASH_PAIRS_SQL})
+"""
+
+
+@register("simhash_suite", oracle=_SIMHASH_SUITE_SQL)
+def simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver digest of the SimHash family (dedup.py): every document's
+    64-bit fingerprint (hex, carried in the entity so all 64 bits land
+    in the hash) plus every near-dup pair within Hamming radius 6 with
+    its exact distance — the pair oracle is the brute-force all-pairs
+    spec, so a green hash proves the block-pair probe drops nothing."""
+    fp = simhash_fingerprint(spark, sf_dir)
+    pairs = simhash_near_pairs(spark, sf_dir)
+    return _union(
+        [
+            _leg(
+                fp, "fp", F.concat_ws("|", "doc_id", "simhash"), F.lit(1.0)
+            ),
+            _leg(
+                pairs,
+                "pair",
+                F.concat_ws("|", "doc_a", "doc_b"),
+                F.col("hamming"),
+            ),
+        ]
+    )
+
+
+_SIMILARITY_SUITE_SQL = f"""
+SELECT 'brute' AS component,
+       CAST(query_id AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)
+         || '|' || CAST(rn AS VARCHAR) AS entity,
+       cosine AS value
+FROM ({_BRUTE_SQL})
+UNION ALL
+SELECT 'lsh', CAST(query_id AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)
+         || '|' || CAST(rn AS VARCHAR),
+       cosine
+FROM ({_ANN_SQL})
+"""
+
+
+@register("similarity_suite", oracle=_SIMILARITY_SUITE_SQL)
+def similarity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver digest of the embedding top-k family (similarity.py): the
+    exact brute-force ranking and the multi-table sign-LSH ranking, each
+    with (query, neighbor, rank) in the entity and the rounded cosine as
+    the value — both oracles unchanged from the former singles."""
+    brute = similarity_topk_bruteforce(spark, sf_dir)
+    lsh = similarity_topk_signlsh(spark, sf_dir)
+    ent = F.concat_ws("|", "query_id", "vec_id", "rn")
+    return _union(
+        [
+            _leg(brute, "brute", ent, F.col("cosine")),
+            _leg(lsh, "lsh", ent, F.col("cosine")),
+        ]
+    )
+
+
+# Derived-media legs: one leg per decoded metric over ALL rows, nulls
+# coalesced to -1 on both sides (a PNG has no sample_rate, a decoded row
+# has no frame_idx) so no filter can silently drop a row from the hash.
+_MULTIMODAL_SUITE_SQL = f"""
+SELECT 'bin:items' AS component, media_type AS entity,
+       CAST(n_items AS DOUBLE) AS value FROM ({_BINARY_STATS_SQL})
+UNION ALL
+SELECT 'bin:bytes', media_type, CAST(total_bytes AS DOUBLE)
+FROM ({_BINARY_STATS_SQL})
+UNION ALL
+SELECT 'bin:maxb', media_type, CAST(max_bytes AS DOUBLE)
+FROM ({_BINARY_STATS_SQL})
+UNION ALL
+SELECT 'bin:uniq', media_type, CAST(n_distinct_payloads AS DOUBLE)
+FROM ({_BINARY_STATS_SQL})
+UNION ALL
+SELECT 'drv:' || metric,
+       CAST(doc_id AS VARCHAR) || '|' || kind || '|' || media_type
+         || '|' || CAST(coalesce(frame_idx, -1) AS VARCHAR),
+       value
+FROM (
+    SELECT doc_id, kind, media_type, frame_idx,
+           CAST(coalesce(width, -1) AS DOUBLE) AS w,
+           CAST(coalesce(height, -1) AS DOUBLE) AS h,
+           CAST(coalesce(channels, -1) AS DOUBLE) AS ch,
+           CAST(coalesce(sample_rate, -1) AS DOUBLE) AS sr,
+           CAST(coalesce(n_samples, -1) AS DOUBLE) AS ns,
+           CAST(coalesce(duration_ms, -1) AS DOUBLE) AS dur,
+           CAST(coalesce(frame_len, -1) AS DOUBLE) AS flen
+    FROM ({_DERIVED_SQL})
+) UNPIVOT (value FOR metric IN (w, h, ch, sr, ns, dur, flen))
+"""
+
+
+@register("multimodal_suite", oracle=_MULTIMODAL_SUITE_SQL)
+def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver digest of the multimodal container family (multimodal.py):
+    the metadata-only binary stats rollup and every field of the
+    Arrow-batched decode/frame-sample derivation (header geometry read
+    out of REAL container bytes; the oracle re-derives each value from
+    the generation formulas alone) — both former singles' oracles
+    unchanged, merged long-form."""
+    stats = multimodal_binary_stats(spark, sf_dir)
+    drv = multimodal_derived(spark, sf_dir)
+    ent = F.concat_ws(
+        "|",
+        "doc_id",
+        "kind",
+        "media_type",
+        F.coalesce(F.col("frame_idx"), F.lit(-1)),
+    )
+
+    def m(tag: str, col: str) -> DataFrame:
+        return _leg(
+            drv, f"drv:{tag}", ent, F.coalesce(F.col(col), F.lit(-1))
+        )
+
+    return _union(
+        [
+            _leg(stats, "bin:items", F.col("media_type"), F.col("n_items")),
+            _leg(stats, "bin:bytes", F.col("media_type"), F.col("total_bytes")),
+            _leg(stats, "bin:maxb", F.col("media_type"), F.col("max_bytes")),
+            _leg(
+                stats,
+                "bin:uniq",
+                F.col("media_type"),
+                F.col("n_distinct_payloads"),
+            ),
+            m("w", "width"),
+            m("h", "height"),
+            m("ch", "channels"),
+            m("sr", "sample_rate"),
+            m("ns", "n_samples"),
+            m("dur", "duration_ms"),
+            m("flen", "frame_len"),
         ]
     )

@@ -45,6 +45,7 @@ ALLOWED_PYTHON_EVAL = {
     # interpreted HOF fold — see operators/similarity.py module docstring)
     "similarity_topk_bruteforce",
     "similarity_topk_signlsh",
+    "similarity_suite",  # digest of the two Arrow-batched legs above
     "near_dup_embeddings",
     "semantic_dedup_embeddings",  # same Arrow-batched cosine kernel as near_dup
     # PQ serving path: ADC LUT scan + exact re-rank are Arrow-batched
