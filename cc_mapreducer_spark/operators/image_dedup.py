@@ -333,3 +333,141 @@ def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", F.col("img_id")) == F.col("img_id")
         ).alias("is_keeper"),
     )
+
+
+# --------------------------------------------------------------------------
+# driver digest: the whole family, hash-checked cross-engine (round 8)
+# --------------------------------------------------------------------------
+
+# The r7 keys above are replica-pinned but were rows-only for the driver
+# ("no SQL engine can inflate zlib"). That undersold the fixture: the
+# PIXELS are closed-form (base_image: p(y,x) = text_byte[(x+y) mod L] on
+# a (16+doc_id%9) x (16+n_chars%17) raster; the edited variant bumps one
+# known pixel), and dHash is pure integer arithmetic on those pixels —
+# so DuckDB can re-derive every fingerprint bit from `documents` alone,
+# brute-force the pair set (the semantic spec: blocking must equal
+# all-pairs), and resolve components with the recursive-CTE pattern of
+# duplicate_clusters' oracle. Spark reads pixels out of REAL encoded
+# PNG bytes; a green hash therefore proves encode -> decode -> resample
+# -> hash -> block-probe -> cluster, end to end, per value. Dims bound
+# the constant-range scan: w <= 32, h <= 24 by the generation formulas
+# (same trick as multimodal's _CODEC_STATS_SQL).
+_IMAGE_SUITE_SQL = """
+WITH RECURSIVE imgs AS (
+    SELECT doc_id, text, length(text) AS L,
+           16 + (n_chars % 17) AS w, 16 + (doc_id % 9) AS h
+    FROM documents WHERE length(text) > 0
+), variants AS (
+    SELECT doc_id * 10 AS img_id, doc_id, 'base' AS variant,
+           w, h, text, L, false AS edited FROM imgs
+    UNION ALL
+    SELECT doc_id * 10 + 1, doc_id, 'recompress', w, h, text, L, false
+    FROM imgs WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id * 10 + 2, doc_id, 'edited', w, h, text, L, true
+    FROM imgs WHERE doc_id % 10 = 5
+), px AS (
+    SELECT img_id, doc_id, variant, w, h,
+           (8 * y.k + 7) // h AS j,
+           (9 * x.k + 8) // w AS i,
+           CASE WHEN edited AND y.k = doc_id % h AND x.k = doc_id % w
+                THEN least(255, ord(substr(text, CAST((x.k + y.k) % L AS INTEGER) + 1, 1)) + 16)
+                ELSE ord(substr(text, CAST((x.k + y.k) % L AS INTEGER) + 1, 1)) END AS p
+    FROM variants, range(0, 32) x(k), range(0, 24) y(k)
+    WHERE x.k < w AND y.k < h
+), cells AS (
+    SELECT img_id, doc_id, variant, w, h, j, i,
+           CAST(sum(p) AS BIGINT)
+             // ( (((j + 1) * h // 8) - (j * h // 8))
+                * (((i + 1) * w // 9) - (i * w // 9)) ) AS cell
+    FROM px GROUP BY img_id, doc_id, variant, w, h, j, i
+), bits AS (
+    SELECT img_id, doc_id, variant, j, i, cell,
+           lead(cell) OVER (PARTITION BY img_id, j ORDER BY i) AS nxt
+    FROM cells
+), dh AS (
+    SELECT img_id, doc_id, variant,
+           sum(CASE WHEN i < 8 AND cell < nxt
+                    THEN CAST(power(2, j * 8 + i) AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END) AS u
+    FROM bits GROUP BY img_id, doc_id, variant
+), fp AS (
+    SELECT img_id, doc_id, variant,
+           CAST(CASE WHEN u >= CAST(power(2, 63) AS HUGEINT)
+                     THEN u - CAST(power(2, 64) AS HUGEINT)
+                     ELSE u END AS BIGINT) AS dhash
+    FROM dh
+), prs AS (
+    SELECT a.img_id AS img_a, b.img_id AS img_b,
+           bit_count(xor(a.dhash, b.dhash)) AS hamming
+    FROM fp a JOIN fp b ON a.img_id < b.img_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+), bi AS (
+    SELECT img_a AS a, img_b AS b FROM prs UNION SELECT img_b, img_a FROM prs
+), reach(n, m) AS (
+    SELECT a, a FROM (SELECT a FROM bi UNION SELECT b FROM bi)
+    UNION
+    SELECT bi.b, reach.m FROM reach JOIN bi ON bi.a = reach.n
+), comp AS (
+    SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+), clusters AS (
+    SELECT f.img_id, f.doc_id,
+           COALESCE(c.component, f.img_id) AS cluster_id,
+           f.img_id = COALESCE(c.component, f.img_id) AS is_keeper
+    FROM fp f LEFT JOIN comp c ON f.img_id = c.node
+)
+SELECT 'fp' AS component,
+       CAST(img_id AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR) || '|'
+         || variant || '|' || CAST(dhash AS VARCHAR) AS entity,
+       1.0 AS value
+FROM fp
+UNION ALL
+SELECT 'pair', CAST(img_a AS VARCHAR) || '|' || CAST(img_b AS VARCHAR),
+       CAST(hamming AS DOUBLE)
+FROM prs
+UNION ALL
+SELECT 'cluster', CAST(img_id AS VARCHAR) || '|' || CAST(cluster_id AS VARCHAR),
+       CAST(CAST(is_keeper AS INT) AS DOUBLE)
+FROM clusters
+"""
+
+
+@register("image_dedup_suite", oracle=_IMAGE_SUITE_SQL)
+def image_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver digest of the image near-dup family: every image's 64-bit
+    dHash (in the entity, so all bits land in the hash) with its
+    provenance, every near-dup pair with its exact Hamming distance
+    (oracle = brute-force all-pairs — blocking must drop nothing), and
+    the resolved clusters with canonical keepers. See _IMAGE_SUITE_SQL
+    for why the whole pipeline is cross-engine checkable despite the
+    zlib container: the fixture pixels are closed-form."""
+
+    def leg(df: DataFrame, component: str, entity, value) -> DataFrame:
+        return df.select(
+            F.lit(component).alias("component"),
+            entity.cast("string").alias("entity"),
+            value.cast("double").alias("value"),
+        )
+
+    fp = image_dhash_fingerprint(spark, sf_dir)
+    pairs = image_near_dup_pairs(spark, sf_dir)
+    cl = image_dup_clusters(spark, sf_dir)
+    return (
+        leg(
+            fp,
+            "fp",
+            F.concat_ws("|", "img_id", "doc_id", "variant", "dhash"),
+            F.lit(1.0),
+        )
+        .unionByName(
+            leg(pairs, "pair", F.concat_ws("|", "img_a", "img_b"), F.col("hamming"))
+        )
+        .unionByName(
+            leg(
+                cl,
+                "cluster",
+                F.concat_ws("|", "img_id", "cluster_id"),
+                F.col("is_keeper").cast("int"),
+            )
+        )
+    )
