@@ -166,3 +166,58 @@ def binary_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dedup_ratio"),
     )
+
+
+@register("binary_dedup_suite")  # rolling hash: rows-only + replica-pinned
+def binary_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver key for the byte-grain dedup family, registered at CHUNK
+    grain so the driver's rows-only check is boundary-sensitive: one
+    'chunk' row per content-defined chunk (entity carries artifact,
+    index, offset, length, AND the chunk sha — any boundary or content
+    drift changes the row count or the entity set) plus the per-type
+    'rollup' legs of binary_chunk_dedup. No DuckDB oracle on purpose:
+    the Buzhash rolling cut is not SQL-expressible (and 1/3 of the
+    payloads ride zlib PNG containers), so cross-engine value parity is
+    impossible here — the VALUES are pinned in pytest against a pure
+    python replica over the same payloads (tests/test_binary_dedup.py),
+    and the suite itself is pinned leg-by-leg against its components."""
+
+    def leg(df: DataFrame, component: str, entity, value) -> DataFrame:
+        return df.select(
+            F.lit(component).alias("component"),
+            entity.cast("string").alias("entity"),
+            value.cast("double").alias("value"),
+        )
+
+    chunks = chunk_table(spark, sf_dir)
+    rollup = binary_chunk_dedup(spark, sf_dir)
+    return (
+        leg(
+            chunks,
+            "chunk",
+            F.concat_ws(
+                "|", "artifact_id", "chunk_idx", "offset", "length", "chunk_sha"
+            ),
+            F.lit(1.0),
+        )
+        .unionByName(
+            leg(rollup, "rollup:bytes", F.col("media_type"), F.col("total_bytes"))
+        )
+        .unionByName(
+            leg(rollup, "rollup:uniq", F.col("media_type"), F.col("unique_bytes"))
+        )
+        .unionByName(
+            leg(rollup, "rollup:chunks", F.col("media_type"), F.col("n_chunks"))
+        )
+        .unionByName(
+            leg(
+                rollup,
+                "rollup:uchunks",
+                F.col("media_type"),
+                F.col("n_unique_chunks"),
+            )
+        )
+        .unionByName(
+            leg(rollup, "rollup:ratio", F.col("media_type"), F.col("dedup_ratio"))
+        )
+    )

@@ -164,3 +164,40 @@ def test_chunk_index_plugs_into_bloom_gate(spark, tmp_path):
     assert shared > 0.8 * len({s for _, _, s in chunk_rows(1, base)})
     # replay of wave 2 commits nothing (gate idempotence carries over)
     assert gate_batch(spark, first_wins(w2), acc, bl) == 0
+
+
+def test_binary_dedup_suite_mirrors_components(spark):
+    """The driver digest must be a pure projection of its components:
+    chunk legs == chunk_table rows (entity set AND count), rollup legs
+    == binary_chunk_dedup values per media type."""
+    from cc_mapreducer_spark.operators.binary_dedup import (
+        binary_chunk_dedup,
+        binary_dedup_suite,
+        chunk_table,
+    )
+
+    suite = binary_dedup_suite(spark, SF_ORACLE).toPandas()
+    chunks = chunk_table(spark, SF_ORACLE).toPandas()
+    roll = binary_chunk_dedup(spark, SF_ORACLE).toPandas()
+    got = set(suite[suite.component == "chunk"].entity)
+    want = {
+        f"{r.artifact_id}|{r.chunk_idx}|{r.offset}|{r.length}|{r.chunk_sha}"
+        for r in chunks.itertuples()
+    }
+    assert got == want and len(suite[suite.component == "chunk"]) == len(chunks)
+    for comp, col in [
+        ("rollup:bytes", "total_bytes"),
+        ("rollup:uniq", "unique_bytes"),
+        ("rollup:chunks", "n_chunks"),
+        ("rollup:uchunks", "n_unique_chunks"),
+        ("rollup:ratio", "dedup_ratio"),
+    ]:
+        got = {
+            (r.entity, round(float(r.value), 9))
+            for r in suite[suite.component == comp].itertuples()
+        }
+        want = {
+            (r.media_type, round(float(getattr(r, col)), 9))
+            for r in roll.itertuples()
+        }
+        assert got == want, comp
