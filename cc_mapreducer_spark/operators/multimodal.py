@@ -43,7 +43,7 @@ from pyspark.sql.types import (
 
 from cc_mapreducer_spark.functions import media_codec
 from cc_mapreducer_spark.registry import register
-from cc_mapreducer_spark.tables import load_table
+from cc_mapreducer_spark.tables import load_table, spread
 
 MEDIA_SCHEMA = StructType(
     [
@@ -140,7 +140,7 @@ def media_table_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Like media_table, but the payloads are genuinely valid media
     container files (see functions/media_codec.py) — the table a real
     ingest job would hold after fetching image/audio/video bytes."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text", "n_chars")
     return docs.mapInPandas(_encode_media, ENCODED_SCHEMA)
 
 
@@ -524,7 +524,7 @@ def multimodal_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One mapInPandas pass: each container is encoded once and feeds both
     row kinds (see _derive_media)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text", "n_chars")
     return docs.mapInPandas(_derive_media, DERIVED_SCHEMA)
 
 
@@ -654,7 +654,7 @@ def media_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the same numbers from the generation formulas alone, so a
     hash match proves the full encode -> bytes -> codec-decode loop is
     value-exact in both directions."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", "n_chars"
     )
     return docs.mapInPandas(_codec_stats, CODEC_STATS_SCHEMA)
@@ -763,7 +763,7 @@ def media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL decoded pixels (decode -> resize in one Arrow batch pass) and
     hashed against the oracle's formula-derived block means — the
     'resize' verb of the multimodal mandate, value-exact."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", "n_chars"
     )
     return docs.mapInPandas(_thumbnails, THUMB_SCHEMA)
@@ -886,7 +886,7 @@ def jpeg_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     back, report dimensions, compressed size, max reconstruction error,
     and the sha256 of the decoded pixels (the determinism witness
     tests/test_jpeg_codec.py pins across runs)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", "n_chars"
     )
     return docs.mapInPandas(_jpeg_stats, JPEG_STATS_SCHEMA)
@@ -969,7 +969,7 @@ def jpeg_color_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_jpeg_codec.py). Closes the color leg of the
     entropy-coded-codec family that was previously behind the
     decode_with_library seam."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", "n_chars"
     )
     return docs.mapInPandas(_jpeg_color_stats, JPEG_COLOR_STATS_SCHEMA)
@@ -1003,22 +1003,28 @@ def _adpcm_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     from cc_mapreducer_spark.functions.adpcm_codec import (
-        decode_ima_adpcm,
-        encode_ima_adpcm,
+        decode_ima_adpcm_batch,
+        encode_ima_adpcm_batch,
     )
 
     for pdf in batches:
         if not len(pdf):
             continue
         rows = {k.name: [] for k in ADPCM_STATS_SCHEMA.fields}
+        ids, sigs = [], []
         for doc_id, text, n_chars in zip(
             pdf["doc_id"], pdf["text"], pdf["n_chars"]
         ):
             sig = adpcm_test_signal(doc_id, text, n_chars)
             if sig is None:
                 continue
-            payload = encode_ima_adpcm(sig)
-            dec = decode_ima_adpcm(payload)
+            ids.append(doc_id)
+            sigs.append(sig)
+        # lockstep-vectorized across the whole Arrow batch (bit-identical
+        # to the sequential codec — functions/adpcm_codec.py batch note)
+        payloads = encode_ima_adpcm_batch(sigs)
+        decs = decode_ima_adpcm_batch(payloads)
+        for doc_id, sig, payload, dec in zip(ids, sigs, payloads, decs):
             err = np.abs(dec.astype(np.int64) - sig.astype(np.int64))
             rows["doc_id"].append(doc_id)
             rows["n_samples"].append(len(sig))
@@ -1056,7 +1062,7 @@ def adpcm_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-DCT JPEG legs this codec is all-integer, so the shas are
     platform-exact; registration stays rows-only because no SQL oracle
     can express a sample-recursive codec."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", "n_chars"
     )
     return docs.mapInPandas(_adpcm_stats, ADPCM_STATS_SCHEMA)

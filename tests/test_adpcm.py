@@ -132,3 +132,29 @@ def test_fact_absent_trims_pad_nibbles():
     # truncated data chunk: declared length runs past the buffer
     with pytest.raises(ValueError):
         decode_ima_adpcm(wav[: len(wav) - 10])
+
+
+def test_batch_codec_bit_identical_to_sequential():
+    """The lockstep-vectorized batch encode/decode must be byte- and
+    sample-identical to the sequential reference on varied lengths
+    (odd/even, sub-block, exact-block, multi-block)."""
+    import numpy as np
+
+    from cc_mapreducer_spark.functions.adpcm_codec import (
+        decode_ima_adpcm,
+        decode_ima_adpcm_batch,
+        encode_ima_adpcm,
+        encode_ima_adpcm_batch,
+    )
+
+    rng = np.random.RandomState(11)
+    sigs = [
+        rng.randint(-32768, 32768, n).astype(np.int16)
+        for n in (1, 2, 3, 504, 505, 506, 1009, 1010, 1011, 700, 1299)
+    ]
+    seq = [encode_ima_adpcm(s) for s in sigs]
+    bat = encode_ima_adpcm_batch(sigs)
+    assert all(a == b for a, b in zip(seq, bat))
+    seq_d = [decode_ima_adpcm(p) for p in seq]
+    bat_d = decode_ima_adpcm_batch(bat)
+    assert all(np.array_equal(a, b) for a, b in zip(seq_d, bat_d))
