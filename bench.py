@@ -863,6 +863,7 @@ def suite_leg_timings(spark) -> dict:
     from cc_mapreducer_spark.operators.warc_ingest import (
         warc_acquisition_chain,
         warc_response_stats,
+        warc_revisit_resolution,
     )
     from cc_mapreducer_spark.operators.graph import item_triangle_stats
     from cc_mapreducer_spark.operators.multimodal import adpcm_codec_stats
@@ -900,6 +901,7 @@ def suite_leg_timings(spark) -> dict:
             "acquisition_chain_rollup": acquisition_chain_rollup,
             "warc_response_stats": warc_response_stats,
             "warc_acquisition_chain": warc_acquisition_chain,
+            "warc_revisit_resolution": warc_revisit_resolution,
             "acquisition_policy_filter": acquisition_policy_filter,
             "robots_policy_filter": robots_policy_filter,
             "crawl_admission_report": crawl_admission_report,

@@ -13,11 +13,18 @@ Scope — the subset every crawl consumer needs, implemented exactly:
     status line and headers are split from the payload at the first
     `\\r\\n\\r\\n`.
 
+  * `revisit` records (round 8) — the spec's native dedup mechanism
+    (WARC 1.1 §6.7.2, identical-payload-digest profile): a re-crawl
+    whose payload matched an earlier capture stores only the HTTP
+    headers plus a WARC-Payload-Digest naming the original's payload;
+    build_revisit_record emits them, parse_warc surfaces the
+    revisit-specific headers (profile, payload digest, refers-to) on
+    every record dict.
+
 Out of scope (documented, not silently wrong): chunked
-transfer-encoding inside the HTTP block, `revisit` deduplication
-records, and segmented (continuation) records — the fixture pipeline
-never emits them and parse_warc raises on Content-Length overruns
-instead of guessing.
+transfer-encoding inside the HTTP block and segmented (continuation)
+records — the fixture pipeline never emits them and parse_warc raises
+on Content-Length overruns instead of guessing.
 
 Header names are case-insensitive per the spec; bodies are bytes (a
 crawl body is NOT guaranteed utf-8). All length accounting is byte-
@@ -38,9 +45,12 @@ def build_warc_record(
     block: bytes,
     record_id: str,
     content_type: str = "application/http;msgtype=response",
+    extra_headers: list[tuple[str, str]] | None = None,
 ) -> bytes:
     """One spec-shaped record. Header order is fixed so byte geometry is
-    deterministic (and SQL-mirrorable for fixture-derived records)."""
+    deterministic (and SQL-mirrorable for fixture-derived records);
+    extra_headers (revisit profile/digest/refers-to) slot in before
+    Content-Type, leaving the geometry of plain records untouched."""
     headers = [
         ("WARC-Type", warc_type),
         ("WARC-Record-ID", record_id),
@@ -48,10 +58,63 @@ def build_warc_record(
     ]
     if target_uri is not None:
         headers.append(("WARC-Target-URI", target_uri))
+    for kv in extra_headers or []:
+        headers.append(kv)
     headers.append(("Content-Type", content_type))
     headers.append(("Content-Length", str(len(block))))
     head = "WARC/1.0\r\n" + "".join(f"{k}: {v}\r\n" for k, v in headers)
     return head.encode("utf-8") + b"\r\n" + block + b"\r\n\r\n"
+
+
+# WARC 1.1's revisit profile URI for "payload identical to an earlier
+# capture" (the Common Crawl dedup case)
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+)
+
+
+def payload_digest(body: bytes) -> str:
+    """labelled payload digest for WARC-Payload-Digest headers. The spec
+    allows any named algorithm (sha1-base32 is merely customary);
+    sha256-hex keeps the value derivable by engines without sha1."""
+    import hashlib
+
+    return "sha256:" + hashlib.sha256(body).hexdigest()
+
+
+def build_revisit_record(
+    target_uri: str,
+    date: str,
+    digest: str,
+    record_id: str,
+    refers_to_uri: str | None = None,
+    refers_to_date: str | None = None,
+    http_headers: bytes | None = None,
+) -> bytes:
+    """An identical-payload-digest revisit record: block carries the
+    re-fetch's HTTP headers ONLY (no payload — that is the point), the
+    WARC headers carry the digest naming the original capture."""
+    extra = [
+        ("WARC-Profile", REVISIT_PROFILE),
+        ("WARC-Payload-Digest", digest),
+    ]
+    if refers_to_uri is not None:
+        extra.append(("WARC-Refers-To-Target-URI", refers_to_uri))
+    if refers_to_date is not None:
+        extra.append(("WARC-Refers-To-Date", refers_to_date))
+    block = (
+        http_headers
+        if http_headers is not None
+        else build_http_response(b"")
+    )
+    return build_warc_record(
+        "revisit",
+        target_uri,
+        date,
+        block,
+        record_id,
+        extra_headers=extra,
+    )
 
 
 def build_http_response(
@@ -147,6 +210,11 @@ def parse_warc(b: bytes) -> list[dict]:
                     "date": headers.get("warc-date", ""),
                     "content_length": ln,
                     "block": block,
+                    # revisit surface (None on non-revisit records)
+                    "profile": headers.get("warc-profile"),
+                    "payload_digest": headers.get("warc-payload-digest"),
+                    "refers_to_uri": headers.get("warc-refers-to-target-uri"),
+                    "refers_to_date": headers.get("warc-refers-to-date"),
                 }
             )
     return records

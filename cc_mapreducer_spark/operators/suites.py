@@ -112,9 +112,11 @@ from cc_mapreducer_spark.operators.acquisition import (
     url_canonical_stats,
 )
 from cc_mapreducer_spark.operators.warc_ingest import (
+    _REVISIT_SQL,
     _WARC_STATS_SQL,
     warc_acquisition_chain,
     warc_response_stats,
+    warc_revisit_resolution,
 )
 
 
@@ -562,6 +564,15 @@ UNION ALL
 SELECT 'warcchain:utok', CAST(doc_id AS VARCHAR), CAST(n_distinct_tokens AS DOUBLE)
 FROM ({_CHAIN_DOC_SQL})
 UNION ALL
+SELECT 'revisit:resolved', CAST(doc_id AS VARCHAR) || '|' || target_uri || '|' || digest,
+       CAST(resolved_doc AS DOUBLE) FROM ({_REVISIT_SQL})
+UNION ALL
+SELECT 'revisit:saved', CAST(doc_id AS VARCHAR), CAST(saved_bytes AS DOUBLE)
+FROM ({_REVISIT_SQL})
+UNION ALL
+SELECT 'revisit:blen', CAST(doc_id AS VARCHAR), CAST(revisit_block_len AS DOUBLE)
+FROM ({_REVISIT_SQL})
+UNION ALL
 SELECT 'policy', CAST(doc_id AS VARCHAR) || '|' || verdict,
        CAST(CASE verdict WHEN 'ok' THEN 0
             WHEN 'blocked_domain' THEN 1 ELSE 2 END AS DOUBLE)
@@ -596,6 +607,7 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain_dom = acquisition_chain_rollup(spark, sf_dir)
     warc = warc_response_stats(spark, sf_dir)
     wchain = warc_acquisition_chain(spark, sf_dir)
+    revisit = warc_revisit_resolution(spark, sf_dir)
     policy = acquisition_policy_filter(spark, sf_dir)
     robots = robots_policy_filter(spark, sf_dir)
     admit = crawl_admission_report(spark, sf_dir)
@@ -647,6 +659,19 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "warcchain:utok",
                 F.col("doc_id"),
                 F.col("n_distinct_tokens"),
+            ),
+            _leg(
+                revisit,
+                "revisit:resolved",
+                F.concat_ws("|", "doc_id", "target_uri", "digest"),
+                F.col("resolved_doc"),
+            ),
+            _leg(revisit, "revisit:saved", F.col("doc_id"), F.col("saved_bytes")),
+            _leg(
+                revisit,
+                "revisit:blen",
+                F.col("doc_id"),
+                F.col("revisit_block_len"),
             ),
             _leg(
                 policy,

@@ -9,7 +9,7 @@ deterministically from the documents table (functions/warc.py), in
 mapInPandas over Arrow batches — decode rides the scan, zero shuffle,
 the same plumbing shape as the multimodal decode stack.
 
-Two registered queries, both oracle-backed:
+Three registered queries, all oracle-backed:
 
   warc_response_stats    container geometry + payload pinning: per
                          response record the target URI, HTTP status,
@@ -28,6 +28,11 @@ Two registered queries, both oracle-backed:
                          (acquisition._CHAIN_DOC_SQL, unchanged): the
                          container round trip must be a semantic no-op,
                          and the shared oracle pins exactly that.
+  warc_revisit_resolution (round 8) revisit records — Common Crawl's
+                         native dedup mechanism — resolved to the
+                         captures that hold their bytes by a payload-
+                         digest join; the closed-form oracle re-derives
+                         digest, geometry, and savings per revisit.
 
 doc_id is parsed back out of the WARC-Target-URI ('page-N'), never
 passed through — a wrong/missing record would surface as a missing or
@@ -51,10 +56,12 @@ from pyspark.sql.types import (
 
 from cc_mapreducer_spark.functions.warc import (
     build_http_response,
+    build_revisit_record,
     build_warc,
     build_warc_record,
     parse_http_response,
     parse_warc,
+    payload_digest,
 )
 from cc_mapreducer_spark.operators.acquisition import (
     _CHAIN_DOC_SQL,
@@ -71,11 +78,17 @@ from cc_mapreducer_spark.tables import load_table, spread
 _WARC_DATE = "2026-01-01T00:00:00Z"  # fixed: fixture bytes must be stable
 
 
+_REVISIT_DATE = "2026-02-01T00:00:00Z"  # the later re-crawl's timestamp
+
+
 def _records_for_doc(doc_id: int, uri: str, html: str) -> bytes:
     """The WARC blob a crawler would have written for this fetch: the
     response record, preceded every 7th doc by a `request` record the
-    response filter must skip; every 3rd doc's blob is per-record
-    gzipped (the .warc.gz member layout)."""
+    response filter must skip; every (7k+3)th doc is FOLLOWED by a
+    `revisit` record (round 8) — the later re-crawl whose payload
+    matched, stored headers-only with the payload digest per the
+    identical-payload-digest profile; every 3rd doc's blob is
+    per-record gzipped (the .warc.gz member layout)."""
     body = html.encode("utf-8")
     recs = []
     if doc_id % 7 == 0:
@@ -101,6 +114,17 @@ def _records_for_doc(doc_id: int, uri: str, html: str) -> bytes:
             f"<urn:resp:{doc_id}>",
         )
     )
+    if doc_id % 7 == 3:
+        recs.append(
+            build_revisit_record(
+                uri,
+                _REVISIT_DATE,
+                payload_digest(body),
+                f"<urn:revisit:{doc_id}>",
+                refers_to_uri=uri,
+                refers_to_date=_WARC_DATE,
+            )
+        )
     return build_warc(recs, gzip_per_record=(doc_id % 3 == 0))
 
 
@@ -220,4 +244,130 @@ def warc_acquisition_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("clean_text"), 1, 12), 16, 10)
         .cast("bigint")
         .alias("clean_h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# revisit-aware ingest (round 8): Common Crawl's native dedup signal
+# --------------------------------------------------------------------------
+
+_DIGEST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("digest", StringType()),
+        StructField("block_len", LongType()),
+        StructField("content_len", LongType()),
+    ]
+)
+
+
+def _digest_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from cc_mapreducer_spark.functions.warc import payload_digest as _pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = {k.name: [] for k in _DIGEST_SCHEMA.fields}
+
+        def emit(doc_id, kind, uri, digest, block_len, content_len):
+            rows["doc_id"].append(doc_id)
+            rows["kind"].append(kind)
+            rows["target_uri"].append(uri)
+            rows["digest"].append(digest)
+            rows["block_len"].append(block_len)
+            rows["content_len"].append(content_len)
+
+        for html, uri, doc_id in zip(pdf["html"], pdf["url"], pdf["doc_id"]):
+            blob = _records_for_doc(int(doc_id), uri, html)
+            for rec in parse_warc(blob):
+                m = re.search(r"page-(\d+)", rec["target_uri"] or "")
+                rid = int(m.group(1)) if m else None
+                if rec["type"] == "response":
+                    _, _, body = parse_http_response(rec["block"])
+                    emit(
+                        rid, "response", rec["target_uri"], _pd(body),
+                        rec["content_length"], len(body),
+                    )
+                elif rec["type"] == "revisit":
+                    # headers-only block: the digest is a WARC header,
+                    # never recomputed (there is no payload to hash)
+                    emit(
+                        rid, "revisit", rec["target_uri"],
+                        rec["payload_digest"], rec["content_length"], 0,
+                    )
+        yield pd.DataFrame(rows)
+
+
+def warc_record_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, kind, target_uri, digest, block_len, content_len) for
+    every response AND revisit record: responses carry the sha256 of
+    their actual parsed payload, revisits carry the digest their WARC
+    header claims."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        _html_fixture_col().alias("html"),
+        _url_fixture_col().alias("url"),
+    )
+    return docs.mapInPandas(_digest_rows, _DIGEST_SCHEMA)
+
+
+# Closed-form oracle: revisits are planted on doc_id % 7 = 3; the
+# digest is sha256 of the html fixture (DuckDB's sha256(VARCHAR) hashes
+# the UTF-8 bytes — identical to hashing the response body); the
+# headers-only block is the 63-byte empty-body HTTP message (62 +
+# len('0')); saved_bytes is the original capture's payload length the
+# revisit did not re-store. The oracle never parses a container — it
+# re-derives what the Spark side must EARN by building, parsing, and
+# digest-joining real WARC bytes.
+_REVISIT_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_HTML_FIXTURE_SQL} AS html, {_URL_FIXTURE_SQL} AS url
+    FROM documents
+)
+SELECT doc_id,
+       url AS target_uri,
+       'sha256:' || sha256(html) AS digest,
+       doc_id AS resolved_doc,
+       CAST(63 AS BIGINT) AS revisit_block_len,
+       CAST(length(html) AS BIGINT) AS saved_bytes
+FROM raw WHERE doc_id % 7 = 3
+"""
+
+
+@register("warc_revisit_resolution", oracle=_REVISIT_SQL, driver=False)
+def warc_revisit_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve every revisit record to the capture that holds its bytes
+    — the ingest step that turns Common Crawl's native dedup mechanism
+    into storage savings: revisits join prior responses on the payload
+    digest (near-unique sha256 shuffle keys; the revisit side is the
+    small one), keeping the earliest capture as the resolution target.
+    A revisit whose claimed digest matches no stored payload would drop
+    out of the join and fail the driver's row/hash check; a digest
+    mismatch between the WARC header and the actual parsed body bytes
+    does the same. Output per revisit: its doc, URI, digest, the
+    resolved capture, the headers-only bytes it stored, and the payload
+    bytes it saved."""
+    recs = warc_record_digests(spark, sf_dir).localCheckpoint()
+    revisits = recs.filter(F.col("kind") == "revisit").select(
+        "doc_id", "target_uri", "digest",
+        F.col("block_len").alias("revisit_block_len"),
+    )
+    responses = recs.filter(F.col("kind") == "response").select(
+        F.col("doc_id").alias("resp_doc"),
+        F.col("digest").alias("resp_digest"),
+        F.col("content_len").alias("resp_bytes"),
+    )
+    return (
+        revisits.join(responses, revisits["digest"] == responses["resp_digest"])
+        .groupBy("doc_id", "target_uri", "digest", "revisit_block_len")
+        .agg(
+            F.min("resp_doc").cast("long").alias("resolved_doc"),
+            F.min("resp_bytes").cast("long").alias("saved_bytes"),
+        )
+        .select(
+            "doc_id", "target_uri", "digest", "resolved_doc",
+            "revisit_block_len", "saved_bytes",
+        )
     )

@@ -108,3 +108,62 @@ def test_request_records_are_filtered(spark):
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == len(set(ids)) == 500
     assert all(r["http_status"] == 200 for r in rows)
+
+
+def test_revisit_record_round_trip():
+    """A revisit record survives build->parse with its profile, digest,
+    and refers-to headers intact, headers-only block, through plain AND
+    gzipped streams; plain records keep their exact prior geometry
+    (extra_headers must not disturb them)."""
+    from cc_mapreducer_spark.functions.warc import (
+        REVISIT_PROFILE,
+        build_http_response,
+        build_revisit_record,
+        build_warc,
+        build_warc_record,
+        parse_warc,
+        payload_digest,
+    )
+
+    body = b"<html>hello</html>"
+    digest = payload_digest(body)
+    assert digest == "sha256:" + __import__("hashlib").sha256(body).hexdigest()
+    resp = build_warc_record(
+        "response", "https://x.org/a", "2026-01-01T00:00:00Z",
+        build_http_response(body), "<urn:resp:1>",
+    )
+    rev = build_revisit_record(
+        "https://x.org/a", "2026-02-01T00:00:00Z", digest, "<urn:rv:1>",
+        refers_to_uri="https://x.org/a",
+        refers_to_date="2026-01-01T00:00:00Z",
+    )
+    for gz in (False, True):
+        recs = parse_warc(build_warc([resp, rev], gzip_per_record=gz))
+        assert [r["type"] for r in recs] == ["response", "revisit"]
+        r = recs[1]
+        assert r["profile"] == REVISIT_PROFILE
+        assert r["payload_digest"] == digest
+        assert r["refers_to_uri"] == "https://x.org/a"
+        assert r["refers_to_date"] == "2026-01-01T00:00:00Z"
+        assert r["block"] == build_http_response(b"")  # headers only
+        assert body not in r["block"]
+        # non-revisit records expose the revisit surface as None
+        assert recs[0]["payload_digest"] is None
+        assert recs[0]["profile"] is None
+
+
+def test_revisit_resolution_semantics(spark):
+    """Every planted revisit (doc_id % 7 == 3) resolves to its original
+    capture via the digest join; the digest matches the actual body
+    bytes; savings equal the original payload length."""
+    from cc_mapreducer_spark.operators.warc_ingest import (
+        warc_revisit_resolution,
+    )
+
+    rows = {r["doc_id"]: r for r in warc_revisit_resolution(spark, SF_ORACLE).collect()}
+    assert set(rows) == {d for d in range(500) if d % 7 == 3}
+    for d, r in rows.items():
+        assert r["resolved_doc"] == d
+        assert r["digest"].startswith("sha256:")
+        assert r["revisit_block_len"] == 63
+        assert r["saved_bytes"] > 0
