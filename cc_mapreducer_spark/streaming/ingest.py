@@ -119,6 +119,20 @@ def gate_batch(
     bucketed by text_sha so the verify join is shuffle-free on the
     corpus side."""
     cols = uniq.columns
+    # accepted_path is schema-owned by ONE pipeline (ADVICE r7): parquet
+    # appends with a different column set would leave mixed-schema files
+    # whose later reads bind to an arbitrary footer and silently drop
+    # columns — refuse loudly instead.
+    if os.path.isdir(accepted_path) and any(
+        f.endswith(".parquet") for f in os.listdir(accepted_path)
+    ):
+        existing = set(spark.read.parquet(accepted_path).columns)
+        if existing != set(cols):
+            raise ValueError(
+                f"gate_batch: accepted/ at {accepted_path} holds columns "
+                f"{sorted(existing)} but the incoming frame carries "
+                f"{sorted(cols)} — one accepted_path per pipeline schema"
+            )
     bloom, m, k = _load_bloom(bloom_dir)
     probed = bloom_might_contain(
         uniq.withColumn("key", _key_col("text_sha")), bloom, m, k

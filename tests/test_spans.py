@@ -375,3 +375,51 @@ def test_removal_grain_l32_keeps_short_quotes(spark, tmp_path):
     spdf = registry.all_queries()["span_removal_l32"](spark, d).toPandas()
     odf = con.sql(registry.all_oracles()["span_removal_l32"]).df()
     compare_frames(spdf, odf, "span_removal_l32")
+
+
+def test_span_keys_collision_free_at_test_scale(spark, tmp_path):
+    """ADVICE r7: the Spark pipeline groups on xxhash64 span keys while
+    the DuckDB oracles group on real span strings — a 64-bit collision
+    would silently diverge them. Negligible by the math (~1e-11 at
+    oracle scale), but make a collision at test scale fail LOUDLY:
+    every sk produced over the randomized low-vocab corpus (organic
+    repeats everywhere) must map to exactly one span string."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cc_mapreducer_spark.operators.spans import L, span_keys
+    from cc_mapreducer_spark.tables import load_table
+
+    rng = random.Random(78)
+    vocab = ["wa", "wb", "wc", "wd", "we", "wf", "wg", "wh"]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 60)))
+        for d in range(60)
+    }
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    sk = {
+        (r["doc_id"], r["start"]): r["sk"]
+        for r in span_keys(load_table(spark, d, "documents")).collect()
+    }
+    span_of: dict[int, set[str]] = {}
+    import re
+
+    for doc, t in texts.items():
+        ws = [w for w in re.sub("[^a-z]+", " ", t.lower()).split() if w]
+        for i in range(len(ws) - L + 1):
+            key = sk[(doc, i + 1)]
+            span_of.setdefault(key, set()).add(" ".join(ws[i : i + L]))
+    assert span_of, "fixture produced no spans"
+    collisions = {k: v for k, v in span_of.items() if len(v) > 1}
+    assert not collisions, f"xxhash64 span-key collision(s): {collisions}"

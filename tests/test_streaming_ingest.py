@@ -138,3 +138,32 @@ def test_stream_drain_equals_single_shot(spark, tmp_path):
     ingest_batch(spark, _docs_df(spark, union), acc2, bl2)
     assert streamed == set(_accepted(spark, acc2))
     assert len(streamed) == 45  # 20 + 15 + 10 distinct texts
+
+
+def test_gate_batch_refuses_schema_drift(spark, tmp_path):
+    """accepted/ is schema-owned by one pipeline (ADVICE r7): a second
+    caller appending a different ride-along column set must fail loudly
+    instead of accreting mixed-schema parquet that later reads would
+    silently truncate."""
+    import pytest
+
+    from cc_mapreducer_spark.streaming.ingest import first_wins, gate_batch
+
+    acc, bl = str(tmp_path / "acc"), str(tmp_path / "bloom")
+    init_bloom_dir(bl, expected_docs=100)
+    w1 = spark.createDataFrame(
+        [(1, "a" * 64, "https://x.org/1")],
+        "doc_id long, text_sha string, canonical_url string",
+    )
+    assert gate_batch(spark, first_wins(w1), acc, bl) == 1
+    w2 = spark.createDataFrame(
+        [(2, "b" * 64)], "doc_id long, text_sha string"
+    )
+    with pytest.raises(ValueError, match="one accepted_path per pipeline"):
+        gate_batch(spark, first_wins(w2), acc, bl)
+    # the matching schema still flows
+    w3 = spark.createDataFrame(
+        [(3, "c" * 64, "https://x.org/3")],
+        "doc_id long, text_sha string, canonical_url string",
+    )
+    assert gate_batch(spark, first_wins(w3), acc, bl) == 1
