@@ -866,6 +866,7 @@ def suite_leg_timings(spark) -> dict:
         warc_acquisition_chain,
         warc_response_stats,
         warc_revisit_resolution,
+        wet_export_roundtrip,
     )
     from cc_mapreducer_spark.operators.image_dedup import (
         image_dhash_fingerprint,
@@ -909,6 +910,7 @@ def suite_leg_timings(spark) -> dict:
             "warc_response_stats": warc_response_stats,
             "warc_acquisition_chain": warc_acquisition_chain,
             "warc_revisit_resolution": warc_revisit_resolution,
+            "wet_export_roundtrip": wet_export_roundtrip,
             "acquisition_policy_filter": acquisition_policy_filter,
             "robots_policy_filter": robots_policy_filter,
             "crawl_admission_report": crawl_admission_report,

@@ -114,9 +114,11 @@ from cc_mapreducer_spark.operators.acquisition import (
 from cc_mapreducer_spark.operators.warc_ingest import (
     _REVISIT_SQL,
     _WARC_STATS_SQL,
+    _wet_sql,
     warc_acquisition_chain,
     warc_response_stats,
     warc_revisit_resolution,
+    wet_export_roundtrip,
 )
 
 
@@ -564,6 +566,12 @@ UNION ALL
 SELECT 'warcchain:utok', CAST(doc_id AS VARCHAR), CAST(n_distinct_tokens AS DOUBLE)
 FROM ({_CHAIN_DOC_SQL})
 UNION ALL
+SELECT 'wet:h', CAST(doc_id AS VARCHAR) || '|' || target_uri,
+       CAST(clean_h AS DOUBLE) FROM ({_wet_sql()})
+UNION ALL
+SELECT 'wet:len', CAST(doc_id AS VARCHAR), CAST(wet_block_len AS DOUBLE)
+FROM ({_wet_sql()})
+UNION ALL
 SELECT 'revisit:resolved', CAST(doc_id AS VARCHAR) || '|' || target_uri || '|' || digest,
        CAST(resolved_doc AS DOUBLE) FROM ({_REVISIT_SQL})
 UNION ALL
@@ -608,6 +616,7 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     warc = warc_response_stats(spark, sf_dir)
     wchain = warc_acquisition_chain(spark, sf_dir)
     revisit = warc_revisit_resolution(spark, sf_dir)
+    wet = wet_export_roundtrip(spark, sf_dir)
     policy = acquisition_policy_filter(spark, sf_dir)
     robots = robots_policy_filter(spark, sf_dir)
     admit = crawl_admission_report(spark, sf_dir)
@@ -660,6 +669,13 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id"),
                 F.col("n_distinct_tokens"),
             ),
+            _leg(
+                wet,
+                "wet:h",
+                F.concat_ws("|", "doc_id", "target_uri"),
+                F.col("clean_h"),
+            ),
+            _leg(wet, "wet:len", F.col("doc_id"), F.col("wet_block_len")),
             _leg(
                 revisit,
                 "revisit:resolved",

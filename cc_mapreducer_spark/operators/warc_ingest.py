@@ -9,7 +9,7 @@ deterministically from the documents table (functions/warc.py), in
 mapInPandas over Arrow batches — decode rides the scan, zero shuffle,
 the same plumbing shape as the multimodal decode stack.
 
-Three registered queries, all oracle-backed:
+Four registered queries, all oracle-backed:
 
   warc_response_stats    container geometry + payload pinning: per
                          response record the target URI, HTTP status,
@@ -33,6 +33,11 @@ Three registered queries, all oracle-backed:
                          captures that hold their bytes by a payload-
                          digest join; the closed-form oracle re-derives
                          digest, geometry, and savings per revisit.
+  wet_export_roundtrip   (round 8) the OUTPUT container: clean text
+                         written as member-gzipped WET `conversion`
+                         records (warcinfo header first) and parsed
+                         back, byte geometry + content hash pinned in
+                         closed form.
 
 doc_id is parsed back out of the WARC-Target-URI ('page-N'), never
 passed through — a wrong/missing record would surface as a missing or
@@ -371,3 +376,107 @@ def warc_revisit_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revisit_block_len", "saved_bytes",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# WET export (round 8): the corpus-side container, round-tripped
+# --------------------------------------------------------------------------
+
+_WET_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("target_uri", StringType()),
+        StructField("clean_len", LongType()),
+        StructField("wet_block_len", LongType()),
+        StructField("clean_h", LongType()),
+    ]
+)
+
+
+def _wet_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        # one WET file per Arrow batch: a leading warcinfo record (the
+        # WET convention) + one `conversion` record per document,
+        # member-gzipped like a real .wet.gz
+        recs = [
+            build_warc_record(
+                "warcinfo",
+                None,
+                _WARC_DATE,
+                b"software: cc-mapreducer-spark\r\nformat: WARC File Format 1.1\r\n",
+                "<urn:wetinfo:0>",
+                content_type="application/warc-fields",
+            )
+        ]
+        clean_by_uri = {}
+        for uri, clean in zip(pdf["url"], pdf["clean_text"]):
+            body = str(clean).encode("utf-8")
+            clean_by_uri[uri] = body
+            recs.append(
+                build_warc_record(
+                    "conversion",
+                    uri,
+                    _WARC_DATE,
+                    body,
+                    f"<urn:wet:{uri}>",
+                    content_type="text/plain",
+                )
+            )
+        wet_file = build_warc(recs, gzip_per_record=True)
+        rows = {k.name: [] for k in _WET_SCHEMA.fields}
+        for rec in parse_warc(wet_file):
+            if rec["type"] != "conversion":
+                continue  # the warcinfo header is not content
+            m = re.search(r"page-(\d+)", rec["target_uri"] or "")
+            body = rec["block"]
+            rows["doc_id"].append(int(m.group(1)) if m else None)
+            rows["target_uri"].append(rec["target_uri"])
+            rows["clean_len"].append(len(clean_by_uri[rec["target_uri"]]))
+            rows["wet_block_len"].append(rec["content_length"])
+            rows["clean_h"].append(int(hashlib.md5(body).hexdigest()[:12], 16))
+        yield pd.DataFrame(rows)
+
+
+# Closed-form oracle: the conversion block IS the stripped text (ASCII,
+# so chars == bytes); clean_len comes from the text that went IN,
+# wet_block_len from the record that came BACK OUT — their forced
+# equality is the round-trip witness, and clean_h pins the bytes.
+def _wet_sql() -> str:
+    from cc_mapreducer_spark.operators.acquisition import _strip_html_sql
+
+    strip = _strip_html_sql("html")
+    return f"""
+WITH raw AS (
+    SELECT doc_id, {_HTML_FIXTURE_SQL} AS html, {_URL_FIXTURE_SQL} AS url
+    FROM documents
+)
+SELECT doc_id,
+       url AS target_uri,
+       CAST(length({strip}) AS BIGINT) AS clean_len,
+       CAST(length({strip}) AS BIGINT) AS wet_block_len,
+       CAST(('0x' || substr(md5({strip}), 1, 12))::BIGINT AS BIGINT) AS clean_h
+FROM raw
+"""
+
+
+@register("wet_export_roundtrip", oracle=_wet_sql(), driver=False)
+def wet_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export round trip — the OUTPUT side of the crawl stack:
+    strip_html's clean text is written as WARC `conversion` records
+    (one member-gzipped WET file per Arrow batch, warcinfo header
+    first, Common Crawl's .wet.gz layout) and immediately parsed back.
+    Per document: the byte length of the text written in, the block
+    length of the record read back (forced equal — the round-trip
+    witness), and the md5-48 of the parsed-back bytes, each re-derived
+    in closed form by the oracle from the html fixture alone."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        _html_fixture_col().alias("html"),
+        _url_fixture_col().alias("url"),
+    )
+    cleaned = strip_html(docs, "html").select("url", "clean_text")
+    return cleaned.mapInPandas(_wet_roundtrip, _WET_SCHEMA)
