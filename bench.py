@@ -860,6 +860,7 @@ def suite_leg_timings(spark) -> dict:
         domain_acquisition_rollup,
         html_strip_stats,
         robots_policy_filter,
+        robots_wildcard_filter,
         url_canonical_stats,
     )
     from cc_mapreducer_spark.operators.warc_ingest import (
@@ -913,6 +914,7 @@ def suite_leg_timings(spark) -> dict:
             "wet_export_roundtrip": wet_export_roundtrip,
             "acquisition_policy_filter": acquisition_policy_filter,
             "robots_policy_filter": robots_policy_filter,
+            "robots_wildcard_filter": robots_wildcard_filter,
             "crawl_admission_report": crawl_admission_report,
         },
         "image_dedup_suite": {

@@ -843,3 +843,160 @@ def acquisition_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.countDistinct("clean_h")) / F.count("*"), 6
         ).alias("dup_doc_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFC 9309 wildcard rules (round 8): '*' and '$' path patterns
+# --------------------------------------------------------------------------
+
+# The prefix engine above implements the original REP subset; real
+# robots.txt files also use RFC 9309 §2.2.3's two metacharacters:
+# '*' (any character sequence) and '$' (end-of-path anchor). Precedence
+# is unchanged — the longest RULE (octets of the pattern, '*'/'$'
+# included) wins, Allow beating Disallow on a length tie.
+
+
+def robots_pattern_rx(pat: str) -> str:
+    """RFC 9309 path pattern -> anchored Java/RE2 regex (identical
+    semantics in Spark's rlike and DuckDB's regexp_matches): '*' -> .*,
+    trailing '$' -> end anchor, everything else literal."""
+    import re as _re
+
+    anchored = pat.endswith("$")
+    body = pat[:-1] if anchored else pat
+    rx = "".join(".*" if c == "*" else _re.escape(c) for c in body)
+    return "^" + rx + ("$" if anchored else "")
+
+
+def robots_allowed_rfc9309(
+    canon: DataFrame, rules: DataFrame, domain_col: str = "domain"
+) -> DataFrame:
+    """robots_allowed with full RFC 9309 pattern matching. ``rules`` is
+    (domain, pattern, allow); patterns may use '*' and '$'. The rules
+    table is model-sized by definition (robots.txt lines per registered
+    domain), so the regex translation happens driver-side on a collected
+    copy — the DATA path stays zero-shuffle: one broadcast join + array
+    lambdas, exactly the prefix engine's shape, with rlike replacing
+    startswith and pattern length replacing prefix length."""
+    spark = rules.sparkSession
+    translated = spark.createDataFrame(
+        [
+            (r["domain"], r["pattern"], robots_pattern_rx(r["pattern"]), r["allow"])
+            for r in rules.collect()  # model-sized: the rule set
+        ],
+        "domain string, pat string, rx string, allow boolean",
+    )
+    rule_arr = translated.groupBy(F.col("domain").alias("__rd")).agg(
+        F.collect_list(F.struct("pat", "rx", "allow")).alias("__rules")
+    )
+    path = F.regexp_extract(
+        "canonical_url", r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    joined = canon.withColumn("__path", path).join(
+        F.broadcast(rule_arr), F.col(domain_col) == F.col("__rd"), "left"
+    )
+    matched = F.expr("filter(__rules, r -> __path rlike r.rx)")
+    allowed = F.when(
+        F.col("__rules").isNull() | (F.size(matched) == 0), F.lit(True)
+    ).otherwise(
+        F.expr(
+            "exists(filter(__rules, r -> __path rlike r.rx),"
+            " r -> length(r.pat) = "
+            "array_max(transform(filter(__rules, r -> __path rlike r.rx),"
+            " x -> length(x.pat))) AND r.allow)"
+        )
+    )
+    win = F.when(
+        F.col("__rules").isNotNull() & (F.size(matched) > 0),
+        F.expr(
+            "array_min(transform("
+            "filter(filter(__rules, r -> __path rlike r.rx),"
+            " r -> length(r.pat) = "
+            "array_max(transform(filter(__rules, r -> __path rlike r.rx),"
+            " x -> length(x.pat)))), x -> x.pat))"
+        ),
+    )
+    return joined.select(
+        *canon.columns,
+        allowed.alias("robots_allowed"),
+        win.alias("robots_rule"),
+    )
+
+
+# Wildcard fixture rules, same for every domain: the plain /cart/
+# disallow (the prefix engine's rule, matched through the regex path),
+# a '*'-disallow catching any page with a 3 after 'page-' (page-3, -13,
+# -34, -343, ...), a LONGER '*'-allow winning page-33* back (the
+# wildcard analog of the page-13 footgun recovery), and a '$'-anchored
+# allow that matches page-4 EXACTLY (page-14/-44 keep their trailing
+# slash or trailing digits and stay out).
+_ROBOTS_W_RULES = [
+    ("/cart/", False),
+    ("/Docs/*page-*3", False),
+    ("/Docs/*page-33*", True),
+    ("/Docs/*page-4$", True),
+]
+
+_ROBOTS_W_RULES_SQL = """
+[{'pat': '/cart/', 'rx': '^/cart/', 'allow': false},
+ {'pat': '/Docs/*page-*3', 'rx': '^/Docs/.*page\\-.*3', 'allow': false},
+ {'pat': '/Docs/*page-33*', 'rx': '^/Docs/.*page\\-33.*', 'allow': true},
+ {'pat': '/Docs/*page-4$', 'rx': '^/Docs/.*page\\-4$', 'allow': true}]
+"""
+
+_ROBOTS_W_SQL = f"""
+WITH canon AS (
+    SELECT doc_id, canonical_url,
+           regexp_extract(canonical_url,
+               '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+    FROM ({_POLICY_URL_SQL})
+), matched AS (
+    SELECT doc_id, canonical_url, path,
+           list_filter({_ROBOTS_W_RULES_SQL},
+                       r -> regexp_matches(path, r.rx)) AS m
+    FROM canon
+)
+SELECT doc_id, canonical_url,
+       CASE WHEN len(m) = 0 THEN true
+            ELSE len(list_filter(m, r -> len(r.pat) =
+                     list_max(list_transform(m, x -> len(x.pat)))
+                     AND r.allow)) > 0 END AS robots_allowed,
+       CASE WHEN len(m) = 0 THEN NULL
+            ELSE list_aggregate(list_transform(
+                     list_filter(m, r -> len(r.pat) =
+                         list_max(list_transform(m, x -> len(x.pat)))),
+                     x -> x.pat), 'min')
+            END AS robots_rule
+FROM matched
+"""
+
+
+@register("robots_wildcard_filter", oracle=_ROBOTS_W_SQL, driver=False)
+def robots_wildcard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFC 9309 wildcard gate over the canonicalized URL stream:
+    '*'-pattern disallows, a longer '*'-allow winning a subfamily back,
+    and a '$'-anchored exact-path allow — longest-pattern precedence
+    with allow-wins ties, every verdict labeled. The DuckDB oracle
+    mirrors the rule set with the same precomputed regexes."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    url = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.regexp_replace(_url_fixture_col(), "/Docs//", "/cart/"),
+    ).otherwise(_url_fixture_col())
+    canon = canonicalize_url(
+        docs.select("doc_id", url.alias("url")), "url"
+    ).select(
+        "doc_id",
+        "canonical_url",
+        F.regexp_extract("host", r"[^.]+\.[^.]+$", 0).alias("domain"),
+    )
+    domains = [f"src{i}.com" for i in range(20)] + [
+        f"src{i}.org" for i in range(20)
+    ]
+    rules = spark.createDataFrame(
+        [(d, pat, allow) for d in domains for pat, allow in _ROBOTS_W_RULES],
+        "domain string, pattern string, allow boolean",
+    )
+    return robots_allowed_rfc9309(canon, rules).select(
+        "doc_id", "canonical_url", "robots_allowed", "robots_rule"
+    )

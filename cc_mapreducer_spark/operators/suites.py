@@ -101,6 +101,7 @@ from cc_mapreducer_spark.operators.acquisition import (
     _HTML_STRIP_SQL,
     _POLICY_FILTER_SQL,
     _ROBOTS_FILTER_SQL,
+    _ROBOTS_W_SQL,
     _URL_CANON_SQL,
     acquisition_chain_profile,
     acquisition_chain_rollup,
@@ -109,6 +110,7 @@ from cc_mapreducer_spark.operators.acquisition import (
     domain_acquisition_rollup,
     html_strip_stats,
     robots_policy_filter,
+    robots_wildcard_filter,
     url_canonical_stats,
 )
 from cc_mapreducer_spark.operators.warc_ingest import (
@@ -593,6 +595,10 @@ UNION ALL
 SELECT 'admit', CAST(doc_id AS VARCHAR) || '|' || decision,
        CAST(CAST(admitted AS INT) AS DOUBLE)
 FROM ({_ADMISSION_SQL})
+UNION ALL
+SELECT 'robotsw', CAST(doc_id AS VARCHAR) || '|' || coalesce(robots_rule, '-'),
+       CAST(CAST(robots_allowed AS INT) AS DOUBLE)
+FROM ({_ROBOTS_W_SQL})
 """
 
 
@@ -619,6 +625,7 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     wet = wet_export_roundtrip(spark, sf_dir)
     policy = acquisition_policy_filter(spark, sf_dir)
     robots = robots_policy_filter(spark, sf_dir)
+    robotsw = robots_wildcard_filter(spark, sf_dir)
     admit = crawl_admission_report(spark, sf_dir)
     chain_ent = F.concat_ws("|", "doc_id", "domain", "canonical_url")
     return _union(
@@ -710,6 +717,14 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "admit",
                 F.concat_ws("|", "doc_id", "decision"),
                 F.col("admitted").cast("int"),
+            ),
+            _leg(
+                robotsw,
+                "robotsw",
+                F.concat_ws(
+                    "|", "doc_id", F.coalesce("robots_rule", F.lit("-"))
+                ),
+                F.col("robots_allowed").cast("int"),
             ),
         ]
     )

@@ -328,3 +328,54 @@ def test_admission_composes_gates_with_precedence(spark):
     winners = [r for r in shared if r["admitted"]]
     assert len(winners) == 1
     assert winners[0]["doc_id"] == min(r["doc_id"] for r in shared)
+
+
+def test_robots_wildcard_rfc9309_semantics(spark):
+    """RFC 9309 metacharacters on the planted fixture: the '*'-disallow
+    catches any 3 after 'page-'; the LONGER '*'-allow wins page-33*
+    back; the '$'-anchored allow matches page-4 exactly (page-14/-44
+    keep trailing slashes or digits and stay out); /cart/ still gates
+    through the regex path; unmatched paths default allowed."""
+    from cc_mapreducer_spark.operators.acquisition import (
+        robots_allowed_rfc9309,
+        robots_wildcard_filter,
+    )
+
+    rows = {r["doc_id"]: r for r in robots_wildcard_filter(spark, SF_ORACLE).collect()}
+    assert len(rows) == 500
+    for d, r in rows.items():
+        if d % 9 == 0:
+            assert not r["robots_allowed"] and r["robots_rule"] == "/cart/"
+        elif d == 4:
+            assert r["robots_allowed"] and r["robots_rule"] == "/Docs/*page-4$"
+        elif str(d).startswith("33"):
+            assert r["robots_allowed"] and r["robots_rule"] == "/Docs/*page-33*"
+        elif "3" in str(d):
+            assert not r["robots_allowed"]
+            assert r["robots_rule"] == "/Docs/*page-*3"
+        else:
+            assert r["robots_allowed"], d
+    # unit: '$' does not match a longer path; equal-length wildcard tie
+    # -> allow wins and the winner is order-free
+    canon = spark.createDataFrame(
+        [
+            (1, "https://ex.com/a/page-4", "ex.com"),
+            (2, "https://ex.com/a/page-41", "ex.com"),
+            (3, "https://ex.com/b/x", "ex.com"),
+        ],
+        "doc_id long, canonical_url string, domain string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("ex.com", "/a/*-4$", True),
+            ("ex.com", "/a/*", False),
+            ("ex.com", "/b/*x$", False),
+            ("ex.com", "/b/x*$", True),  # same length, both match -> allow
+        ],
+        "domain string, pattern string, allow boolean",
+    )
+    got = {r["doc_id"]: r for r in robots_allowed_rfc9309(canon, rules).collect()}
+    assert got[1]["robots_allowed"] and got[1]["robots_rule"] == "/a/*-4$"
+    assert not got[2]["robots_allowed"] and got[2]["robots_rule"] == "/a/*"
+    assert got[3]["robots_allowed"]  # tie on length 6: allow wins
+    assert got[3]["robots_rule"] == "/b/*x$"  # lexicographic min of the tie
