@@ -244,11 +244,27 @@ def _dhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register("image_dhash_fingerprint", driver=False)  # PNG decode: replica-pinned
 def image_dhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image 64-bit dHash over codec-level-decoded PNG pixels, with
-    provenance (doc_id, variant) and decoded dimensions. rows-only for
-    the driver (no SQL engine can inflate zlib); pytest pins every
+    provenance (doc_id, variant) and decoded dimensions. Cross-engine
+    hashed inside image_dedup_suite (the oracle re-derives every bit
+    from the closed-form fixture pixels); pytest additionally pins every
     fingerprint against a pure-python replica of decode + resample +
-    hash, and pins the recompressed variant to its base's EXACT hash."""
-    return image_table(spark, sf_dir).mapInPandas(_dhash_batch, FP_SCHEMA)
+    hash, and pins the recompressed variant to its base's EXACT hash.
+
+    The frame is session-persisted per corpus (the similarity._persisted
+    discipline): the fingerprint table is the family's standing
+    artifact, and the pair probe, the cluster resolution, and the
+    digest suite all consume it — without the memo the PNG encode +
+    decode pass re-ran once per consumer (measured: the cluster leg
+    alone paid it twice)."""
+    from cc_mapreducer_spark.operators.similarity import _persisted
+
+    source = load_table(spark, sf_dir, "documents")
+    return _persisted(
+        spark,
+        ("image_dhash", sf_dir),
+        (tuple(sorted(source.inputFiles())),),
+        lambda: image_table(spark, sf_dir).mapInPandas(_dhash_batch, FP_SCHEMA),
+    )
 
 
 @register("image_near_dup_pairs", driver=False)  # blocking proven vs brute force
@@ -262,7 +278,7 @@ def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a brute-force all-pairs replica. Scale shape identical to
     simhash_near_pairs: 28x explode of tiny fingerprint rows, one hash
     self-join on near-uniform keys, never the n^2 space."""
-    fp = image_dhash_fingerprint(spark, sf_dir).select("img_id", "dhash").cache()
+    fp = image_dhash_fingerprint(spark, sf_dir).select("img_id", "dhash")
     blocks = [
         F.shiftrightunsigned(F.col("dhash"), 8 * i).bitwiseAND(F.lit(255))
         for i in range(8)
