@@ -857,6 +857,7 @@ def suite_leg_timings(spark) -> dict:
         acquisition_chain_rollup,
         acquisition_policy_filter,
         crawl_admission_report,
+        crawl_frontier_schedule,
         domain_acquisition_rollup,
         html_strip_stats,
         robots_policy_filter,
@@ -916,6 +917,7 @@ def suite_leg_timings(spark) -> dict:
             "robots_policy_filter": robots_policy_filter,
             "robots_wildcard_filter": robots_wildcard_filter,
             "crawl_admission_report": crawl_admission_report,
+            "crawl_frontier_schedule": crawl_frontier_schedule,
         },
         "image_dedup_suite": {
             "image_dhash_fingerprint": image_dhash_fingerprint,

@@ -1000,3 +1000,84 @@ def robots_wildcard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_allowed_rfc9309(canon, rules).select(
         "doc_id", "canonical_url", "robots_allowed", "robots_rule"
     )
+
+
+# --------------------------------------------------------------------------
+# crawl-frontier scheduling (round 8): admission -> fetch slots
+# --------------------------------------------------------------------------
+
+# The stage after the admission decision: a polite crawler fetches each
+# domain SEQUENTIALLY with a per-domain delay, so the frontier's job is
+# to lay admitted URLs out on per-domain timelines. That is exactly one
+# window over domain — and partitioning by domain is not a skew hazard
+# here but the PHYSICAL MEANING of politeness: a domain's queue is
+# sequential by definition, and cross-domain parallelism is the only
+# parallelism a polite crawler has. Fixture delay: a deterministic
+# per-domain crawl-delay derived from the domain string (robots.txt
+# Crawl-delay would slot in identically).
+
+
+def frontier_schedule(admitted: DataFrame, delay_ms: Column) -> DataFrame:
+    """Lay out admitted URLs on per-domain fetch timelines: ``slot`` is
+    the 0-based position in the domain's queue (first-seen doc order —
+    the admission rule's tiebreak), ``fetch_offset_ms`` its start time
+    relative to the domain's first fetch. ``admitted`` needs (doc_id,
+    canonical_url, domain); ``delay_ms`` is a per-row column (usually a
+    function of domain)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    slot = F.row_number().over(w) - 1
+    return admitted.select(
+        "doc_id",
+        "canonical_url",
+        "domain",
+        slot.cast("long").alias("slot"),
+        (slot * delay_ms).cast("long").alias("fetch_offset_ms"),
+    )
+
+
+_FRONTIER_SQL = f"""
+WITH adm AS (
+    SELECT doc_id, canonical_url FROM ({_ADMISSION_SQL}) WHERE admitted
+), dom AS (
+    SELECT doc_id, canonical_url,
+           regexp_extract(canonical_url,
+               '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?(?:www\\.)?([^/?#:]*)', 1)
+           AS host
+    FROM adm
+), keyed AS (
+    SELECT doc_id, canonical_url,
+           regexp_extract(host, '[^.]+\\.[^.]+$') AS domain
+    FROM dom
+)
+SELECT doc_id, canonical_url, domain,
+       CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) - 1
+            AS BIGINT) AS slot,
+       CAST((row_number() OVER (PARTITION BY domain ORDER BY doc_id) - 1)
+            * (500 * (1 + length(domain) % 3)) AS BIGINT) AS fetch_offset_ms
+FROM keyed
+"""
+
+
+@register("crawl_frontier_schedule", oracle=_FRONTIER_SQL, driver=False)
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier laid out: every ADMITTED URL (the composed
+    robots ∘ blocklist ∘ first-seen decision) gets its per-domain queue
+    slot and fetch offset under a deterministic per-domain crawl delay
+    (500ms x (1 + len(domain) mod 3) — a robots Crawl-delay would bind
+    identically). One window on domain — the politeness constraint IS
+    the partitioning."""
+    adm = crawl_admission_report(spark, sf_dir).filter(F.col("admitted"))
+    host = F.regexp_extract(
+        "canonical_url",
+        r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?(?:www\.)?([^/?#:]*)",
+        1,
+    )
+    keyed = adm.select(
+        "doc_id",
+        "canonical_url",
+        F.regexp_extract(host, r"[^.]+\.[^.]+$", 0).alias("domain"),
+    )
+    delay = (500 * (1 + F.length("domain") % 3)).cast("long")
+    return frontier_schedule(keyed, delay)

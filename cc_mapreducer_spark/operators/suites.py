@@ -99,6 +99,7 @@ from cc_mapreducer_spark.operators.acquisition import (
     _CHAIN_ROLLUP_SQL,
     _DOMAIN_ROLLUP_SQL,
     _HTML_STRIP_SQL,
+    _FRONTIER_SQL,
     _POLICY_FILTER_SQL,
     _ROBOTS_FILTER_SQL,
     _ROBOTS_W_SQL,
@@ -107,6 +108,7 @@ from cc_mapreducer_spark.operators.acquisition import (
     acquisition_chain_rollup,
     acquisition_policy_filter,
     crawl_admission_report,
+    crawl_frontier_schedule,
     domain_acquisition_rollup,
     html_strip_stats,
     robots_policy_filter,
@@ -599,6 +601,12 @@ UNION ALL
 SELECT 'robotsw', CAST(doc_id AS VARCHAR) || '|' || coalesce(robots_rule, '-'),
        CAST(CAST(robots_allowed AS INT) AS DOUBLE)
 FROM ({_ROBOTS_W_SQL})
+UNION ALL
+SELECT 'frontier:slot', CAST(doc_id AS VARCHAR) || '|' || domain,
+       CAST(slot AS DOUBLE) FROM ({_FRONTIER_SQL})
+UNION ALL
+SELECT 'frontier:t', CAST(doc_id AS VARCHAR), CAST(fetch_offset_ms AS DOUBLE)
+FROM ({_FRONTIER_SQL})
 """
 
 
@@ -627,6 +635,7 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots = robots_policy_filter(spark, sf_dir)
     robotsw = robots_wildcard_filter(spark, sf_dir)
     admit = crawl_admission_report(spark, sf_dir)
+    frontier = crawl_frontier_schedule(spark, sf_dir)
     chain_ent = F.concat_ws("|", "doc_id", "domain", "canonical_url")
     return _union(
         [
@@ -725,6 +734,18 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "|", "doc_id", F.coalesce("robots_rule", F.lit("-"))
                 ),
                 F.col("robots_allowed").cast("int"),
+            ),
+            _leg(
+                frontier,
+                "frontier:slot",
+                F.concat_ws("|", "doc_id", "domain"),
+                F.col("slot"),
+            ),
+            _leg(
+                frontier,
+                "frontier:t",
+                F.col("doc_id"),
+                F.col("fetch_offset_ms"),
             ),
         ]
     )

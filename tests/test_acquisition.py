@@ -379,3 +379,30 @@ def test_robots_wildcard_rfc9309_semantics(spark):
     assert not got[2]["robots_allowed"] and got[2]["robots_rule"] == "/a/*"
     assert got[3]["robots_allowed"]  # tie on length 6: allow wins
     assert got[3]["robots_rule"] == "/b/*x$"  # lexicographic min of the tie
+
+
+def test_frontier_schedule_politeness_invariants(spark):
+    """The frontier lays out exactly the admitted URLs: per-domain slots
+    are a gapless 0..n-1 sequence in doc order, offsets are slot x the
+    domain's delay, and non-admitted URLs never appear."""
+    from cc_mapreducer_spark.operators.acquisition import (
+        crawl_admission_report,
+        crawl_frontier_schedule,
+    )
+
+    adm = {
+        r["doc_id"]: r
+        for r in crawl_admission_report(spark, SF_ORACLE).collect()
+        if r["admitted"]
+    }
+    rows = crawl_frontier_schedule(spark, SF_ORACLE).collect()
+    assert {r["doc_id"] for r in rows} == set(adm)
+    by_dom: dict = {}
+    for r in rows:
+        by_dom.setdefault(r["domain"], []).append(r)
+    for dom, rs in by_dom.items():
+        delay = 500 * (1 + len(dom) % 3)
+        rs.sort(key=lambda r: r["doc_id"])
+        assert [r["slot"] for r in rs] == list(range(len(rs)))
+        for r in rs:
+            assert r["fetch_offset_ms"] == r["slot"] * delay
