@@ -1096,6 +1096,22 @@ def main() -> None:
             "adpcm_codec_stats": {"before": 8.26, "after": 0.69},
             "unigram_token_stats": {"before": 2.73, "after_serving": 0.8},
         },
+        # r8 one-off trend probe for the media-dedup families (the
+        # standing trend lane covers the text/embedding detectors):
+        # 5k/50k/150k synth docs, best-of-2, fitted log-log exponents —
+        # both sub-linear, consistent with their block-then-verify /
+        # rides-the-scan shapes.
+        "media_trend_r8": {
+            "image_near_dup_pairs": {
+                "sec": [1.83, 2.63, 7.80],
+                "exponent": 0.386,
+            },
+            "binary_chunk_dedup": {
+                "sec": [1.20, 4.34, 10.47],
+                "exponent": 0.624,
+            },
+            "sizes": [5000, 50000, 150000],
+        },
         # r6 A/B of the near_dedup verify parallelism floor
         # (scripts/ab_near_dedup.py, 3 interleaved reps, best-of, 32g,
         # 150k docs): the r5 repartition floor is EXONERATED — removing
