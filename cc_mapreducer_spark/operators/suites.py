@@ -117,11 +117,13 @@ from cc_mapreducer_spark.operators.acquisition import (
 )
 from cc_mapreducer_spark.operators.warc_ingest import (
     _REVISIT_SQL,
+    _SEGMENT_SQL,
     _WARC_STATS_SQL,
     _wet_sql,
     warc_acquisition_chain,
     warc_response_stats,
     warc_revisit_resolution,
+    warc_segment_reassembly,
     wet_export_roundtrip,
 )
 
@@ -607,6 +609,15 @@ SELECT 'frontier:slot', CAST(doc_id AS VARCHAR) || '|' || domain,
 UNION ALL
 SELECT 'frontier:t', CAST(doc_id AS VARCHAR), CAST(fetch_offset_ms AS DOUBLE)
 FROM ({_FRONTIER_SQL})
+UNION ALL
+SELECT 'seg:h', CAST(doc_id AS VARCHAR) || '|' || te, CAST(body_h AS DOUBLE)
+FROM ({_SEGMENT_SQL})
+UNION ALL
+SELECT 'seg:n', CAST(doc_id AS VARCHAR), CAST(n_segments AS DOUBLE)
+FROM ({_SEGMENT_SQL})
+UNION ALL
+SELECT 'seg:blen', CAST(doc_id AS VARCHAR), CAST(block_len AS DOUBLE)
+FROM ({_SEGMENT_SQL})
 """
 
 
@@ -621,7 +632,10 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed admission decision. The ``warcchain:*`` legs run the WARC
     path (bytes -> response records -> the chain) against the SAME
     oracle SQL as the batch chain — hashing green means the container
-    round trip is a semantic no-op end to end, per-value."""
+    round trip is a semantic no-op end to end, per-value. The
+    ``seg:*`` legs (round 8, session 2) hash the segmented-record
+    reassembly + chunked-TE decode witnesses: payload hash, segment
+    count, and reassembled block geometry per planted wire shape."""
     html = html_strip_stats(spark, sf_dir)
     url = url_canonical_stats(spark, sf_dir)
     dom = domain_acquisition_rollup(spark, sf_dir)
@@ -636,6 +650,7 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     robotsw = robots_wildcard_filter(spark, sf_dir)
     admit = crawl_admission_report(spark, sf_dir)
     frontier = crawl_frontier_schedule(spark, sf_dir)
+    seg = warc_segment_reassembly(spark, sf_dir).localCheckpoint()
     chain_ent = F.concat_ws("|", "doc_id", "domain", "canonical_url")
     return _union(
         [
@@ -747,6 +762,14 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id"),
                 F.col("fetch_offset_ms"),
             ),
+            _leg(
+                seg,
+                "seg:h",
+                F.concat_ws("|", "doc_id", "te"),
+                F.col("body_h"),
+            ),
+            _leg(seg, "seg:n", F.col("doc_id"), F.col("n_segments")),
+            _leg(seg, "seg:blen", F.col("doc_id"), F.col("block_len")),
         ]
     )
 

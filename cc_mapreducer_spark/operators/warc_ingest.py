@@ -9,7 +9,7 @@ deterministically from the documents table (functions/warc.py), in
 mapInPandas over Arrow batches — decode rides the scan, zero shuffle,
 the same plumbing shape as the multimodal decode stack.
 
-Four registered queries, all oracle-backed:
+Registered queries, all oracle-backed:
 
   warc_response_stats    container geometry + payload pinning: per
                          response record the target URI, HTTP status,
@@ -38,6 +38,12 @@ Four registered queries, all oracle-backed:
                          records (warcinfo header first) and parsed
                          back, byte geometry + content hash pinned in
                          closed form.
+  warc_segment_reassembly (round 8) segmented records put back together
+                         the only way distributed reassembly can work —
+                         a keyed shuffle on WARC-Segment-Origin-ID with
+                         JVM-side byte concat — plus chunked
+                         transfer-encoding decode, across four planted
+                         wire shapes with closed-form geometry oracles.
 
 doc_id is parsed back out of the WARC-Target-URI ('page-N'), never
 passed through — a wrong/missing record would surface as a missing or
@@ -52,6 +58,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -61,12 +68,14 @@ from pyspark.sql.types import (
 
 from cc_mapreducer_spark.functions.warc import (
     build_http_response,
+    build_http_response_chunked,
     build_revisit_record,
     build_warc,
     build_warc_record,
     parse_http_response,
     parse_warc,
     payload_digest,
+    segment_record,
 )
 from cc_mapreducer_spark.operators.acquisition import (
     _CHAIN_DOC_SQL,
@@ -480,3 +489,208 @@ def wet_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cleaned = strip_html(docs, "html").select("url", "clean_text")
     return cleaned.mapInPandas(_wet_roundtrip, _WET_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# segmented records + chunked transfer-encoding (round 8, session 2):
+# the WARC spec's answer to "one capture is bigger than one file" and
+# HTTP's answer to "length unknown at send time" — the two wire framings
+# a crawl consumer meets that functions/warc.py previously documented as
+# out of scope. Reassembly is genuinely distributed here: fragments are
+# independent rows wherever the scan found them, and putting a logical
+# record back together is a keyed shuffle on WARC-Segment-Origin-ID —
+# the only data motion that can work when segments landed in different
+# files, so the groupBy IS the 100 TB plan, not a local shortcut.
+# --------------------------------------------------------------------------
+
+_SEG_SIZE = 120  # WARC segment block size (bytes) for the fixture chain
+_CHUNK_SIZE = 100  # chunked-TE chunk size; both pinned so the oracle is
+# a closed-form function of the html fixture length
+
+_FRAG_SCHEMA = StructType(
+    [
+        StructField("origin", StringType()),
+        StructField("seg_no", IntegerType()),
+        StructField("frag", BinaryType()),
+        StructField("declared_total", LongType()),
+        StructField("doc_id", LongType()),
+    ]
+)
+
+
+def _segmented_blob_for_doc(doc_id: int, uri: str, html: str) -> bytes:
+    """The fixture container for the segmentation/TE chain. Four planted
+    wire shapes, keyed on doc_id % 5: (0) plain HTTP message segmented
+    at _SEG_SIZE bytes; (1) chunked transfer-encoding, unsegmented;
+    (2) chunked AND segmented — both framings composed; (else) a plain
+    record. Every 3rd doc's records are member-gzipped (.warc.gz)."""
+    body = html.encode("utf-8")
+    cls = doc_id % 5
+    if cls in (1, 2):
+        msg = build_http_response_chunked(body, _CHUNK_SIZE)
+    else:
+        msg = build_http_response(body)
+    if cls in (0, 2):
+        recs = segment_record(
+            "response", uri, _WARC_DATE, msg, f"<urn:resp:{doc_id}>",
+            _SEG_SIZE,
+        )
+    else:
+        recs = [
+            build_warc_record(
+                "response", uri, _WARC_DATE, msg, f"<urn:resp:{doc_id}>"
+            )
+        ]
+    return build_warc(recs, gzip_per_record=(doc_id % 3 == 0))
+
+
+def _fragment_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stage 1 of reassembly: parse containers into one row PER RECORD
+    (first segments and continuations alike), claiming nothing about
+    which fragments belong together — that is the shuffle's job. doc_id
+    rides only on first segments (continuations carry no target URI per
+    spec), so a lost first segment surfaces as a null-doc group, not a
+    silently-healed row."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = {k.name: [] for k in _FRAG_SCHEMA.fields}
+        for html, uri, doc_id in zip(pdf["html"], pdf["url"], pdf["doc_id"]):
+            blob = _segmented_blob_for_doc(int(doc_id), uri, html)
+            for rec in parse_warc(blob):
+                is_cont = rec["type"] == "continuation"
+                rows["origin"].append(
+                    rec["segment_origin_id"] if is_cont else rec["record_id"]
+                )
+                rows["seg_no"].append(rec["segment_number"] or 1)
+                rows["frag"].append(rec["block"])
+                rows["declared_total"].append(rec["segment_total_length"])
+                m = re.search(r"page-(\d+)", rec["target_uri"] or "")
+                rows["doc_id"].append(int(m.group(1)) if m and not is_cont else None)
+        yield pd.DataFrame(rows)
+
+
+_REASSEMBLED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_segments", LongType()),
+        StructField("block_len", LongType()),
+        StructField("content_len", LongType()),
+        StructField("body_h", LongType()),
+        StructField("te", StringType()),
+    ]
+)
+
+
+def _decode_reassembled(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Stage 3: parse the reassembled HTTP block (decoding chunked TE
+    where the message declares it) and emit the per-capture witnesses.
+    A declared WARC-Segment-Total-Length that disagrees with the
+    reassembled byte count raises — a short reassembly must never look
+    like a small capture."""
+    import hashlib
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = {k.name: [] for k in _REASSEMBLED_SCHEMA.fields}
+        for doc_id, n_seg, block, declared in zip(
+            pdf["doc_id"], pdf["n_segments"], pdf["block"],
+            pdf["declared_total"],
+        ):
+            block = bytes(block)
+            if not pd.isna(declared) and int(declared) != len(block):
+                raise ValueError(
+                    f"segment total-length mismatch for doc {doc_id}: "
+                    f"declared {int(declared)}, reassembled {len(block)}"
+                )
+            _, headers, body = parse_http_response(block)
+            rows["doc_id"].append(int(doc_id))
+            rows["n_segments"].append(int(n_seg))
+            rows["block_len"].append(len(block))
+            rows["content_len"].append(len(body))
+            rows["body_h"].append(int(hashlib.md5(body).hexdigest()[:12], 16))
+            rows["te"].append(headers.get("transfer-encoding", "identity"))
+        yield pd.DataFrame(rows)
+
+
+# Closed-form oracle. Plain message geometry is the _WARC_STATS_SQL
+# derivation (62 + digits + L). Chunked (RFC 9112): 72-byte head, one
+# '64\r\n'+100 bytes+'\r\n' = 106-byte frame per full chunk, a
+# hex(rem)+CRLF+rem+CRLF frame for the remainder, '0\r\n\r\n' = 5 to
+# terminate. Segment count is ceil(block/120) on the segmented classes.
+# body_h is md5-48 of the html — the chunked/segmented wire shapes must
+# decode back to the exact same payload the plain record carries.
+_SEGMENT_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_HTML_FIXTURE_SQL} AS html FROM documents
+), g AS (
+    SELECT doc_id, html,
+           length(html) AS l,
+           doc_id % 5 AS cls
+    FROM raw
+), m AS (
+    SELECT doc_id, html, l, cls,
+           CASE WHEN cls IN (1, 2) THEN
+               72 + (l // {_CHUNK_SIZE}) * {_CHUNK_SIZE + 6}
+                  + CASE WHEN l % {_CHUNK_SIZE} > 0
+                         THEN length(to_hex(l % {_CHUNK_SIZE})) + 4
+                              + (l % {_CHUNK_SIZE})
+                         ELSE 0 END
+                  + 5
+           ELSE 62 + length(CAST(l AS VARCHAR)) + l END AS block_len
+    FROM g
+)
+SELECT doc_id,
+       CAST(CASE WHEN cls IN (0, 2)
+                 THEN CAST(ceil(block_len / {_SEG_SIZE}.0) AS BIGINT)
+                 ELSE 1 END AS BIGINT) AS n_segments,
+       CAST(block_len AS BIGINT) AS block_len,
+       CAST(l AS BIGINT) AS content_len,
+       CAST(('0x' || substr(md5(html), 1, 12))::BIGINT AS BIGINT) AS body_h,
+       CASE WHEN cls IN (1, 2) THEN 'chunked' ELSE 'identity' END AS te
+FROM m
+"""
+
+
+@register("warc_segment_reassembly", oracle=_SEGMENT_SQL, driver=False)
+def warc_segment_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed reassembly of segmented WARC records plus chunked-TE
+    decode: stage 1 parses containers into independent fragment rows;
+    stage 2 is the keyed shuffle — groupBy WARC-Segment-Origin-ID,
+    order fragments by segment number, byte-concat with built-ins
+    (array_sort + aggregate over binary, JVM-side); stage 3 parses the
+    reassembled HTTP message, decoding `Transfer-Encoding: chunked`
+    bodies. The oracle re-derives every byte count and the payload hash
+    in closed form from the html fixture, across all four planted wire
+    shapes (plain, segmented, chunked, chunked+segmented). Fragments
+    shuffle once and only once — at 100 TB that shuffle is the floor
+    any reassembler pays when segments land in different files."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        _html_fixture_col().alias("html"),
+        _url_fixture_col().alias("url"),
+    )
+    frags = docs.mapInPandas(_fragment_rows, _FRAG_SCHEMA)
+    groups = (
+        frags.groupBy("origin")
+        .agg(
+            F.collect_list(F.struct("seg_no", "frag")).alias("parts"),
+            F.count("*").alias("n_segments"),
+            F.max("declared_total").alias("declared_total"),
+            F.max("doc_id").alias("doc_id"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "declared_total",
+            F.aggregate(
+                F.transform(F.array_sort("parts"), lambda s: s["frag"]),
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x),
+            ).alias("block"),
+        )
+    )
+    return groups.mapInPandas(_decode_reassembled, _REASSEMBLED_SCHEMA)

@@ -201,3 +201,129 @@ def test_wet_file_layout_and_roundtrip(spark):
     assert len(rows) == 500
     for r in rows:
         assert r["wet_block_len"] == r["clean_len"]
+
+
+# --------------------------------------------------------------------------
+# segmented records + chunked transfer-encoding (round 8, session 2)
+# --------------------------------------------------------------------------
+
+
+def test_chunked_te_round_trip_and_geometry():
+    from cc_mapreducer_spark.functions.warc import (
+        build_http_response_chunked,
+        decode_chunked,
+    )
+
+    for n in (0, 1, 99, 100, 101, 347, 500):
+        body = bytes(range(256)) * 2  # binary-safe payload
+        body = body[:n] if n <= len(body) else body
+        msg = build_http_response_chunked(body, 100)
+        status, headers, got = parse_http_response(msg)
+        assert status == 200
+        assert headers["transfer-encoding"] == "chunked"
+        assert got == body
+        # closed-form wire geometry: the formula the DuckDB oracle uses
+        full, rem = len(body) // 100, len(body) % 100
+        exp = 72 + full * 106 + (len(f"{rem:x}") + 4 + rem if rem else 0) + 5
+        assert len(msg) == exp
+    # chunk extensions and trailer fields are legal wire noise
+    assert decode_chunked(b"5;ext=v\r\nhello\r\n0\r\nX-T: 1\r\n\r\n") == b"hello"
+
+
+def test_chunked_te_hostile_inputs_fail_loudly():
+    from cc_mapreducer_spark.functions.warc import decode_chunked
+
+    with pytest.raises(ValueError):  # chunk longer than the buffer
+        decode_chunked(b"ff\r\nshort\r\n0\r\n\r\n")
+    with pytest.raises(ValueError):  # missing CRLF after chunk data
+        decode_chunked(b"5\r\nhelloXX0\r\n\r\n")
+    with pytest.raises(ValueError):  # garbage size line
+        decode_chunked(b"zz\r\nhello\r\n")
+    with pytest.raises(ValueError):  # no terminating zero chunk
+        decode_chunked(b"5\r\nhello\r\n")
+
+
+def test_segment_record_round_trip():
+    from cc_mapreducer_spark.functions.warc import (
+        reassemble_segments,
+        segment_record,
+    )
+
+    block = build_http_response(b"z" * 500)
+    recs = segment_record(
+        "response", "http://e/x", "2026-01-01T00:00:00Z", block,
+        "<urn:resp:9>", 120,
+    )
+    assert len(recs) == (len(block) + 119) // 120
+    for gz in (False, True):
+        parsed = parse_warc(build_warc(recs, gzip_per_record=gz))
+        assert parsed[0]["segment_number"] == 1
+        assert parsed[1]["type"] == "continuation"
+        assert parsed[1]["segment_origin_id"] == "<urn:resp:9>"
+        assert parsed[-1]["segment_total_length"] == len(block)
+        out = reassemble_segments(parsed)
+        assert len(out) == 1
+        assert out[0]["block"] == block
+        assert out[0]["n_segments"] == len(recs)
+        assert out[0]["content_length"] == len(block)
+    # small blocks are NOT segmented (writers segment only when forced)
+    single = segment_record("response", "u", "d", b"small", "<urn:r:1>", 120)
+    assert len(single) == 1
+    assert parse_warc(single[0])[0]["segment_number"] is None
+
+
+def test_segment_reassembly_failure_modes():
+    from cc_mapreducer_spark.functions.warc import (
+        reassemble_segments,
+        segment_record,
+    )
+
+    block = build_http_response(b"q" * 500)
+    recs = segment_record(
+        "response", "http://e/x", "d", block, "<urn:resp:7>", 120
+    )
+    parsed = parse_warc(build_warc(recs))
+    with pytest.raises(ValueError):  # gap: a middle segment is missing
+        reassemble_segments([parsed[0]] + parsed[2:])
+    with pytest.raises(ValueError):  # orphan continuation, no first segment
+        reassemble_segments(parsed[1:])
+    short = [dict(r) for r in parsed]
+    short[-1]["segment_total_length"] = len(block) + 1
+    with pytest.raises(ValueError):  # declared total disagrees
+        reassemble_segments(short)
+
+
+def test_chunked_inside_segmented_composes():
+    from cc_mapreducer_spark.functions.warc import (
+        build_http_response_chunked,
+        reassemble_segments,
+        segment_record,
+    )
+
+    body = bytes([i % 251 for i in range(450)])
+    msg = build_http_response_chunked(body, 100)
+    recs = segment_record(
+        "response", "http://e/c", "d", msg, "<urn:resp:10>", 120
+    )
+    out = reassemble_segments(parse_warc(build_warc(recs, gzip_per_record=True)))
+    status, headers, got = parse_http_response(out[0]["block"])
+    assert status == 200 and got == body
+
+
+def test_segment_reassembly_query_matches_oracle(spark):
+    """The distributed (groupBy origin-id) reassembly against the
+    closed-form oracle at sf0.01 — all four planted wire shapes."""
+    from cc_mapreducer_spark.operators.warc_ingest import (
+        _SEGMENT_SQL,
+        warc_segment_reassembly,
+    )
+    from tests.oracle import compare_frames, duckdb_connection
+
+    con = duckdb_connection(SF_ORACLE)
+    got = warc_segment_reassembly(spark, SF_ORACLE).toPandas()
+    exp = con.execute(_SEGMENT_SQL).df()
+    compare_frames(got, exp, "warc_segment_reassembly")
+    # the planted classes actually exercise multi-segment + chunked rows
+    assert (got["n_segments"] > 1).any()
+    assert (got["te"] == "chunked").any()
+    assert (got["te"] == "identity").any()
