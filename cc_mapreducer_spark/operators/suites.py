@@ -115,6 +115,12 @@ from cc_mapreducer_spark.operators.acquisition import (
     robots_wildcard_filter,
     url_canonical_stats,
 )
+from cc_mapreducer_spark.operators.extraction import (
+    _CONTENT_YIELD_SQL,
+    _MAIN_CONTENT_SQL,
+    content_yield_by_source,
+    main_content_extract,
+)
 from cc_mapreducer_spark.operators.warc_ingest import (
     _REVISIT_SQL,
     _SEGMENT_SQL,
@@ -618,6 +624,16 @@ FROM ({_SEGMENT_SQL})
 UNION ALL
 SELECT 'seg:blen', CAST(doc_id AS VARCHAR), CAST(block_len AS DOUBLE)
 FROM ({_SEGMENT_SQL})
+UNION ALL
+SELECT 'extract:h', CAST(doc_id AS VARCHAR), CAST(main_h AS DOUBLE)
+FROM ({_MAIN_CONTENT_SQL})
+UNION ALL
+SELECT 'extract:chars', CAST(doc_id AS VARCHAR),
+       CAST(content_chars * 100000 + boiler_chars AS DOUBLE)
+FROM ({_MAIN_CONTENT_SQL})
+UNION ALL
+SELECT 'yield:frac', source, content_yield
+FROM ({_CONTENT_YIELD_SQL})
 """
 
 
@@ -635,7 +651,10 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trip is a semantic no-op end to end, per-value. The
     ``seg:*`` legs (round 8, session 2) hash the segmented-record
     reassembly + chunked-TE decode witnesses: payload hash, segment
-    count, and reassembled block geometry per planted wire shape."""
+    count, and reassembled block geometry per planted wire shape. The
+    ``extract:*`` / ``yield:frac`` legs hash the main-content extraction
+    family: per-doc extracted-text hash, the content/boiler character
+    split, and the per-source content yield."""
     html = html_strip_stats(spark, sf_dir)
     url = url_canonical_stats(spark, sf_dir)
     dom = domain_acquisition_rollup(spark, sf_dir)
@@ -651,6 +670,8 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     admit = crawl_admission_report(spark, sf_dir)
     frontier = crawl_frontier_schedule(spark, sf_dir)
     seg = warc_segment_reassembly(spark, sf_dir).localCheckpoint()
+    extract = main_content_extract(spark, sf_dir).localCheckpoint()
+    cyield = content_yield_by_source(spark, sf_dir)
     chain_ent = F.concat_ws("|", "doc_id", "domain", "canonical_url")
     return _union(
         [
@@ -770,6 +791,14 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             _leg(seg, "seg:n", F.col("doc_id"), F.col("n_segments")),
             _leg(seg, "seg:blen", F.col("doc_id"), F.col("block_len")),
+            _leg(extract, "extract:h", F.col("doc_id"), F.col("main_h")),
+            _leg(
+                extract,
+                "extract:chars",
+                F.col("doc_id"),
+                F.col("content_chars") * 100000 + F.col("boiler_chars"),
+            ),
+            _leg(cyield, "yield:frac", F.col("source"), F.col("content_yield")),
         ]
     )
 
