@@ -43,6 +43,12 @@ from cc_mapreducer_spark.operators.dq import (
     embedding_drift_psi,
 )
 from cc_mapreducer_spark.operators.graph import _TRIANGLE_SQL, item_triangle_stats
+from cc_mapreducer_spark.operators.kmv import (
+    _KMV_CARD_SQL,
+    _KMV_OVERLAP_SQL,
+    kmv_corpus_overlap,
+    kmv_shingle_cardinality,
+)
 from cc_mapreducer_spark.operators.multimodal import adpcm_codec_stats
 from cc_mapreducer_spark.operators.features import (
     _PCT_RANK_SQL,
@@ -208,6 +214,16 @@ FROM ({_ADPCM_GEOM_SQL})
 UNION ALL
 SELECT 'adpcm:s0', CAST(doc_id AS VARCHAR), CAST(first_sample AS DOUBLE)
 FROM ({_ADPCM_GEOM_SQL})
+UNION ALL
+SELECT 'kmv:exact', source, CAST(n_exact AS DOUBLE) FROM ({_KMV_CARD_SQL})
+UNION ALL
+SELECT 'kmv:est', source, est_distinct FROM ({_KMV_CARD_SQL})
+UNION ALL
+SELECT 'kmv:jacc', source_a || '|' || source_b, est_jaccard
+FROM ({_KMV_OVERLAP_SQL})
+UNION ALL
+SELECT 'kmv:xjacc', source_a || '|' || source_b, exact_jaccard
+FROM ({_KMV_OVERLAP_SQL})
 """
 
 
@@ -221,13 +237,18 @@ def sketches_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering coefficients (graph.py, full per-node values against the
     SQL oracle) plus the integer-exact ADPCM codec witnesses (container
     geometry + first decoded sample against a closed-form derivation;
-    the waveform sha stays pytest-pinned, multimodal.py). Every value of
-    every component lands in the driver's hash; the full-schema singles
+    the waveform sha stays pytest-pinned, multimodal.py), and — round 8
+    session 2 — the KMV/theta sketch contract (kmv.py: per-source exact
+    vs estimated distinct-shingle counts, and per-source-pair estimated
+    vs exact Jaccard — all deterministic md5-48 hash-space math). Every
+    value of every component lands in the driver's hash; the full-schema singles
     stay driver=False for pytest parity."""
     cms = cms_word_counts(spark, sf_dir)
     quant = approx_quantile_contract(spark, sf_dir)
     tri = item_triangle_stats(spark, sf_dir)
     adpcm = adpcm_codec_stats(spark, sf_dir)
+    kmv_card = kmv_shingle_cardinality(spark, sf_dir)
+    kmv_olap = kmv_corpus_overlap(spark, sf_dir)
     return _union(
         [
             _leg(cms, "cms:true", F.col("word"), F.col("true_cnt")),
@@ -250,6 +271,20 @@ def sketches_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             _leg(adpcm, "adpcm:n", F.col("doc_id"), F.col("n_samples")),
             _leg(adpcm, "adpcm:bytes", F.col("doc_id"), F.col("adpcm_bytes")),
             _leg(adpcm, "adpcm:s0", F.col("doc_id"), F.col("first_sample")),
+            _leg(kmv_card, "kmv:exact", F.col("source"), F.col("n_exact")),
+            _leg(kmv_card, "kmv:est", F.col("source"), F.col("est_distinct")),
+            _leg(
+                kmv_olap,
+                "kmv:jacc",
+                F.concat_ws("|", "source_a", "source_b"),
+                F.col("est_jaccard"),
+            ),
+            _leg(
+                kmv_olap,
+                "kmv:xjacc",
+                F.concat_ws("|", "source_a", "source_b"),
+                F.col("exact_jaccard"),
+            ),
         ]
     )
 

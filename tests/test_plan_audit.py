@@ -37,6 +37,11 @@ ALLOWED_NESTED_LOOP = {
     "classifier_eval_metrics",  # one-row x one-row join: the AUC agg vs the confusion agg
     "features_suite",  # contains target_encoded_orders' global-mean one-row broadcast
     "mining_suite",  # contains the classifier_eval + embedding_drift_psi one-row branches
+    # sketch-vs-sketch work: every joined frame is a KMV sketch or its
+    # per-source theta row — K rows per source by construction, broadcast;
+    # the one data-sized join (exact-Jaccard witness) is an equi hash join
+    "kmv_corpus_overlap",
+    "sketches_suite",  # contains the kmv_corpus_overlap sketch-pair branches
 }
 ALLOWED_PYTHON_EVAL = {
     "multimodal_derived",  # Arrow-batched mapInPandas by design
