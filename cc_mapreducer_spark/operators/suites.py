@@ -121,6 +121,12 @@ from cc_mapreducer_spark.operators.acquisition import (
     robots_wildcard_filter,
     url_canonical_stats,
 )
+from cc_mapreducer_spark.operators.c4_filters import (
+    _C4_DOC_SQL,
+    _C4_FUNNEL_SQL,
+    c4_filter_funnel,
+    c4_line_filter_stats,
+)
 from cc_mapreducer_spark.operators.extraction import (
     _CONTENT_YIELD_SQL,
     _MAIN_CONTENT_SQL,
@@ -669,6 +675,16 @@ FROM ({_MAIN_CONTENT_SQL})
 UNION ALL
 SELECT 'yield:frac', source, content_yield
 FROM ({_CONTENT_YIELD_SQL})
+UNION ALL
+SELECT 'c4:h', CAST(doc_id AS VARCHAR) || '|' || verdict,
+       CAST(kept_h AS DOUBLE) FROM ({_C4_DOC_SQL})
+UNION ALL
+SELECT 'c4:lines', CAST(doc_id AS VARCHAR),
+       CAST(n_lines * 1000 + n_kept_lines AS DOUBLE) FROM ({_C4_DOC_SQL})
+UNION ALL
+SELECT 'c4funnel', source || '|' || verdict,
+       CAST(n_docs * 1000000 + lines_kept AS DOUBLE)
+FROM ({_C4_FUNNEL_SQL})
 """
 
 
@@ -689,7 +705,9 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and reassembled block geometry per planted wire shape. The
     ``extract:*`` / ``yield:frac`` legs hash the main-content extraction
     family: per-doc extracted-text hash, the content/boiler character
-    split, and the per-source content yield."""
+    split, and the per-source content yield. The ``c4:*`` legs hash the
+    C4 cleaning battery: per-page kept-text hash keyed by verdict, line
+    accounting, and the per-(source, verdict) filter funnel."""
     html = html_strip_stats(spark, sf_dir)
     url = url_canonical_stats(spark, sf_dir)
     dom = domain_acquisition_rollup(spark, sf_dir)
@@ -707,6 +725,8 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = warc_segment_reassembly(spark, sf_dir).localCheckpoint()
     extract = main_content_extract(spark, sf_dir).localCheckpoint()
     cyield = content_yield_by_source(spark, sf_dir)
+    c4 = c4_line_filter_stats(spark, sf_dir).localCheckpoint()
+    c4f = c4_filter_funnel(spark, sf_dir)
     chain_ent = F.concat_ws("|", "doc_id", "domain", "canonical_url")
     return _union(
         [
@@ -834,6 +854,24 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("content_chars") * 100000 + F.col("boiler_chars"),
             ),
             _leg(cyield, "yield:frac", F.col("source"), F.col("content_yield")),
+            _leg(
+                c4,
+                "c4:h",
+                F.concat_ws("|", "doc_id", "verdict"),
+                F.col("kept_h"),
+            ),
+            _leg(
+                c4,
+                "c4:lines",
+                F.col("doc_id"),
+                F.col("n_lines") * 1000 + F.col("n_kept_lines"),
+            ),
+            _leg(
+                c4f,
+                "c4funnel",
+                F.concat_ws("|", "source", "verdict"),
+                F.col("n_docs") * 1000000 + F.col("lines_kept"),
+            ),
         ]
     )
 
