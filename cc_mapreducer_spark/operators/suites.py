@@ -133,6 +133,12 @@ from cc_mapreducer_spark.operators.extraction import (
     content_yield_by_source,
     main_content_extract,
 )
+from cc_mapreducer_spark.operators.sitemap import (
+    _RECRAWL_SQL,
+    _SITEMAP_RT_SQL,
+    sitemap_recrawl_schedule,
+    sitemap_roundtrip_stats,
+)
 from cc_mapreducer_spark.operators.warc_ingest import (
     _REVISIT_SQL,
     _SEGMENT_SQL,
@@ -685,6 +691,19 @@ UNION ALL
 SELECT 'c4funnel', source || '|' || verdict,
        CAST(n_docs * 1000000 + lines_kept AS DOUBLE)
 FROM ({_C4_FUNNEL_SQL})
+UNION ALL
+SELECT 'sitemap:bytes', CAST(doc_id AS VARCHAR) || '|' || host,
+       CAST(file_bytes AS DOUBLE) FROM ({_SITEMAP_RT_SQL})
+UNION ALL
+SELECT 'sitemap:meta', CAST(doc_id AS VARCHAR) || '|' || lastmod || '|'
+       || changefreq || '|' || priority, CAST(file_no AS DOUBLE)
+FROM ({_SITEMAP_RT_SQL})
+UNION ALL
+SELECT 'recrawl:due', CAST(doc_id AS VARCHAR) || '|' || domain,
+       CAST(CAST(is_due AS INT) AS DOUBLE) FROM ({_RECRAWL_SQL})
+UNION ALL
+SELECT 'recrawl:slot', CAST(doc_id AS VARCHAR),
+       CAST(coalesce(fetch_offset_ms, -1) AS DOUBLE) FROM ({_RECRAWL_SQL})
 """
 
 
@@ -707,7 +726,11 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     family: per-doc extracted-text hash, the content/boiler character
     split, and the per-source content yield. The ``c4:*`` legs hash the
     C4 cleaning battery: per-page kept-text hash keyed by verdict, line
-    accounting, and the per-(source, verdict) filter funnel."""
+    accounting, and the per-(source, verdict) filter funnel. The
+    ``sitemap:*`` / ``recrawl:*`` legs hash the sitemap discovery
+    family: per-URL round-trip fields + file byte geometry, and the
+    lastmod/changefreq freshness decision with priority-ordered
+    per-domain fetch slots."""
     html = html_strip_stats(spark, sf_dir)
     url = url_canonical_stats(spark, sf_dir)
     dom = domain_acquisition_rollup(spark, sf_dir)
@@ -727,6 +750,8 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cyield = content_yield_by_source(spark, sf_dir)
     c4 = c4_line_filter_stats(spark, sf_dir).localCheckpoint()
     c4f = c4_filter_funnel(spark, sf_dir)
+    smap = sitemap_roundtrip_stats(spark, sf_dir).localCheckpoint()
+    recrawl = sitemap_recrawl_schedule(spark, sf_dir).localCheckpoint()
     chain_ent = F.concat_ws("|", "doc_id", "domain", "canonical_url")
     return _union(
         [
@@ -871,6 +896,32 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c4funnel",
                 F.concat_ws("|", "source", "verdict"),
                 F.col("n_docs") * 1000000 + F.col("lines_kept"),
+            ),
+            _leg(
+                smap,
+                "sitemap:bytes",
+                F.concat_ws("|", "doc_id", "host"),
+                F.col("file_bytes"),
+            ),
+            _leg(
+                smap,
+                "sitemap:meta",
+                F.concat_ws(
+                    "|", "doc_id", "lastmod", "changefreq", "priority"
+                ),
+                F.col("file_no"),
+            ),
+            _leg(
+                recrawl,
+                "recrawl:due",
+                F.concat_ws("|", "doc_id", "domain"),
+                F.col("is_due").cast("int"),
+            ),
+            _leg(
+                recrawl,
+                "recrawl:slot",
+                F.col("doc_id"),
+                F.coalesce(F.col("fetch_offset_ms"), F.lit(-1)),
             ),
         ]
     )
