@@ -69,6 +69,12 @@ HEADLINE = [
     "unigram_token_stats",       # unigram-LM Viterbi serving from saved model (r7/r8)
     "binary_chunk_dedup",        # Buzhash CDC chunk index + byte dedup (r7)
     "warc_revisit_resolution",   # revisit records -> digest-join dedup (r8)
+    "warc_segment_reassembly",   # continuation-chain shuffle + chunked TE (r8 s2)
+    "main_content_extract",      # link-density block classifier (r8 s2)
+    "c4_line_filter_stats",      # C4 line/page rules + verdicts (r8 s2)
+    "kmv_corpus_overlap",        # KMV/theta sketch pairwise overlap (r8 s2)
+    "sitemap_recrawl_schedule",  # sitemap freshness -> fetch slots (r8 s2)
+    "wordpiece_token_stats",     # WordPiece MaxMatch serving from saved vocab (r8 s2)
 ]
 
 

@@ -161,3 +161,17 @@ def test_stats_compression_sane(spark):
     assert (df["tokens_per_word"] >= 1.0).all()
     # 40 merges on a ~31-word vocab compress most words to few pieces
     assert (df["tokens_per_word"] < 4.0).all()
+
+
+def test_saved_model_equals_inline_training(spark, tmp_path):
+    from cc_mapreducer_spark.operators.wordpiece import (
+        wordpiece_load_model,
+        wordpiece_save_model,
+    )
+    from cc_mapreducer_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    _, inline_vocab = train_wordpiece(docs)
+    path = str(tmp_path / "wp_model")
+    wordpiece_save_model(spark, SF_SMOKE, path)
+    assert wordpiece_load_model(spark, path) == inline_vocab
