@@ -101,6 +101,12 @@ TREND_QUERIES = [
     "near_dup_embeddings",  # size-adaptive multi-table sign-LSH
     "shared_passages",      # winnowing fingerprints + hash-key pair join
     "span_dup_coverage",    # fixed-L window explode + span-key agg (r5)
+    "main_content_extract", # per-page block classifier, rides the scan (r8 s2)
+    "c4_line_filter_stats", # C4 line/page rules, rides the scan (r8 s2)
+    "kmv_overlap_sketch_only",  # sketch build + K-row pair analysis (r8 s2;
+                                # the exact-Jaccard witness legs stay out:
+                                # the lane times the scale path, not the
+                                # join the sketch exists to avoid)
 ]
 
 
@@ -134,6 +140,12 @@ def _synth_corpus(out_dir: str, n_docs: int, n_vecs: int, seed: int) -> None:
             "doc_id": pa.array(range(n_docs), pa.int64()),
             "text": pa.array(texts, pa.string()),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            # the acquisition/extraction/kmv lanes key on source; 20
+            # values like the driver corpus, assignment seeded
+            "source": pa.array(
+                [f"src{i}" for i in rng.randint(0, 20, n_docs)],
+                pa.string(),
+            ),
         }
     )
     # realistic row groups: pyarrow's default wrote the 500k-doc corpus
@@ -206,6 +218,10 @@ def _synth_corpus_zipf(out_dir: str, n_docs: int, seed: int) -> None:
             "doc_id": pa.array(range(n_docs), pa.int64()),
             "text": pa.array(texts, pa.string()),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "source": pa.array(
+                [f"src{i}" for i in rng.randint(0, 20, n_docs)],
+                pa.string(),
+            ),
         }
     )
     # multiple row groups for real scan parallelism (see _synth_corpus)
@@ -631,9 +647,11 @@ def scale_trend(spark, queries) -> dict:
     import pyarrow.parquet as pq
 
     from cc_mapreducer_spark.operators.dedup import near_dedup_minhash
+    from cc_mapreducer_spark.operators.kmv import kmv_overlap_sketch_only
 
     queries = dict(queries)
     queries.setdefault("near_dedup_minhash", near_dedup_minhash)
+    queries.setdefault("kmv_overlap_sketch_only", kmv_overlap_sketch_only)
 
     base_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
     base_vecs = pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows

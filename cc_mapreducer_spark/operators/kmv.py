@@ -309,3 +309,70 @@ def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+def kmv_overlap_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-lane variant of kmv_corpus_overlap WITHOUT the exact-
+    Jaccard witness joins: what a 100 TB deployment actually runs —
+    sketch build (one distinct-shuffle + grouped_topk) and the K-row
+    pair analysis. The registered query keeps the exact legs because
+    they are the accuracy evidence; the trend lane must time the scale
+    path, not the witness the sketch exists to avoid (the
+    near_dedup_minhash precedent, bench.py TREND_QUERIES)."""
+    sh = _source_shingles(spark, sf_dir)
+    sketch = grouped_topk(
+        sh, "source", [F.col("h").asc()], K, shard_key="h"
+    ).select("source", "h").localCheckpoint()
+    st = sketch.groupBy("source").agg(
+        F.count("*").alias("n_sketch"), F.max("h").alias("max_h")
+    ).select(
+        "source",
+        F.when(F.col("n_sketch") < K, F.lit(1 << 48).cast("long"))
+        .otherwise(F.col("max_h"))
+        .alias("theta_h"),
+    )
+    pairs = (
+        st.alias("a")
+        .join(
+            F.broadcast(st.alias("b")),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.least("a.theta_h", "b.theta_h").alias("theta_h"),
+        )
+    )
+    surv = (
+        pairs.join(
+            F.broadcast(sketch),
+            (
+                (F.col("source") == F.col("source_a"))
+                | (F.col("source") == F.col("source_b"))
+            )
+            & (F.col("h") < F.col("theta_h")),
+        )
+        .groupBy("source_a", "source_b", "theta_h", "h")
+        .agg(F.count("*").alias("sides"))
+    )
+    est = surv.groupBy("source_a", "source_b", "theta_h").agg(
+        F.count("*").cast("long").alias("union_surv"),
+        F.count(F.when(F.col("sides") == 2, 1))
+        .cast("long")
+        .alias("inter_surv"),
+    )
+    return est.select(
+        "source_a",
+        "source_b",
+        "inter_surv",
+        "union_surv",
+        (
+            F.col("inter_surv").cast("double")
+            * F.lit(_H_SPACE)
+            / F.col("theta_h").cast("double")
+        ).alias("est_intersection"),
+        (
+            F.col("inter_surv").cast("double")
+            / F.col("union_surv").cast("double")
+        ).alias("est_jaccard"),
+    )
