@@ -102,3 +102,96 @@ def stream_acquire_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# C4-gated streaming ingest (round 8, session 2): quality BEFORE dedup
+# --------------------------------------------------------------------------
+
+
+def curate_rows(
+    df: DataFrame, text_col: str = "page_text", url_col: str = "url"
+) -> DataFrame:
+    """The composed per-row curation transform: C4 line/page cleaning
+    (operators/c4_filters.c4_clean) + URL canonicalization. Returns ALL
+    rows with their verdicts — the caller splits accepted from telemetry
+    — keyed on sha256 of the KEPT text, so two crawls whose pages clean
+    to the same surviving lines dedup even when the planted noise
+    differs. Pure built-ins, zero shuffle."""
+    from cc_mapreducer_spark.operators.c4_filters import c4_clean
+
+    out = c4_clean(canonicalize_url(df, url_col), text_col)
+    return out.select(
+        "doc_id",
+        F.col("kept_text").alias("clean_text"),
+        "canonical_url",
+        F.regexp_extract("host", r"[^.]+\.[^.]+$", 0).alias("domain"),
+        "verdict",
+        "n_lines",
+        "n_kept_lines",
+        F.sha2(F.col("kept_text"), 256).alias("text_sha"),
+    )
+
+
+def curate_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    accepted_path: str,
+    rejects_path: str,
+    bloom_dir: str,
+) -> tuple[int, int]:
+    """One micro-batch through quality-then-dedup: C4-clean every row,
+    append the dropped pages' (doc_id, verdict) to the rejects ledger
+    (the streaming filter funnel), and gate only the 'ok' pages through
+    the Bloom + exact-verify dedup. Returns (accepted, rejected).
+
+    Order matters at scale: quality filtering is row-local and runs
+    BEFORE the dedup shuffle, so rejected pages never pay for hashing
+    into the corpus gate — the same reason batch pipelines run C4 ahead
+    of MinHash."""
+    rows = curate_rows(batch).localCheckpoint()
+    rejects = rows.filter(F.col("verdict") != "ok").select(
+        "doc_id", "verdict", "canonical_url"
+    )
+    n_rejected = rejects.count()
+    if n_rejected:
+        rejects.write.mode("append").parquet(rejects_path)
+    ok = rows.filter(F.col("verdict") == "ok").drop("verdict")
+    accepted = gate_batch(
+        spark, first_wins(ok), accepted_path, bloom_dir
+    )
+    return accepted, n_rejected
+
+
+def stream_c4_ingest(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    accepted_path: str,
+    rejects_path: str,
+    bloom_dir: str,
+    checkpoint_path: str,
+    expected_docs: int = 1_000_000,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain raw crawl files (doc_id, page_text, url) through C4
+    cleaning into the Bloom-gated corpus, rejects ledgered per verdict
+    (availableNow)."""
+    init_bloom_dir(bloom_dir, expected_docs)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def _apply(df: DataFrame, epoch_id: int) -> None:
+        curate_batch(
+            df.sparkSession, df, accepted_path, rejects_path, bloom_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

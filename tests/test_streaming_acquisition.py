@@ -146,3 +146,125 @@ def test_stream_drain_matches_batch_and_replay_is_idempotent(spark, tmp_path):
         max_files_per_trigger=1,
     )
     assert spark.read.parquet(acc).count() == 40
+
+
+# --------------------------------------------------------------------------
+# C4-gated ingest (round 8, session 2): quality before dedup
+# --------------------------------------------------------------------------
+
+C4_SCHEMA = "doc_id long, page_text string, url string"
+
+_GOOD3 = (
+    "the quick brown fox jumps over the lazy dog today.\n"
+    "a second proper sentence with enough words right here!\n"
+    "readers can find the archive at the library desk every day."
+)
+
+
+def _c4_rows():
+    """30 clean pages (unique first line per doc), plus pages tripping
+    each C4 page rule, plus a later re-crawl of pages 0-4 whose planted
+    NOISE lines differ but whose surviving lines are identical."""
+    rows = []
+    for i in range(30):
+        rows.append(
+            (
+                i,
+                f"story number {i} opens with a proper sentence here.\n"
+                "home menu search\n" + _GOOD3,
+                f"https://www.site{i % 3}.com/page-{i}/",
+            )
+        )
+    rows.append((100, _GOOD3 + "\nthis has badword1 inside.",
+                 "https://www.site0.com/bad"))
+    rows.append((101, _GOOD3 + "\nlorem ipsum dolor sit amet.",
+                 "https://www.site1.com/lorem"))
+    rows.append((102, _GOOD3 + "\nfunction f() { return 1; }",
+                 "https://www.site2.com/code"))
+    rows.append((103, "only two sentences survive here sadly.\n"
+                 "a second proper sentence with enough words right here!",
+                 "https://www.site0.com/short"))
+    for i in range(5):  # re-crawls: different noise, same surviving lines
+        rows.append(
+            (
+                2000 + i,
+                f"story number {i} opens with a proper sentence here.\n"
+                "please enable javascript to continue\n" + _GOOD3,
+                f"https://www.site{i % 3}.com/page-{i}?utm_source=x",
+            )
+        )
+    return rows
+
+
+def test_c4_gate_quality_then_dedup(spark, tmp_path):
+    from cc_mapreducer_spark.streaming.acquisition import curate_batch
+
+    acc, rej, bl = (
+        str(tmp_path / "acc"), str(tmp_path / "rej"), str(tmp_path / "bloom")
+    )
+    init_bloom_dir(bl, expected_docs=10_000)
+    rows = _c4_rows()
+    a1, r1 = curate_batch(spark, _raw_df_c4(spark, rows[:20]), acc, rej, bl)
+    a2, r2 = curate_batch(spark, _raw_df_c4(spark, rows[20:]), acc, rej, bl)
+    # 30 clean pages accepted; 4 rule-trippers rejected; 5 re-crawls
+    # dedup away on the kept-text sha despite different noise lines
+    assert a1 + a2 == 30
+    assert r1 + r2 == 4
+    accepted = spark.read.parquet(acc)
+    assert accepted.count() == 30
+    verdicts = {
+        (r.verdict, r.doc_id)
+        for r in spark.read.parquet(rej).collect()
+    }
+    assert verdicts == {
+        ("bad_words", 100), ("lorem_ipsum", 101),
+        ("curly_brace", 102), ("too_few_lines", 103),
+    }
+    # replay: everything already seen or rejected again, zero accepted
+    a3, r3 = curate_batch(spark, _raw_df_c4(spark, rows), acc, rej, bl)
+    assert a3 == 0 and r3 == 4
+
+
+def _raw_df_c4(spark, rows):
+    return spark.createDataFrame(rows, C4_SCHEMA)
+
+
+def test_stream_c4_ingest_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cc_mapreducer_spark.streaming.acquisition import (
+        curate_rows,
+        stream_c4_ingest,
+    )
+
+    rows = _c4_rows()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, chunk in enumerate([rows[:13], rows[13:27], rows[27:]]):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
+                "page_text": pa.array([r[1] for r in chunk], pa.string()),
+                "url": pa.array([r[2] for r in chunk], pa.string()),
+            }
+        )
+        pq.write_table(tbl, f"{src}/part-{i}.parquet")
+    acc, rej, bl, ck = (
+        str(tmp_path / "acc"), str(tmp_path / "rej"),
+        str(tmp_path / "bloom"), str(tmp_path / "ck"),
+    )
+    stream_c4_ingest(
+        spark, src, C4_SCHEMA, acc, rej, bl, ck,
+        expected_docs=10_000, max_files_per_trigger=1,
+    )
+    got = spark.read.parquet(acc)
+    # batch reference: curate the union, dedup on text_sha first-wins
+    batch = curate_rows(_raw_df_c4(spark, rows)).filter(
+        F.col("verdict") == "ok"
+    )
+    batch_shas = {
+        r.text_sha
+        for r in batch.select("text_sha").distinct().collect()
+    }
+    assert {r.text_sha for r in got.collect()} == batch_shas
+    assert got.count() == len(batch_shas)
