@@ -133,6 +133,11 @@ from cc_mapreducer_spark.operators.extraction import (
     content_yield_by_source,
     main_content_extract,
 )
+from cc_mapreducer_spark.operators.robots_txt import (
+    _ROBOTS_TXT_STATS_SQL,
+    robots_txt_directives,
+    robots_txt_gate,
+)
 from cc_mapreducer_spark.operators.sitemap import (
     _RECRAWL_SQL,
     _SITEMAP_RT_SQL,
@@ -704,6 +709,16 @@ SELECT 'recrawl:due', CAST(doc_id AS VARCHAR) || '|' || domain,
 UNION ALL
 SELECT 'recrawl:slot', CAST(doc_id AS VARCHAR),
        CAST(coalesce(fetch_offset_ms, -1) AS DOUBLE) FROM ({_RECRAWL_SQL})
+UNION ALL
+SELECT 'rbtxt:rules', domain || '|' || sitemap_url,
+       CAST(rules_h AS DOUBLE) FROM ({_ROBOTS_TXT_STATS_SQL})
+UNION ALL
+SELECT 'rbtxt:delay', domain, CAST(crawl_delay AS DOUBLE)
+FROM ({_ROBOTS_TXT_STATS_SQL})
+UNION ALL
+SELECT 'rbtxt:gate', CAST(doc_id AS VARCHAR) || '|' || coalesce(robots_rule, '-'),
+       CAST(CAST(robots_allowed AS INT) AS DOUBLE)
+FROM ({_ROBOTS_FILTER_SQL})
 """
 
 
@@ -730,7 +745,10 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sitemap:*`` / ``recrawl:*`` legs hash the sitemap discovery
     family: per-URL round-trip fields + file byte geometry, and the
     lastmod/changefreq freshness decision with priority-ordered
-    per-domain fetch slots."""
+    per-domain fetch slots. The ``rbtxt:*`` legs hash robots.txt TEXT
+    parsing: per-domain rule digests + Sitemap/Crawl-delay directives,
+    and the gate fed from parsed text against the structured gate's own
+    oracle (text -> rules -> gate provably a no-op)."""
     html = html_strip_stats(spark, sf_dir)
     url = url_canonical_stats(spark, sf_dir)
     dom = domain_acquisition_rollup(spark, sf_dir)
@@ -752,6 +770,8 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     c4f = c4_filter_funnel(spark, sf_dir)
     smap = sitemap_roundtrip_stats(spark, sf_dir).localCheckpoint()
     recrawl = sitemap_recrawl_schedule(spark, sf_dir).localCheckpoint()
+    rbtxt = robots_txt_directives(spark, sf_dir)
+    rbgate = robots_txt_gate(spark, sf_dir)
     chain_ent = F.concat_ws("|", "doc_id", "domain", "canonical_url")
     return _union(
         [
@@ -922,6 +942,21 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recrawl:slot",
                 F.col("doc_id"),
                 F.coalesce(F.col("fetch_offset_ms"), F.lit(-1)),
+            ),
+            _leg(
+                rbtxt,
+                "rbtxt:rules",
+                F.concat_ws("|", "domain", "sitemap_url"),
+                F.col("rules_h"),
+            ),
+            _leg(rbtxt, "rbtxt:delay", F.col("domain"), F.col("crawl_delay")),
+            _leg(
+                rbgate,
+                "rbtxt:gate",
+                F.concat_ws(
+                    "|", "doc_id", F.coalesce("robots_rule", F.lit("-"))
+                ),
+                F.col("robots_allowed").cast("int"),
             ),
         ]
     )
