@@ -559,17 +559,42 @@ SELECT 'q10', CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment
 UNION ALL
 SELECT 'q10', CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment || ':bal',
        acctbal FROM ({_TM_Q10_SQL})
+UNION ALL
+SELECT 'zstats', layout || '|' || CAST(pid AS VARCHAR),
+       CAST(min_ck * 100000 + max_ck AS DOUBLE)
+FROM ({{ZPART}})
+UNION ALL
+SELECT 'zstats_day', layout || '|' || CAST(pid AS VARCHAR),
+       CAST(min_day * 100000 + max_day AS DOUBLE)
+FROM ({{ZPART}})
+UNION ALL
+SELECT 'zprune', layout || '|' || query,
+       CAST(n_scanned * 10000000 + rows_scanned AS DOUBLE)
+FROM ({{ZPRUNE}})
 """
 
 
-@register("tpch_suite_extra", oracle=_SUITE_EXTRA_SQL)
+def _suite_extra_sql() -> str:
+    from cc_mapreducer_spark.operators.zorder import (
+        _PARTITION_STATS_SQL,
+        _PRUNING_SQL,
+    )
+
+    return _SUITE_EXTRA_SQL.replace("{ZPART}", _PARTITION_STATS_SQL).replace(
+        "{ZPRUNE}", _PRUNING_SQL
+    )
+
+
+@register("tpch_suite_extra", oracle=_suite_extra_sql())
 def tpch_suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver digest of TPC-H Q2/Q4/Q7/Q8/Q9/Q10/Q11/Q15/Q16/Q20/Q21/Q22
     normalized to (query, entity, value) rows so all twelve land in the
     driver's value hash under one roster key. The full-schema singles are
     registered driver=False and parity-checked individually by pytest.
     Q4/Q7/Q10 folded in r5 to free roster slots for the sketch/feature/
-    mining suites."""
+    mining suites. The ``zstats``/``zprune`` legs (r8 s2) hash the
+    Z-order layout family: per-(layout, tile) min/max of both clustered
+    dims and the box/slice pruning decisions."""
     def norm(query: str, df: DataFrame, entity: F.Column, value: F.Column) -> DataFrame:
         return df.select(
             F.lit(query).alias("query"),
@@ -629,6 +654,32 @@ def tpch_suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts += [
         norm("q10", q10, F.concat(q10_ent, F.lit(":rev")), F.col("revenue")),
         norm("q10", q10, F.concat(q10_ent, F.lit(":bal")), F.col("acctbal")),
+    ]
+    # Z-order layout legs (r8 s2): the orders-table clustering family
+    # rides the relational digest — partition stats pinned per (layout,
+    # tile) and the pruning decisions per (layout, predicate)
+    from cc_mapreducer_spark.operators.zorder import (
+        zorder_partition_stats,
+        zorder_pruning_report,
+    )
+
+    zstats = zorder_partition_stats(spark, sf_dir).localCheckpoint()
+    zent = F.concat_ws("|", "layout", "pid")
+    parts += [
+        norm(
+            "zstats", zstats, zent,
+            F.col("min_ck") * 100000 + F.col("max_ck"),
+        ),
+        norm(
+            "zstats_day", zstats, zent,
+            F.col("min_day") * 100000 + F.col("max_day"),
+        ),
+        norm(
+            "zprune",
+            zorder_pruning_report(spark, sf_dir),
+            F.concat_ws("|", "layout", "query"),
+            F.col("n_scanned") * 10000000 + F.col("rows_scanned"),
+        ),
     ]
     out = parts[0]
     for piece in parts[1:]:

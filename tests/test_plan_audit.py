@@ -42,6 +42,9 @@ ALLOWED_NESTED_LOOP = {
     # the one data-sized join (exact-Jaccard witness) is an equi hash join
     "kmv_corpus_overlap",
     "sketches_suite",  # contains the kmv_corpus_overlap sketch-pair branches
+    # 64-partition stats frame x the 2-row predicate table: the pruning
+    # metadata join is metadata-sized by construction
+    "zorder_pruning_report",
 }
 ALLOWED_PYTHON_EVAL = {
     "multimodal_derived",  # Arrow-batched mapInPandas by design
