@@ -1,0 +1,278 @@
+"""The whole crawl, one DAG: discovery-to-corpus as a single query.
+
+Every stage below exists as its own oracle-backed operator; this module
+is the witness that they COMPOSE — the acquisition funnel a 100 TB
+pipeline actually runs, expressed as one Catalyst plan whose per-domain
+outcome hashes green against an oracle that composes the same stages in
+SQL:
+
+  admission   robots ∘ blocklist ∘ canonical-URL first-seen
+              (crawl_admission_report — window + broadcast gates)
+  fetch       WARC response containers built AND parsed back for the
+              admitted URLs only (the funnel order: rejected URLs are
+              never fetched, so they never pay container work)
+  extract     strip_html -> clean text + token profile (the §2.2
+              tokenizer chain)
+  quality     a distinct-token floor — the cheap gate standing in for
+              the C4/extraction batteries proven elsewhere
+  dedup       first-seen per clean-text hash: the content-level dedup
+              that catches what URL dedup cannot (planted: every
+              (12k+5)th page serves the same boilerplate body from a
+              different URL)
+  report      per-domain funnel counts + shipped tokens + a corpus
+              content checksum — the table a crawl operator actually
+              watches
+
+Scale shape: admission is broadcast gates + one window; the fetch/
+extract stage rides the scan of the ADMITTED subset; dedup is one
+window on the content hash; the report is one partial-aggregated
+groupBy on domain. Nothing in the composition adds a shuffle the
+stages didn't already own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cc_mapreducer_spark.operators.acquisition import (
+    _ADMISSION_SQL,
+    _HTML_FIXTURE_SQL,
+    _URL_FIXTURE_SQL,
+    _html_fixture_col,
+    _strip_html_sql,
+    _url_fixture_col,
+    crawl_admission_report,
+    strip_html,
+)
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table, spread
+
+# every (12k+5)th URL serves this exact page — same content, different
+# URL: the case URL-level dedup cannot catch and content-level dedup
+# must (a constant page, because the normal html fixture embeds doc_id
+# in visible text and would de-duplicate nothing)
+_BOILER_TEXT = (
+    "welcome to the mirror of this site all rights reserved contact the "
+    "webmaster for enquiries about syndication and reuse of articles "
+    "nothing on this page changes between captures"
+)
+_BOILER_HTML = (
+    "<html><head><title>mirror</title></head><body><p>"
+    + _BOILER_TEXT
+    + "</p></body></html>"
+)
+MIN_DISTINCT_TOKENS = 20
+
+
+def _e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the planted content-duplicate pages swapped in
+    (local to this query — the per-family fixtures are untouched)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 12 == 5, F.lit(_BOILER_HTML))
+        .otherwise(_html_fixture_col())
+        .alias("html"),
+        _url_fixture_col().alias("url"),
+    )
+
+
+_E2E_SQL = f"""
+WITH adm AS (
+    SELECT doc_id, canonical_url, admitted FROM ({_ADMISSION_SQL})
+), pages AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 12 = 5 THEN '{_BOILER_HTML}'
+                ELSE {_HTML_FIXTURE_SQL} END AS html,
+           {_URL_FIXTURE_SQL} AS url
+    FROM documents
+), fetched AS (
+    SELECT a.doc_id, a.canonical_url, p.html
+    FROM adm a JOIN pages p USING (doc_id)
+    WHERE a.admitted
+), extracted AS (
+    SELECT doc_id, canonical_url,
+           {_strip_html_sql('html')} AS clean_text,
+           regexp_extract(
+               regexp_extract(canonical_url,
+                   '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?(?:www\\.)?([^/?#:]*)',
+                   1),
+               '[^.]+\\.[^.]+$') AS domain
+    FROM fetched
+), toks AS (
+    SELECT doc_id, canonical_url, domain, clean_text,
+           list_filter(string_split(
+               regexp_replace(lower(clean_text), '[^a-z]+', ' ', 'g'), ' '),
+               w -> w <> '') AS ws
+    FROM extracted
+), profiled AS (
+    SELECT doc_id, domain,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+           ('0x' || substr(md5(clean_text), 1, 12))::BIGINT AS clean_h
+    FROM toks
+), quality AS (
+    SELECT *, n_distinct >= {MIN_DISTINCT_TOKENS} AS q_ok FROM profiled
+), deduped AS (
+    SELECT *,
+           CASE WHEN q_ok THEN row_number() OVER (
+               PARTITION BY q_ok, clean_h ORDER BY doc_id)
+                ELSE NULL END AS rk
+    FROM quality
+), adm_counts AS (
+    SELECT regexp_extract(
+               regexp_extract(canonical_url,
+                   '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?(?:www\\.)?([^/?#:]*)',
+                   1),
+               '[^.]+\\.[^.]+$') AS domain,
+           count(*) AS n_urls,
+           count(*) FILTER (WHERE admitted) AS n_admitted
+    FROM adm GROUP BY 1
+), corpus AS (
+    SELECT domain,
+           count(*) AS n_fetched,
+           count(*) FILTER (WHERE q_ok) AS n_quality_ok,
+           count(*) FILTER (WHERE rk = 1) AS n_unique,
+           coalesce(sum(n_tokens) FILTER (WHERE rk = 1), 0) AS tokens_shipped,
+           coalesce(sum(clean_h % 100000019) FILTER (WHERE rk = 1), 0)
+               AS content_sum
+    FROM deduped GROUP BY domain
+)
+SELECT a.domain,
+       CAST(a.n_urls AS BIGINT) AS n_urls,
+       CAST(a.n_admitted AS BIGINT) AS n_admitted,
+       CAST(coalesce(c.n_fetched, 0) AS BIGINT) AS n_fetched,
+       CAST(coalesce(c.n_quality_ok, 0) AS BIGINT) AS n_quality_ok,
+       CAST(coalesce(c.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(coalesce(c.tokens_shipped, 0) AS BIGINT) AS tokens_shipped,
+       CAST(coalesce(c.content_sum, 0) AS BIGINT) AS content_sum
+FROM adm_counts a LEFT JOIN corpus c USING (domain)
+"""
+
+
+@register("crawl_e2e_funnel", oracle=_E2E_SQL, driver=False)
+def crawl_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery-to-corpus in one plan; see the module docstring. Per
+    domain: URLs seen, admitted, fetched, passing the quality floor,
+    unique after content dedup, tokens shipped, and a modular checksum
+    of the shipped content hashes."""
+    from pyspark.sql import Window
+
+    adm = crawl_admission_report(spark, sf_dir)
+    host = F.regexp_extract(
+        "canonical_url",
+        r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?(?:www\.)?([^/?#:]*)",
+        1,
+    )
+    domain = F.regexp_extract(host, r"[^.]+\.[^.]+$", 0)
+    adm = adm.withColumn("domain", domain)
+    adm_counts = adm.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.count(F.when(F.col("admitted"), 1)).cast("long").alias("n_admitted"),
+    )
+
+    # fetch: the admitted pages pass through a real WARC container —
+    # response records built, then parsed back (mapInPandas, riding the
+    # scan of the ADMITTED subset only). The oracle needs no WARC stage
+    # because the round trip is byte-exact (the warc_acquisition_chain
+    # precedent); a container bug would break parity here, not hide.
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+
+    from cc_mapreducer_spark.functions.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+        parse_http_response,
+        parse_warc,
+    )
+
+    def _through_warc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            doc_ids, htmls, domains = [], [], []
+            for doc_id, html, dom in zip(
+                pdf["doc_id"], pdf["html"], pdf["domain"]
+            ):
+                rec = build_warc_record(
+                    "response",
+                    f"https://fetch/page-{int(doc_id)}",
+                    "2026-01-01T00:00:00Z",
+                    build_http_response(str(html).encode("utf-8")),
+                    f"<urn:e2e:{int(doc_id)}>",
+                )
+                blob = build_warc([rec], gzip_per_record=(int(doc_id) % 3 == 0))
+                (parsed,) = parse_warc(blob)
+                _, _, body = parse_http_response(parsed["block"])
+                m = _re.search(r"page-(\d+)", parsed["target_uri"] or "")
+                doc_ids.append(int(m.group(1)) if m else None)
+                htmls.append(body.decode("utf-8"))
+                domains.append(dom)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "html": htmls, "domain": domains}
+            )
+
+    fetched = (
+        _e2e_docs(spark, sf_dir)
+        .join(
+            adm.filter("admitted").select("doc_id", "domain"), "doc_id"
+        )
+        .mapInPandas(
+            _through_warc, "doc_id long, html string, domain string"
+        )
+    )
+    ws = F.filter(
+        F.split(F.regexp_replace(F.lower("clean_text"), "[^a-z]+", " "), " "),
+        lambda w: w != F.lit(""),
+    )
+    profiled = strip_html(fetched, "html").select(
+        "doc_id",
+        "domain",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+        F.conv(F.substring(F.md5("clean_text"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("clean_h"),
+    ).withColumn("q_ok", F.col("n_distinct") >= MIN_DISTINCT_TOKENS)
+    w = Window.partitionBy("q_ok", "clean_h").orderBy("doc_id")
+    deduped = profiled.withColumn(
+        "rk", F.when(F.col("q_ok"), F.row_number().over(w))
+    )
+    corpus = deduped.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_fetched"),
+        F.count(F.when(F.col("q_ok"), 1)).cast("long").alias("n_quality_ok"),
+        F.count(F.when(F.col("rk") == 1, 1)).cast("long").alias("n_unique"),
+        F.coalesce(
+            F.sum(F.when(F.col("rk") == 1, F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tokens_shipped"),
+        F.coalesce(
+            F.sum(F.when(F.col("rk") == 1, F.col("clean_h") % 100000019)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("content_sum"),
+    )
+    return (
+        adm_counts.join(corpus, "domain", "left")
+        .select(
+            "domain",
+            "n_urls",
+            "n_admitted",
+            F.coalesce("n_fetched", F.lit(0)).cast("long").alias("n_fetched"),
+            F.coalesce("n_quality_ok", F.lit(0))
+            .cast("long")
+            .alias("n_quality_ok"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.coalesce("tokens_shipped", F.lit(0))
+            .cast("long")
+            .alias("tokens_shipped"),
+            F.coalesce("content_sum", F.lit(0))
+            .cast("long")
+            .alias("content_sum"),
+        )
+    )

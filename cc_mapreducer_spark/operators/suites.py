@@ -121,6 +121,10 @@ from cc_mapreducer_spark.operators.acquisition import (
     robots_wildcard_filter,
     url_canonical_stats,
 )
+from cc_mapreducer_spark.operators.crawl_e2e import (
+    _E2E_SQL,
+    crawl_e2e_funnel,
+)
 from cc_mapreducer_spark.operators.c4_filters import (
     _C4_DOC_SQL,
     _C4_FUNNEL_SQL,
@@ -719,6 +723,17 @@ UNION ALL
 SELECT 'rbtxt:gate', CAST(doc_id AS VARCHAR) || '|' || coalesce(robots_rule, '-'),
        CAST(CAST(robots_allowed AS INT) AS DOUBLE)
 FROM ({_ROBOTS_FILTER_SQL})
+UNION ALL
+SELECT 'e2e:funnel', domain,
+       CAST(((n_urls * 1000 + n_admitted) * 1000 + n_quality_ok) * 1000
+            + n_unique AS DOUBLE)
+FROM ({_E2E_SQL})
+UNION ALL
+SELECT 'e2e:tokens', domain, CAST(tokens_shipped AS DOUBLE)
+FROM ({_E2E_SQL})
+UNION ALL
+SELECT 'e2e:content', domain, CAST(content_sum AS DOUBLE)
+FROM ({_E2E_SQL})
 """
 
 
@@ -772,6 +787,7 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     recrawl = sitemap_recrawl_schedule(spark, sf_dir).localCheckpoint()
     rbtxt = robots_txt_directives(spark, sf_dir)
     rbgate = robots_txt_gate(spark, sf_dir)
+    e2e = crawl_e2e_funnel(spark, sf_dir).localCheckpoint()
     chain_ent = F.concat_ws("|", "doc_id", "domain", "canonical_url")
     return _union(
         [
@@ -958,6 +974,15 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.col("robots_allowed").cast("int"),
             ),
+            _leg(
+                e2e,
+                "e2e:funnel",
+                F.col("domain"),
+                ((F.col("n_urls") * 1000 + F.col("n_admitted")) * 1000
+                 + F.col("n_quality_ok")) * 1000 + F.col("n_unique"),
+            ),
+            _leg(e2e, "e2e:tokens", F.col("domain"), F.col("tokens_shipped")),
+            _leg(e2e, "e2e:content", F.col("domain"), F.col("content_sum")),
         ]
     )
 
