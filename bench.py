@@ -75,6 +75,13 @@ HEADLINE = [
     "kmv_corpus_overlap",        # KMV/theta sketch pairwise overlap (r8 s2)
     "sitemap_recrawl_schedule",  # sitemap freshness -> fetch slots (r8 s2)
     "wordpiece_token_stats",     # WordPiece MaxMatch serving from saved vocab (r8 s2)
+    "robots_txt_gate",           # REP gate fed from parsed robots.txt text (r8 s2)
+    # domain_pagerank stays OUT of the headline like item_pagerank: 10
+    # fixed-cost local rounds measure scheduler floor, not operator cost;
+    # the iterative lane grades pagerank floor-aware (iterative_trend)
+    "domain_link_edges",         # href extraction -> weighted domain edges (r8 s2)
+    "zorder_pruning_report",     # Morton layout + measured data skipping (r8 s2)
+    "crawl_e2e_funnel",          # the whole crawl as ONE DAG (r8 s2)
 ]
 
 

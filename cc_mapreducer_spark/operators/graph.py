@@ -136,21 +136,27 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
         )
-        # dangling nodes (no outgoing edge) leak their mass: collect the
-        # leaked total with one O(1) agg and spread it uniformly
+        # dangling nodes (no outgoing edge) leak their mass: one O(1)
+        # agg, broadcast back into the update as a 1-row frame so each
+        # iteration is ONE job (the localCheckpoint), not a separate
+        # driver collect per round. Expression order matches the old
+        # driver-side arithmetic exactly: (d * m) / n, then the adds.
         dangling = (
             ranks.join(shares.select("src").distinct(),
                        ranks.node == F.col("src"), "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .first()["m"]
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("m") / F.lit(float(n))
+        )
         ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )

@@ -45,6 +45,10 @@ ALLOWED_NESTED_LOOP = {
     # 64-partition stats frame x the 2-row predicate table: the pruning
     # metadata join is metadata-sized by construction
     "zorder_pruning_report",
+    # one-row broadcast per iteration: the dangling-mass aggregate rides
+    # the rank update instead of a per-round driver collect
+    "item_pagerank",
+    "domain_pagerank",
 }
 ALLOWED_PYTHON_EVAL = {
     "multimodal_derived",  # Arrow-batched mapInPandas by design
