@@ -382,11 +382,24 @@ def _simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     summing per-occurrence ±1 is identical to summing ±count over
     distinct words, so no (doc_id, word) pre-aggregation is needed. That
     removes a whole shuffle of n_tokens rows (round 1 grouped to tokcnt
-    first): the plan is now explode -> map-side partial agg -> ONE
-    Exchange of n_docs rows with 64 sum columns, all in whole-stage
-    codegen. md5 runs per occurrence instead of per distinct word — CPU
-    traded for a full shuffle stage, the right trade at 100 TB. The
-    oracle keeps the tokcnt form (same math, engine-friendly there)."""
+    first): the plan is explode -> map-side partial agg -> ONE Exchange
+    of n_docs rows, all in whole-stage codegen. md5 runs per occurrence
+    instead of per distinct word — CPU traded for a full shuffle stage,
+    the right trade at 100 TB. The oracle keeps the tokcnt form (same
+    math, engine-friendly there).
+
+    Packed-lane aggregation (round 9): vote_j > 0 iff 2*count_set_j > n,
+    so the agg only needs the per-bit SET counts plus n. Two 32-bit
+    counters pack into one bigint (bits j and j+16 of each word at lane
+    offsets 0 and 32), shrinking the hash-agg from 64 sum(CASE) columns
+    to 32 branch-free bigint sums + count(*). The r8 driver drew this
+    lane at 15.1s vs 2.2s committed on identical code — the 64-column
+    agg was the fleet's largest codegen unit, and one cold/evicted JIT
+    draw of it dominated the lane (fresh-session A/B: 21.7s cold / 3.1s
+    warm before, see BENCH_DETAIL.notes). A 32-bit lane overflows only
+    past 2^32 token occurrences in ONE document (~8 GB of text in a
+    single row — beyond Spark's own 2 GB string limit), so the packing
+    is exact for any representable document; no fallback branch needed."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("word"))
     # md5 projected once, then sliced twice — measured ~8% faster than two
@@ -397,27 +410,39 @@ def _simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring("m", 1, 8), 16, 10).cast("bigint").alias("h_hi"),
         F.conv(F.substring("m", 9, 8), 16, 10).cast("bigint").alias("h_lo"),
     )
-    one = F.lit(1).cast("bigint")
-    votes = hashed.groupBy("doc_id").agg(
+    packed = hashed.select(
+        "doc_id",
         *[
-            F.sum(
-                F.when(F.expr(f"(h_{w} >> {j}) & 1 = 1"), one).otherwise(-one)
-            ).alias(f"v_{w}{j}")
+            F.expr(
+                f"((h_{w} >> {j}) & 1) | (((h_{w} >> {j + 16}) & 1) << 32)"
+            ).alias(f"p_{w}{j}")
             for w in ("hi", "lo")
-            for j in range(32)
-        ]
+            for j in range(16)
+        ],
+    )
+    counts = packed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(f"p_{w}{j}").alias(f"a_{w}{j}")
+            for w in ("hi", "lo")
+            for j in range(16)
+        ],
     )
 
     def word(w: str):
-        acc = None
-        for j in range(32):
-            term = F.when(
-                F.col(f"v_{w}{j}") > 0, F.lit(1 << j).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-            acc = term if acc is None else acc + term
-        return acc.alias(w)
+        # lane 0 (low 32 bits) holds count_set for bit j, lane 1 for
+        # bit j+16; majority vote per bit, branch-free assembly.
+        terms = []
+        for j in range(16):
+            terms.append(
+                f"IF(2 * (a_{w}{j} & 4294967295) > n, {1 << j}, 0)"
+            )
+            terms.append(
+                f"IF(2 * (a_{w}{j} >> 32) > n, {1 << (j + 16)}, 0)"
+            )
+        return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)").alias(w)
 
-    return votes.select("doc_id", word("hi"), word("lo"))
+    return counts.select("doc_id", word("hi"), word("lo"))
 
 
 @register("simhash_fingerprint", oracle=_SIMHASH_SQL, driver=False)  # hashed via simhash_suite
