@@ -222,6 +222,64 @@ def zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _injective_slots(df: DataFrame, n: int) -> list[int]:
+    """Probe values v_0..v_{n-1} with pmod(murmur3(v_i), n) == i.
+
+    ``df.repartition(n, col)`` places a row in partition
+    pmod(Murmur3Hash(col), n); F.hash IS that Murmur3 (fixed seed 42),
+    so probing small ints through F.hash yields a bucket->value remap
+    that makes hash partitioning behave as an identity partitioner —
+    bucket i lands in partition i, one bucket per output file, no
+    sampling anywhere. Coupon-collector bound: ~n·ln(n) probes; 64n is
+    comfortable for any practical file count."""
+    spark = df.sparkSession
+    probes = (
+        spark.range(0, 64 * n)
+        .select(
+            F.col("id").cast("int").alias("v"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("slot"),
+        )
+        .groupBy("slot")
+        .agg(F.min("v").alias("v"))
+        .collect()
+    )
+    slots = {r.slot: r.v for r in probes}
+    if len(slots) != n:  # pragma: no cover - 64n probes always suffice
+        raise RuntimeError(f"hash probe covered {len(slots)}/{n} slots")
+    return [slots[i] for i in range(n)]
+
+
+def linear_write(
+    df: DataFrame, path: str, col: str, n_files: int = N_PARTITIONS
+) -> None:
+    """The 1-D baseline layout (e.g. date-sorted) through the SAME
+    deterministic mechanics as zorder_write: exact percentile
+    boundaries on one column, row-local bucket assignment, injective
+    hash remap. Exists so layout comparisons (tests/test_zorder.py)
+    measure Z-order vs linear, not sampler noise vs sampler noise."""
+    qs = [i / n_files for i in range(1, n_files)]
+    bounds_row = df.agg(
+        F.percentile(F.expr(f"CAST({col} AS BIGINT)"), F.lit(qs)).alias("b")
+    ).collect()[0]
+    bounds = ", ".join(f"{b!r}D" for b in bounds_row.b)
+    slots = _injective_slots(df, n_files)
+    slot_arr = ", ".join(str(v) for v in slots)
+    (
+        df.withColumn(
+            "__slot",
+            F.expr(
+                f"array({slot_arr})"
+                f"[size(filter(array({bounds}), b -> CAST({col} AS BIGINT) > b))]"
+            ),
+        )
+        .repartition(n_files, "__slot")
+        .sortWithinPartitions(col)
+        .drop("__slot")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -229,18 +287,55 @@ def zorder_write(
     d2: str,
     n_files: int = N_PARTITIONS,
 ) -> None:
-    """The production layout path: compute the Morton code, range-
-    partition on it (one range shuffle — the write job's shuffle), sort
-    within partitions so row-group stats tighten too, and write. Each
-    output file's parquet footer then carries the min/max of BOTH dims
-    — the pruning metadata the stats queries model declaratively
-    (demonstrated on real footers in tests/test_zorder.py)."""
+    """The production layout path: compute the Morton code, split it at
+    exact percentile boundaries, route each bucket to its own output
+    file, sort within files so row-group stats tighten too, and write.
+    Each output file's parquet footer then carries the min/max of BOTH
+    dims — the pruning metadata the stats queries model declaratively
+    (demonstrated on real footers in tests/test_zorder.py).
+
+    Deterministic by construction (r8 verdict item 4): the r8 version
+    used repartitionByRange, whose reservoir sample depends on row
+    order within upstream partitions — nondeterministic after any
+    shuffle, so the file layout (and the measured pruning win) drifted
+    run to run. Now the boundaries come from an order-insensitive exact
+    percentile, bucket assignment is row-local arithmetic, and the
+    bucket->partition mapping is an injective Murmur3 remap
+    (_injective_slots) — same input rows, same files, every run. At
+    100 TB swap the exact percentile for approx_percentile(z, .., 10k):
+    the layout tolerates boundary error; only the test needs exactness.
+
+    Guards the 16-bit Morton precondition (ADVICE r8): the bit-spread
+    ladder masks dims to 16 bits, so values >= 65536 would silently
+    alias distinct keys onto one z-value; the same single aggregation
+    that computes the boundaries checks both dims and fails loudly."""
     z = F.expr(z_value_sql(d1, d2, "spark")).cast("long").alias("__z")
+    zdf = df.withColumn("__z", z)
+    qs = [i / n_files for i in range(1, n_files)]
+    stats = zdf.agg(
+        F.percentile("__z", F.lit(qs)).alias("bounds"),
+        F.max(F.expr(f"CAST({d1} AS BIGINT)")).alias("m1"),
+        F.max(F.expr(f"CAST({d2} AS BIGINT)")).alias("m2"),
+    ).collect()[0]
+    if stats.m1 >= (1 << 16) or stats.m2 >= (1 << 16):
+        raise ValueError(
+            f"zorder_write dims must fit 16 bits: max({d1})={stats.m1}, "
+            f"max({d2})={stats.m2}; bucket the dims first"
+        )
+    bounds = ", ".join(f"{b!r}D" for b in stats.bounds)
+    slots = _injective_slots(df, n_files)
+    slot_arr = ", ".join(str(v) for v in slots)
     (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
+        zdf.withColumn(
+            "__slot",
+            F.expr(
+                f"array({slot_arr})"
+                f"[size(filter(array({bounds}), b -> __z > b))]"
+            ),
+        )
+        .repartition(n_files, "__slot")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__slot")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cc_mapreducer_spark.operators.zorder import (
     BOX_CK,
     BOX_DAY,
+    linear_write,
     order_layouts,
     z_value_sql,
     zorder_pruning_report,
@@ -96,13 +97,10 @@ def test_real_footer_stats_prune_more_files(spark, tmp_path):
     zpath = str(tmp_path / "zorder")
     lpath = str(tmp_path / "linear")
     zorder_write(base, zpath, "ck", "day", n_files=16)
-    # date-sorted baseline through the same writer mechanics
-    (
-        base.repartitionByRange(16, "day")
-        .sortWithinPartitions("day")
-        .write.mode("overwrite")
-        .parquet(lpath)
-    )
+    # date-sorted baseline through the same deterministic writer
+    # mechanics (repartitionByRange's sampled boundaries made this
+    # test's margin drift run to run — r8 verdict item 4)
+    linear_write(base, lpath, "day", n_files=16)
 
     def scanned(path):
         n = 0
