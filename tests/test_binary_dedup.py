@@ -168,17 +168,20 @@ def test_chunk_index_plugs_into_bloom_gate(spark, tmp_path):
 
 def test_binary_dedup_suite_mirrors_components(spark):
     """The driver digest must be a pure projection of its components:
-    chunk legs == chunk_table rows (entity set AND count), rollup legs
-    == binary_chunk_dedup values per media type."""
+    chunk legs == suite_chunk_table rows (entity set AND count), rollup
+    legs == the per-media-type rollup over the same chunk index. (Since
+    round 9 the suite chunks the oracle-constructible payload set —
+    _suite_artifacts_for — not the container payloads; the container
+    path keeps its own replica pins above.)"""
     from cc_mapreducer_spark.operators.binary_dedup import (
-        binary_chunk_dedup,
+        _suite_rollup,
         binary_dedup_suite,
-        chunk_table,
+        suite_chunk_table,
     )
 
     suite = binary_dedup_suite(spark, SF_ORACLE).toPandas()
-    chunks = chunk_table(spark, SF_ORACLE).toPandas()
-    roll = binary_chunk_dedup(spark, SF_ORACLE).toPandas()
+    chunks = suite_chunk_table(spark, SF_ORACLE).toPandas()
+    roll = _suite_rollup(suite_chunk_table(spark, SF_ORACLE)).toPandas()
     got = set(suite[suite.component == "chunk"].entity)
     want = {
         f"{r.artifact_id}|{r.chunk_idx}|{r.offset}|{r.length}|{r.chunk_sha}"
