@@ -53,6 +53,13 @@ def _q(s: str) -> str:
 # page fixture: two cross-domain links (residue-derived targets), one
 # same-domain absolute link (self-edge — must be dropped), one relative
 # link (not absolute — must be ignored), wrapped in article text.
+# The second target is QUADRATIC in doc_id (r9): two affine residues gave
+# every domain identical in-degree, the graph was exactly regular, and
+# PageRank converged to the uniform vector — a vacuous digest (any bug
+# preserving symmetry would hash green). (x*x+3)%20 hits residues
+# {3,5,13,15} twice as often as {9,19} and misses the rest, so ranks
+# genuinely order the domains. x*x-x+3 != 0 (mod 20) for all x, so the
+# quadratic target never lands on its own source-residue domain.
 _LG_P1 = '<html><body><p>see <a href="https://www.'
 _LG_P2 = '.org/page-a">next</a> and <a href="https://'
 _LG_P3 = '.org/page-b">related</a> and <a href="https://www.'
@@ -66,7 +73,7 @@ def _dst(expr_mod: Column) -> Column:
 
 def _page_links_col() -> Column:
     d1 = _dst((F.col("doc_id") + 1) % 20)
-    d2 = _dst((F.col("doc_id") * 3 + 7) % 20)
+    d2 = _dst((F.col("doc_id") * F.col("doc_id") + 3) % 20)
     return F.concat(
         F.lit(_LG_P1), d1,
         F.lit(_LG_P2), d2,
@@ -78,7 +85,7 @@ def _page_links_col() -> Column:
 
 _PAGE_LINKS_SQL = (
     f"'{_q(_LG_P1)}' || 'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || "
-    f"'{_q(_LG_P2)}' || 'src' || CAST((doc_id * 3 + 7) % 20 AS VARCHAR) || "
+    f"'{_q(_LG_P2)}' || 'src' || CAST((doc_id * doc_id + 3) % 20 AS VARCHAR) || "
     f"'{_q(_LG_P3)}' || source || "
     f"'{_q(_LG_P4)}' || text || "
     f"'{_q(_LG_P5)}'"
@@ -148,13 +155,68 @@ def domain_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_domain_edges(_fixture_pages(spark, sf_dir))
 
 
-# rows-only: iterative float path, the item_pagerank policy
-@register("domain_pagerank", driver=False)
+def _pagerank_sql(iters: int = 10, d: float = 0.85) -> str:
+    """The PageRank oracle: a FIXED iteration count makes the float
+    path SQL-expressible — unroll the power iteration as generated
+    r0..r{iters} CTEs (the same unrolling move binary_dedup_suite uses
+    for its cut chain). Expression shapes mirror operators/graph.pagerank
+    exactly — ((1-d)/n + d*m/n) + d*inflow, same association order — so
+    the only cross-engine drift is summation order, bounded well below
+    the 9dp rounding both sides publish."""
+    head = f"""
+WITH edges0 AS MATERIALIZED ({_EDGES_SQL}),
+flow AS (
+    SELECT src_domain AS s, dst_domain AS t, CAST(n_links AS DOUBLE) AS w
+    FROM edges0
+), outw AS (SELECT s, sum(w) AS ow FROM flow GROUP BY s),
+shares AS MATERIALIZED (
+    SELECT f.s, f.t, f.w / o.ow AS share FROM flow f JOIN outw o USING (s)
+), nodes AS MATERIALIZED (
+    SELECT DISTINCT d FROM (
+        SELECT s AS d FROM flow UNION ALL SELECT t FROM flow
+    )
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT d, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f""",
+m{i} AS MATERIALIZED (
+    SELECT coalesce(sum(rank), 0.0) AS m FROM r{i}
+    WHERE d NOT IN (SELECT s FROM shares)
+), r{i + 1} AS MATERIALIZED (
+    -- every r is referenced three times (m, inflow probe, next r):
+    -- inlining would be exponential in the iteration count
+    SELECT nodes.d,
+           ((1.0 - {d!r}) / (SELECT n FROM nn)
+            + {d!r} * (SELECT m FROM m{i}) / (SELECT n FROM nn))
+           + {d!r} * coalesce((SELECT sum(r.rank * sh.share)
+                               FROM r{i} r JOIN shares sh ON sh.s = r.d
+                               WHERE sh.t = nodes.d), 0.0) AS rank
+    FROM nodes
+)""")
+    tail = f"""
+SELECT r.d AS domain, round(r.rank, 9) AS rank,
+       CAST(coalesce((SELECT sum(n_links) FROM edges0 e
+                      WHERE e.src_domain = r.d), 0) AS BIGINT)
+           AS n_out_links
+FROM r{iters} r
+"""
+    return head + "".join(steps) + tail
+
+
+_PAGERANK_SQL = _pagerank_sql()
+
+
+# iterative float path — rank published at 9dp so the driver's exact
+# value hash is well-posed (cross-engine drift is summation order,
+# ~1e-15; the numpy replica pins the unrounded path in pytest)
+@register("domain_pagerank", oracle=_PAGERANK_SQL, driver=False)
 def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the extracted domain graph (damping 0.85, 10
     iterations — operators/graph.pagerank, dangling mass redistributed
     uniformly): (domain, rank, n_out_links), ranks summing to 1.
-    Pinned against the numpy power-iteration replica in pytest."""
+    Pinned against the numpy power-iteration replica in pytest AND
+    against the unrolled-iteration DuckDB oracle (_pagerank_sql)."""
     edges = domain_link_edges(spark, sf_dir).localCheckpoint()
     domains = sorted(
         r["d"]
@@ -194,7 +256,7 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "domain",
-            "rank",
+            F.round("rank", 9).alias("rank"),
             F.coalesce("n_out_links", F.lit(0)).cast("long").alias(
                 "n_out_links"
             ),
