@@ -137,6 +137,29 @@ WITH adm AS (
            coalesce(sum(clean_h % 100000019) FILTER (WHERE rk = 1), 0)
                AS content_sum
     FROM deduped GROUP BY domain
+), rev AS (
+    -- the family's revisit residue (warc_ingest._records_for_doc):
+    -- every (7k+3)th ADMITTED fetch also stores a headers-only
+    -- re-crawl; its digest matches its own capture's payload, so the
+    -- Spark side's digest join must resolve every one, saving the
+    -- payload bytes. The oracle re-derives the closed form; the Spark
+    -- side EARNS it by building/parsing real WARC bytes and joining.
+    SELECT f.domain, length(f.html) AS saved
+    FROM (SELECT a.doc_id,
+                 regexp_extract(
+                     regexp_extract(a.canonical_url,
+                         '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?(?:www\\.)?([^/?#:]*)',
+                         1),
+                     '[^.]+\\.[^.]+$') AS domain,
+                 p.html
+          FROM adm a JOIN pages p USING (doc_id)
+          WHERE a.admitted AND a.doc_id % 7 = 3) f
+), rev_counts AS (
+    SELECT domain,
+           count(*) AS n_revisits,
+           count(*) AS n_revisit_resolved,
+           sum(saved) AS revisit_saved_bytes
+    FROM rev GROUP BY domain
 )
 SELECT a.domain,
        CAST(a.n_urls AS BIGINT) AS n_urls,
@@ -145,8 +168,15 @@ SELECT a.domain,
        CAST(coalesce(c.n_quality_ok, 0) AS BIGINT) AS n_quality_ok,
        CAST(coalesce(c.n_unique, 0) AS BIGINT) AS n_unique,
        CAST(coalesce(c.tokens_shipped, 0) AS BIGINT) AS tokens_shipped,
-       CAST(coalesce(c.content_sum, 0) AS BIGINT) AS content_sum
-FROM adm_counts a LEFT JOIN corpus c USING (domain)
+       CAST(coalesce(c.content_sum, 0) AS BIGINT) AS content_sum,
+       CAST(coalesce(r.n_revisits, 0) AS BIGINT) AS n_revisits,
+       CAST(coalesce(r.n_revisit_resolved, 0) AS BIGINT)
+           AS n_revisit_resolved,
+       CAST(coalesce(r.revisit_saved_bytes, 0) AS BIGINT)
+           AS revisit_saved_bytes
+FROM adm_counts a
+LEFT JOIN corpus c USING (domain)
+LEFT JOIN rev_counts r USING (domain)
 """
 
 
@@ -190,38 +220,112 @@ def crawl_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _through_warc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cc_mapreducer_spark.functions.warc import (
+            build_revisit_record,
+            payload_digest,
+        )
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            doc_ids, htmls, domains = [], [], []
+            out = {"doc_id": [], "kind": [], "html": [], "domain": [],
+                   "digest": [], "nbytes": []}
             for doc_id, html, dom in zip(
                 pdf["doc_id"], pdf["html"], pdf["domain"]
             ):
-                rec = build_warc_record(
-                    "response",
-                    f"https://fetch/page-{int(doc_id)}",
-                    "2026-01-01T00:00:00Z",
-                    build_http_response(str(html).encode("utf-8")),
-                    f"<urn:e2e:{int(doc_id)}>",
-                )
-                blob = build_warc([rec], gzip_per_record=(int(doc_id) % 3 == 0))
-                (parsed,) = parse_warc(blob)
-                _, _, body = parse_http_response(parsed["block"])
-                m = _re.search(r"page-(\d+)", parsed["target_uri"] or "")
-                doc_ids.append(int(m.group(1)) if m else None)
-                htmls.append(body.decode("utf-8"))
-                domains.append(dom)
-            yield pd.DataFrame(
-                {"doc_id": doc_ids, "html": htmls, "domain": domains}
-            )
+                body = str(html).encode("utf-8")
+                uri = f"https://fetch/page-{int(doc_id)}"
+                recs = [
+                    build_warc_record(
+                        "response",
+                        uri,
+                        "2026-01-01T00:00:00Z",
+                        build_http_response(body),
+                        f"<urn:e2e:{int(doc_id)}>",
+                    )
+                ]
+                # the family's revisit residue (warc_ingest
+                # _records_for_doc): every (7k+3)th fetch is a re-crawl
+                # whose payload matched — stored headers-only with the
+                # identical-payload digest; the funnel must RESOLVE it
+                # by digest-joining the stored captures (r8 verdict
+                # stretch #8: Common Crawl's native dedup signal inside
+                # the composed DAG)
+                if int(doc_id) % 7 == 3:
+                    recs.append(
+                        build_revisit_record(
+                            uri,
+                            "2026-02-01T00:00:00Z",
+                            payload_digest(body),
+                            f"<urn:e2e-revisit:{int(doc_id)}>",
+                            refers_to_uri=uri,
+                            refers_to_date="2026-01-01T00:00:00Z",
+                        )
+                    )
+                blob = build_warc(recs, gzip_per_record=(int(doc_id) % 3 == 0))
+                for parsed in parse_warc(blob):
+                    m = _re.search(r"page-(\d+)", parsed["target_uri"] or "")
+                    rid = int(m.group(1)) if m else None
+                    if parsed["type"] == "response":
+                        _, _, pbody = parse_http_response(parsed["block"])
+                        out["doc_id"].append(rid)
+                        out["kind"].append("response")
+                        out["html"].append(pbody.decode("utf-8"))
+                        out["domain"].append(dom)
+                        out["digest"].append(payload_digest(pbody))
+                        out["nbytes"].append(len(pbody))
+                    elif parsed["type"] == "revisit":
+                        out["doc_id"].append(rid)
+                        out["kind"].append("revisit")
+                        out["html"].append("")
+                        out["domain"].append(dom)
+                        out["digest"].append(parsed["payload_digest"])
+                        out["nbytes"].append(0)
+            yield pd.DataFrame(out)
 
-    fetched = (
+    parsed_recs = (
         _e2e_docs(spark, sf_dir)
         .join(
             adm.filter("admitted").select("doc_id", "domain"), "doc_id"
         )
         .mapInPandas(
-            _through_warc, "doc_id long, html string, domain string"
+            _through_warc,
+            "doc_id long, kind string, html string, domain string, "
+            "digest string, nbytes long",
+        )
+        .localCheckpoint()
+    )
+    fetched = parsed_recs.filter(F.col("kind") == "response").select(
+        "doc_id", "html", "domain"
+    )
+    # revisit resolution INSIDE the funnel: digest-join the headers-only
+    # re-crawls against the stored captures of the same fetched set —
+    # a revisit whose digest matched no stored payload would drop out
+    # and shrink the resolved count (hash-checked)
+    revisits = parsed_recs.filter(F.col("kind") == "revisit").select(
+        "doc_id", "domain", "digest"
+    )
+    responses_d = parsed_recs.filter(F.col("kind") == "response").select(
+        F.col("digest").alias("resp_digest"),
+        F.col("nbytes").alias("resp_bytes"),
+    )
+    resolved = (
+        revisits.join(
+            responses_d, revisits["digest"] == responses_d["resp_digest"]
+        )
+        .groupBy("doc_id", "domain", "digest")
+        .agg(F.min("resp_bytes").alias("saved"))
+    )
+    rev_counts = (
+        revisits.groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_revisits"))
+        .join(
+            resolved.groupBy("domain").agg(
+                F.count("*").cast("long").alias("n_revisit_resolved"),
+                F.sum("saved").cast("long").alias("revisit_saved_bytes"),
+            ),
+            "domain",
+            "left",
         )
     )
     ws = F.filter(
@@ -259,6 +363,7 @@ def crawl_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         adm_counts.join(corpus, "domain", "left")
+        .join(rev_counts, "domain", "left")
         .select(
             "domain",
             "n_urls",
@@ -274,5 +379,14 @@ def crawl_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("content_sum", F.lit(0))
             .cast("long")
             .alias("content_sum"),
+            F.coalesce("n_revisits", F.lit(0))
+            .cast("long")
+            .alias("n_revisits"),
+            F.coalesce("n_revisit_resolved", F.lit(0))
+            .cast("long")
+            .alias("n_revisit_resolved"),
+            F.coalesce("revisit_saved_bytes", F.lit(0))
+            .cast("long")
+            .alias("revisit_saved_bytes"),
         )
     )

@@ -137,6 +137,12 @@ from cc_mapreducer_spark.operators.extraction import (
     content_yield_by_source,
     main_content_extract,
 )
+from cc_mapreducer_spark.operators.linkgraph import (
+    _EDGES_SQL,
+    _PAGERANK_SQL,
+    domain_link_edges,
+    domain_pagerank,
+)
 from cc_mapreducer_spark.operators.robots_txt import (
     _ROBOTS_TXT_STATS_SQL,
     robots_txt_directives,
@@ -734,6 +740,21 @@ FROM ({_E2E_SQL})
 UNION ALL
 SELECT 'e2e:content', domain, CAST(content_sum AS DOUBLE)
 FROM ({_E2E_SQL})
+UNION ALL
+SELECT 'e2e:revisit', domain,
+       CAST(n_revisits * 1000 + n_revisit_resolved AS DOUBLE)
+FROM ({_E2E_SQL})
+UNION ALL
+SELECT 'e2e:saved', domain, CAST(revisit_saved_bytes AS DOUBLE)
+FROM ({_E2E_SQL})
+UNION ALL
+SELECT 'edges:n', src_domain || '|' || dst_domain, CAST(n_links AS DOUBLE)
+FROM ({_EDGES_SQL})
+UNION ALL
+SELECT 'pagerank:rank', domain, rank FROM ({_PAGERANK_SQL})
+UNION ALL
+SELECT 'pagerank:out', domain, CAST(n_out_links AS DOUBLE)
+FROM ({_PAGERANK_SQL})
 """
 
 
@@ -763,7 +784,11 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-domain fetch slots. The ``rbtxt:*`` legs hash robots.txt TEXT
     parsing: per-domain rule digests + Sitemap/Crawl-delay directives,
     and the gate fed from parsed text against the structured gate's own
-    oracle (text -> rules -> gate provably a no-op)."""
+    oracle (text -> rules -> gate provably a no-op). The ``edges:n`` /
+    ``pagerank:*`` legs (round 9) hash the domain link graph: weighted
+    cross-domain edges and the 10-iteration PageRank at 9dp — the
+    iterative float family's first driver-hashed values, oracle-backed
+    by the unrolled power iteration (linkgraph._pagerank_sql)."""
     html = html_strip_stats(spark, sf_dir)
     url = url_canonical_stats(spark, sf_dir)
     dom = domain_acquisition_rollup(spark, sf_dir)
@@ -788,6 +813,8 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rbtxt = robots_txt_directives(spark, sf_dir)
     rbgate = robots_txt_gate(spark, sf_dir)
     e2e = crawl_e2e_funnel(spark, sf_dir).localCheckpoint()
+    edges = domain_link_edges(spark, sf_dir)
+    pr = domain_pagerank(spark, sf_dir).localCheckpoint()
     chain_ent = F.concat_ws("|", "doc_id", "domain", "canonical_url")
     return _union(
         [
@@ -983,6 +1010,22 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             _leg(e2e, "e2e:tokens", F.col("domain"), F.col("tokens_shipped")),
             _leg(e2e, "e2e:content", F.col("domain"), F.col("content_sum")),
+            _leg(
+                e2e,
+                "e2e:revisit",
+                F.col("domain"),
+                F.col("n_revisits") * 1000 + F.col("n_revisit_resolved"),
+            ),
+            _leg(e2e, "e2e:saved", F.col("domain"),
+                 F.col("revisit_saved_bytes")),
+            _leg(
+                edges,
+                "edges:n",
+                F.concat_ws("|", "src_domain", "dst_domain"),
+                F.col("n_links"),
+            ),
+            _leg(pr, "pagerank:rank", F.col("domain"), F.col("rank")),
+            _leg(pr, "pagerank:out", F.col("domain"), F.col("n_out_links")),
         ]
     )
 
