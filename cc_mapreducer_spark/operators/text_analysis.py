@@ -207,7 +207,9 @@ FROM documents GROUP BY lang
 """
 
 
-@register("corpus_token_totals", oracle=_CORPUS_TOKENS_SQL)
+# driver=False since round 9: absorbed into tokenizer_suite's corpus:*
+# legs (the roster is capped at 50 keys); the oracle pair stays pytest-pinned
+@register("corpus_token_totals", oracle=_CORPUS_TOKENS_SQL, driver=False)
 def corpus_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
