@@ -7,9 +7,14 @@ through GPT-2's byte-to-printable-unicode table so symbols remain
 printable strings. Consequences this module makes testable:
 
   * NO [UNK], ever — any input byte sequence encodes;
-  * decode(encode(x)) == x byte-exactly for ARBITRARY text (emoji,
-    CJK, control bytes), because the byte mapping is a bijection and
-    merges only concatenate;
+  * decode(encode(x)) == x byte-exactly at the BYTE-SYMBOL LAYER
+    (to_symbols/decode_tokens) for ARBITRARY input (emoji, CJK,
+    control bytes), because the byte mapping is a bijection and merges
+    only concatenate. The registered corpus pipeline normalizes to
+    lowercase [a-z]+ pre-tokens BEFORE that layer (the repo-wide
+    tokenizer), so the end-to-end pipeline round-trips the normalized
+    pre-token stream, not the raw document — the property tests pin
+    exactly the layer that owns the guarantee (ADVICE r8);
   * whitespace is data: GPT-2's pre-tokenizer attaches the leading
     space to the following word ("Ġword"), so token boundaries carry
     spacing and decode needs no joiner heuristics.

@@ -106,8 +106,14 @@ def parse_robots_txt(df: DataFrame, txt_col: str = "robots_txt") -> DataFrame:
     return (
         df.withColumn("rules", rules)
         .withColumn(
+            # first Sitemap directive only — RFC 9309 permits several
+            # per file (the fixture plants exactly one); the multi-map
+            # case is the same regexp_extract_all move as the rules.
+            # ADVICE r8: the old pattern's nested quantifier
+            # '([^\\s]+)*' allowed an empty capture and was an
+            # exponential-backtracking shape on adversarial lines.
             "sitemap_url",
-            F.regexp_extract(txt_col, r"(?m)^Sitemap: *([^\s]+)*$", 1),
+            F.regexp_extract(txt_col, r"(?m)^Sitemap: *([^\s]+) *$", 1),
         )
         .withColumn(
             "crawl_delay",

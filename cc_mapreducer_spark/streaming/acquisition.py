@@ -139,23 +139,39 @@ def curate_batch(
     accepted_path: str,
     rejects_path: str,
     bloom_dir: str,
+    epoch_id: int = 0,
 ) -> tuple[int, int]:
     """One micro-batch through quality-then-dedup: C4-clean every row,
-    append the dropped pages' (doc_id, verdict) to the rejects ledger
+    ledger the dropped pages' (doc_id, verdict) under their epoch
     (the streaming filter funnel), and gate only the 'ok' pages through
     the Bloom + exact-verify dedup. Returns (accepted, rejected).
 
     Order matters at scale: quality filtering is row-local and runs
     BEFORE the dedup shuffle, so rejected pages never pay for hashing
     into the corpus gate — the same reason batch pipelines run C4 ahead
-    of MinHash."""
+    of MinHash.
+
+    Replay idempotence is SYMMETRIC (ADVICE r8): the accepted path was
+    already exactly-once via the bitmap-before-append order, but rejects
+    used a bare append — a crash-replayed micro-batch would double-count
+    the filter-funnel telemetry. Rejects are now partitioned by epoch_id
+    and written with dynamic partition overwrite: replaying an epoch
+    rewrites exactly that epoch's directory, so the ledger converges to
+    one row per (epoch, rejected page) no matter how many times the
+    batch replays."""
     rows = curate_rows(batch).localCheckpoint()
     rejects = rows.filter(F.col("verdict") != "ok").select(
         "doc_id", "verdict", "canonical_url"
     )
     n_rejected = rejects.count()
     if n_rejected:
-        rejects.write.mode("append").parquet(rejects_path)
+        (
+            rejects.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(rejects_path)
+        )
     ok = rows.filter(F.col("verdict") == "ok").drop("verdict")
     accepted = gate_batch(
         spark, first_wins(ok), accepted_path, bloom_dir
@@ -185,7 +201,8 @@ def stream_c4_ingest(
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
         curate_batch(
-            df.sparkSession, df, accepted_path, rejects_path, bloom_dir
+            df.sparkSession, df, accepted_path, rejects_path, bloom_dir,
+            epoch_id=epoch_id,
         )
 
     q = (

@@ -204,8 +204,12 @@ def test_c4_gate_quality_then_dedup(spark, tmp_path):
     )
     init_bloom_dir(bl, expected_docs=10_000)
     rows = _c4_rows()
-    a1, r1 = curate_batch(spark, _raw_df_c4(spark, rows[:20]), acc, rej, bl)
-    a2, r2 = curate_batch(spark, _raw_df_c4(spark, rows[20:]), acc, rej, bl)
+    a1, r1 = curate_batch(
+        spark, _raw_df_c4(spark, rows[:20]), acc, rej, bl, epoch_id=0
+    )
+    a2, r2 = curate_batch(
+        spark, _raw_df_c4(spark, rows[20:]), acc, rej, bl, epoch_id=1
+    )
     # 30 clean pages accepted; 4 rule-trippers rejected; 5 re-crawls
     # dedup away on the kept-text sha despite different noise lines
     assert a1 + a2 == 30
@@ -220,9 +224,24 @@ def test_c4_gate_quality_then_dedup(spark, tmp_path):
         ("bad_words", 100), ("lorem_ipsum", 101),
         ("curly_brace", 102), ("too_few_lines", 103),
     }
-    # replay: everything already seen or rejected again, zero accepted
-    a3, r3 = curate_batch(spark, _raw_df_c4(spark, rows), acc, rej, bl)
-    assert a3 == 0 and r3 == 4
+    # crash-replay of BOTH epochs (same data, same epoch ids): accepted
+    # stays exactly-once via the bitmap order, and the rejects ledger
+    # must converge — the epoch-partitioned overwrite rewrites each
+    # epoch's own directory, so the ledger row count is unchanged
+    # (ADVICE r8: bare append here double-counted the filter funnel on
+    # replay)
+    before = spark.read.parquet(rej).count()
+    assert before == 4
+    a3, r3 = curate_batch(
+        spark, _raw_df_c4(spark, rows[:20]), acc, rej, bl, epoch_id=0
+    )
+    a4, r4 = curate_batch(
+        spark, _raw_df_c4(spark, rows[20:]), acc, rej, bl, epoch_id=1
+    )
+    assert a3 == 0 and a4 == 0
+    assert r3 == r1 and r4 == r2
+    assert spark.read.parquet(rej).count() == before
+    assert spark.read.parquet(acc).count() == 30
 
 
 def _raw_df_c4(spark, rows):
