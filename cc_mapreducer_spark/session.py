@@ -71,13 +71,17 @@ def get_spark(app_name: str = "cc-mapreducer-spark", cpus: int | None = None) ->
         # JVM; the default 240m JIT code cache evicts hot compiled stages
         # when many codegen-heavy queries interleave (measured: the
         # near_dedup 150k-doc verify swings 9.5-31.5s under the default,
-        # 10.2-17.6s at 512m — same min, half the tail). On a real
-        # cluster each executor JVM compiles only its own queries and the
-        # default suffices; this evens local measurement out to match.
+        # 10.2-17.6s at 512m — same min, half the tail). 512m -> 1g in
+        # round 9: the r8 driver bench (52 lanes x best-of-4 in one JVM)
+        # drew a uniform ~1.5x drift plus a 9x outlier on the fleet's
+        # biggest codegen unit — the signature of code-cache exhaustion
+        # disabling the compiler mid-run. On a real cluster each executor
+        # JVM compiles only its own queries and the default suffices;
+        # this evens local measurement out to match.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
-                "SPARK_GRAFT_DRIVER_JVM_OPTS", "-XX:ReservedCodeCacheSize=512m"
+                "SPARK_GRAFT_DRIVER_JVM_OPTS", "-XX:ReservedCodeCacheSize=1g"
             ),
         )
         .config("spark.ui.enabled", "false")
