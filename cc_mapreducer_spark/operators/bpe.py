@@ -187,9 +187,13 @@ def _normalize(text: str) -> str:
     return re.sub("[^a-z]+", " ", text.lower())
 
 
-# driver=False: the driver roster is pinned at exactly 50 keys; iterative
-# training has no SQL oracle anyway (python-reference-checked in pytest)
-@register("bpe_token_stats", driver=False)
+from cc_mapreducer_spark.functions.trainer_sql import bpe_stats_sql
+
+# driver=False: the stats are hashed inside tokenizer_suite (the roster
+# is pinned at exactly 50 keys); since round 9 the single carries its
+# own DuckDB oracle anyway - the trainer unrolls in SQL
+# (functions/trainer_sql.py) - so pytest value-checks it cross-engine
+@register("bpe_token_stats", oracle=bpe_stats_sql(), driver=False)
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train BPE on the documents corpus and report per-source token
     compression: words in, subword tokens out, tokens-per-word. The

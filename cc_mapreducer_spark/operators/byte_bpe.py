@@ -29,9 +29,10 @@ Sennrich BPE.
 bytes_to_unicode is the public GPT-2 construction: the 188 printable
 latin-1 bytes map to themselves, the other 68 to U+0100.. in order.
 
-rows-only registration (iterative training, the bpe/unigram/wordpiece
-policy); evidence is the pure-python replica equality plus the
-round-trip and no-UNK property tests over hostile inputs.
+Evidence: the pure-python replica equality, the round-trip and no-UNK
+property tests over hostile inputs, the tokenizer_suite driver hash,
+and (round 9) a DuckDB oracle that re-derives the training itself
+(functions/trainer_sql.py).
 """
 
 from __future__ import annotations
@@ -207,8 +208,10 @@ def encode_byte_bpe(
     )
 
 
-# rows-only: the iterative-trainer policy (bpe/unigram/wordpiece)
-@register("byte_bpe_token_stats", driver=False)
+from cc_mapreducer_spark.functions.trainer_sql import bbpe_stats_sql
+
+# driver=False: hashed inside tokenizer_suite; oracle-backed since r9
+@register("byte_bpe_token_stats", oracle=bbpe_stats_sql(), driver=False)
 def byte_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train byte-level BPE and report per-source bytes-per-token
     compression — the byte-grain analog of the other tokenizer stats;

@@ -282,8 +282,11 @@ def _model_path_for(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-# driver=False + no oracle: iterative training, the BPE/unigram policy
-@register("wordpiece_token_stats", driver=False)
+from cc_mapreducer_spark.functions.trainer_sql import wp_stats_sql
+
+# driver=False: hashed inside tokenizer_suite; oracle-backed since r9
+# (training AND the MaxMatch serving both unroll in SQL)
+@register("wordpiece_token_stats", oracle=wp_stats_sql(), driver=False)
 def wordpiece_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source subword compression + UNK accounting. The query is
     the SERVING path — greedy MaxMatch against the saved vocab artifact
