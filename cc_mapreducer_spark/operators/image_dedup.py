@@ -241,134 +241,7 @@ def _dhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
-@register("image_dhash_fingerprint", driver=False)  # PNG decode: replica-pinned
-def image_dhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-image 64-bit dHash over codec-level-decoded PNG pixels, with
-    provenance (doc_id, variant) and decoded dimensions. Cross-engine
-    hashed inside image_dedup_suite (the oracle re-derives every bit
-    from the closed-form fixture pixels); pytest additionally pins every
-    fingerprint against a pure-python replica of decode + resample +
-    hash, and pins the recompressed variant to its base's EXACT hash.
-
-    The frame is session-persisted per corpus (the similarity._persisted
-    discipline): the fingerprint table is the family's standing
-    artifact, and the pair probe, the cluster resolution, and the
-    digest suite all consume it — without the memo the PNG encode +
-    decode pass re-ran once per consumer (measured: the cluster leg
-    alone paid it twice)."""
-    from cc_mapreducer_spark.operators.similarity import _persisted
-
-    source = load_table(spark, sf_dir, "documents")
-    return _persisted(
-        spark,
-        ("image_dhash", sf_dir),
-        (tuple(sorted(source.inputFiles())),),
-        lambda: image_table(spark, sf_dir).mapInPandas(_dhash_batch, FP_SCHEMA),
-    )
-
-
-@register("image_near_dup_pairs", driver=False)  # blocking proven vs brute force
-def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All image pairs within Hamming distance {HAMMING_MAX} on the
-    dHash — perceptual near-duplicates that payload-sha dedup misses
-    (re-compressions match at distance 0, single-pixel edits at <= ~4).
-    Found by the SimHash block-pair probe (operators/dedup.py:457): 8
-    8-bit blocks, 28 16-bit pair keys, hash self-join, Hamming verify.
-    Pigeonhole-complete for the radius; pytest proves set-equality with
-    a brute-force all-pairs replica. Scale shape identical to
-    simhash_near_pairs: 28x explode of tiny fingerprint rows, one hash
-    self-join on near-uniform keys, never the n^2 space."""
-    fp = image_dhash_fingerprint(spark, sf_dir).select("img_id", "dhash")
-    blocks = [
-        F.shiftrightunsigned(F.col("dhash"), 8 * i).bitwiseAND(F.lit(255))
-        for i in range(8)
-    ]
-    probes = fp.select(
-        "img_id",
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(p).alias("pair_id"),
-                        (blocks[i] * 256 + blocks[j]).alias("key"),
-                    )
-                    for p, (i, j) in enumerate(_BLOCK_PAIRS)
-                ]
-            )
-        ).alias("pr"),
-    ).select("img_id", "dhash", "pr.pair_id", "pr.key")
-    a, b = probes.alias("a"), probes.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.pair_id") == F.col("b.pair_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.img_id") < F.col("b.img_id")),
-        )
-        .select(
-            F.col("a.img_id").alias("img_a"),
-            F.col("b.img_id").alias("img_b"),
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.select(
-            "img_a",
-            "img_b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= HAMMING_MAX)
-        .select("img_a", "img_b", F.col("hamming").cast("int"))
-    )
-
-
-@register("image_dup_clusters", driver=False)  # integer CC: replica-pinned
-def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup pairs resolved to clusters with canonical keepers —
-    the dedup family's large-star/small-star connected components
-    (operators/clustering.py:78) applied to the image modality: cluster
-    id is the minimum img_id of the component (so the ORIGINAL crawl of
-    a re-crawled image is the keeper, its recompressions/edits are
-    drops), full image domain restored by a left join. All-integer,
-    pytest pins it against a union-find replica over the replica pairs."""
-    from cc_mapreducer_spark.operators.clustering import connected_components
-
-    pairs = image_near_dup_pairs(spark, sf_dir)
-    comp = connected_components(pairs, src="img_a", dst="img_b")
-    imgs = image_dhash_fingerprint(spark, sf_dir).select("img_id", "doc_id")
-    return imgs.join(
-        comp, imgs["img_id"] == comp["node"], "left"
-    ).select(
-        "img_id",
-        "doc_id",
-        F.coalesce("component", F.col("img_id")).cast("long").alias("cluster_id"),
-        (
-            F.coalesce("component", F.col("img_id")) == F.col("img_id")
-        ).alias("is_keeper"),
-    )
-
-
-# --------------------------------------------------------------------------
-# driver digest: the whole family, hash-checked cross-engine (round 8)
-# --------------------------------------------------------------------------
-
-# The r7 keys above are replica-pinned but were rows-only for the driver
-# ("no SQL engine can inflate zlib"). That undersold the fixture: the
-# PIXELS are closed-form (base_image: p(y,x) = text_byte[(x+y) mod L] on
-# a (16+doc_id%9) x (16+n_chars%17) raster; the edited variant bumps one
-# known pixel), and dHash is pure integer arithmetic on those pixels —
-# so DuckDB can re-derive every fingerprint bit from `documents` alone,
-# brute-force the pair set (the semantic spec: blocking must equal
-# all-pairs), and resolve components with the recursive-CTE pattern of
-# duplicate_clusters' oracle. Spark reads pixels out of REAL encoded
-# PNG bytes; a green hash therefore proves encode -> decode -> resample
-# -> hash -> block-probe -> cluster, end to end, per value. Dims bound
-# the constant-range scan: w <= 32, h <= 24 by the generation formulas
-# (same trick as multimodal's _CODEC_STATS_SQL).
-_IMAGE_SUITE_SQL = """
+_IMAGE_CTE = """
 WITH RECURSIVE imgs AS (
     SELECT doc_id, text, length(text) AS L,
            16 + (n_chars % 17) AS w, 16 + (doc_id % 9) AS h
@@ -432,7 +305,28 @@ WITH RECURSIVE imgs AS (
            f.img_id = COALESCE(c.component, f.img_id) AS is_keeper
     FROM fp f LEFT JOIN comp c ON f.img_id = c.node
 )
-SELECT 'fp' AS component,
+"""
+
+# the family singles reuse the SAME derivation (round 9): the suite
+# oracle's CTE chain is the fixture's closed form, so each single's
+# oracle is one SELECT over it — no more rows-only rows in the family
+_FP_SQL = _IMAGE_CTE + """
+SELECT f.img_id, f.doc_id, f.variant,
+       CAST(v.w AS INT) AS width, CAST(v.h AS INT) AS height, f.dhash
+FROM fp f JOIN variants v ON v.img_id = f.img_id
+"""
+
+_PAIRS_SQL = _IMAGE_CTE + """
+SELECT img_a, img_b, CAST(hamming AS INT) AS hamming FROM prs
+"""
+
+_CLUSTERS_SQL = _IMAGE_CTE + """
+SELECT img_id, doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       is_keeper
+FROM clusters
+"""
+
+_IMAGE_SUITE_SQL = _IMAGE_CTE + """SELECT 'fp' AS component,
        CAST(img_id AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR) || '|'
          || variant || '|' || CAST(dhash AS VARCHAR) AS entity,
        1.0 AS value
@@ -446,6 +340,138 @@ SELECT 'cluster', CAST(img_id AS VARCHAR) || '|' || CAST(cluster_id AS VARCHAR),
        CAST(CAST(is_keeper AS INT) AS DOUBLE)
 FROM clusters
 """
+
+
+@register("image_dhash_fingerprint", oracle=_FP_SQL, driver=False)
+def image_dhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 64-bit dHash over codec-level-decoded PNG pixels, with
+    provenance (doc_id, variant) and decoded dimensions. Cross-engine
+    hashed inside image_dedup_suite (the oracle re-derives every bit
+    from the closed-form fixture pixels); pytest additionally pins every
+    fingerprint against a pure-python replica of decode + resample +
+    hash, and pins the recompressed variant to its base's EXACT hash.
+
+    The frame is session-persisted per corpus (the similarity._persisted
+    discipline): the fingerprint table is the family's standing
+    artifact, and the pair probe, the cluster resolution, and the
+    digest suite all consume it — without the memo the PNG encode +
+    decode pass re-ran once per consumer (measured: the cluster leg
+    alone paid it twice)."""
+    from cc_mapreducer_spark.operators.similarity import _persisted
+
+    source = load_table(spark, sf_dir, "documents")
+    return _persisted(
+        spark,
+        ("image_dhash", sf_dir),
+        (tuple(sorted(source.inputFiles())),),
+        lambda: image_table(spark, sf_dir).mapInPandas(_dhash_batch, FP_SCHEMA),
+    )
+
+
+@register("image_near_dup_pairs", oracle=_PAIRS_SQL, driver=False)
+def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All image pairs within Hamming distance {HAMMING_MAX} on the
+    dHash — perceptual near-duplicates that payload-sha dedup misses
+    (re-compressions match at distance 0, single-pixel edits at <= ~4).
+    Found by the SimHash block-pair probe (operators/dedup.py:457): 8
+    8-bit blocks, 28 16-bit pair keys, hash self-join, Hamming verify.
+    Pigeonhole-complete for the radius; pytest proves set-equality with
+    a brute-force all-pairs replica. Scale shape identical to
+    simhash_near_pairs: 28x explode of tiny fingerprint rows, one hash
+    self-join on near-uniform keys, never the n^2 space."""
+    fp = image_dhash_fingerprint(spark, sf_dir).select("img_id", "dhash")
+    blocks = [
+        F.shiftrightunsigned(F.col("dhash"), 8 * i).bitwiseAND(F.lit(255))
+        for i in range(8)
+    ]
+    probes = fp.select(
+        "img_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("pair_id"),
+                        (blocks[i] * 256 + blocks[j]).alias("key"),
+                    )
+                    for p, (i, j) in enumerate(_BLOCK_PAIRS)
+                ]
+            )
+        ).alias("pr"),
+    ).select("img_id", "dhash", "pr.pair_id", "pr.key")
+    a, b = probes.alias("a"), probes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pair_id") == F.col("b.pair_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("img_a"),
+            F.col("b.img_id").alias("img_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "img_a",
+            "img_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("img_a", "img_b", F.col("hamming").cast("int"))
+    )
+
+
+@register("image_dup_clusters", oracle=_CLUSTERS_SQL, driver=False)
+def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs resolved to clusters with canonical keepers —
+    the dedup family's large-star/small-star connected components
+    (operators/clustering.py:78) applied to the image modality: cluster
+    id is the minimum img_id of the component (so the ORIGINAL crawl of
+    a re-crawled image is the keeper, its recompressions/edits are
+    drops), full image domain restored by a left join. All-integer,
+    pytest pins it against a union-find replica over the replica pairs."""
+    from cc_mapreducer_spark.operators.clustering import connected_components
+
+    pairs = image_near_dup_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="img_a", dst="img_b")
+    imgs = image_dhash_fingerprint(spark, sf_dir).select("img_id", "doc_id")
+    return imgs.join(
+        comp, imgs["img_id"] == comp["node"], "left"
+    ).select(
+        "img_id",
+        "doc_id",
+        F.coalesce("component", F.col("img_id")).cast("long").alias("cluster_id"),
+        (
+            F.coalesce("component", F.col("img_id")) == F.col("img_id")
+        ).alias("is_keeper"),
+    )
+
+
+# --------------------------------------------------------------------------
+# driver digest: the whole family, hash-checked cross-engine (round 8)
+# --------------------------------------------------------------------------
+
+# The r7 keys above were rows-only for the driver until round 8
+# ("no SQL engine can inflate zlib"). That undersold the fixture: the
+# PIXELS are closed-form (base_image: p(y,x) = text_byte[(x+y) mod L] on
+# a (16+doc_id%9) x (16+n_chars%17) raster; the edited variant bumps one
+# known pixel), and dHash is pure integer arithmetic on those pixels —
+# so DuckDB can re-derive every fingerprint bit from `documents` alone,
+# brute-force the pair set (the semantic spec: blocking must equal
+# all-pairs), and resolve components with the recursive-CTE pattern of
+# duplicate_clusters' oracle. Spark reads pixels out of REAL encoded
+# PNG bytes; a green hash therefore proves encode -> decode -> resample
+# -> hash -> block-probe -> cluster, end to end, per value. Dims bound
+# the constant-range scan: w <= 32, h <= 24 by the generation formulas
+# (same trick as multimodal's _CODEC_STATS_SQL). Since round 9 the
+# singles reuse the same CTE chain as their own oracles (_FP_SQL /
+# _PAIRS_SQL / _CLUSTERS_SQL above), so the whole family is
+# value-checked, not just the digest.
 
 
 @register("image_dedup_suite", oracle=_IMAGE_SUITE_SQL)
