@@ -165,13 +165,82 @@ def pagerank(
     return ranks
 
 
-@register("item_pagerank", driver=False)  # float iteration: numpy-checked in pytest
+def _item_pagerank_sql(iters: int = 10, d: float = 0.85) -> str:
+    """DuckDB oracle for item_pagerank (round 9, the domain_pagerank
+    move): rebuild the weighted co-engagement edges in SQL (the
+    _TRIANGLE_SQL derivation, weights = co-engaging user counts),
+    symmetrize, and unroll the 10-round power method as generated
+    MATERIALIZED CTEs. Inflow is a join-aggregate rather than a
+    per-node correlated probe — the item graph is corpus-derived and
+    can be thousands of nodes, unlike the domain graph. Ranks publish
+    on the same 6dp grid as the query; cross-engine drift is summation
+    order (~1e-13 relative), far below the grid."""
+    head = f"""
+WITH ui AS (
+    SELECT user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+           count(*) AS n_touches
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2
+), capped AS (
+    SELECT user_id, item FROM (
+        SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n_touches DESC, item) AS rk
+        FROM ui
+    ) WHERE rk <= 64
+), edges AS MATERIALIZED (
+    SELECT a.item AS src, b.item AS dst,
+           CAST(count(*) AS DOUBLE) AS w
+    FROM capped a
+    JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY 1, 2
+), flow AS (
+    SELECT src AS s, dst AS t, w FROM edges
+    UNION ALL
+    SELECT dst, src, w FROM edges
+), outw AS (SELECT s, sum(w) AS ow FROM flow GROUP BY s),
+shares AS MATERIALIZED (
+    SELECT f.s, f.t, f.w / o.ow AS share FROM flow f JOIN outw o USING (s)
+), nodes AS MATERIALIZED (
+    SELECT DISTINCT d FROM (
+        SELECT s AS d FROM flow UNION ALL SELECT t FROM flow
+    )
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS MATERIALIZED (
+    SELECT d, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f""",
+m{i} AS MATERIALIZED (
+    SELECT coalesce(sum(rank), 0.0) AS m FROM r{i}
+    WHERE d NOT IN (SELECT s FROM shares)
+), inf{i} AS (
+    SELECT sh.t AS d, sum(r.rank * sh.share) AS v
+    FROM r{i} r JOIN shares sh ON sh.s = r.d GROUP BY sh.t
+), r{i + 1} AS MATERIALIZED (
+    SELECT n.d,
+           ((1.0 - {d!r}) / (SELECT n FROM nn)
+            + {d!r} * (SELECT m FROM m{i}) / (SELECT n FROM nn))
+           + {d!r} * coalesce(i.v, 0.0) AS rank
+    FROM nodes n LEFT JOIN inf{i} i ON i.d = n.d
+)""")
+    tail = f"""
+SELECT d AS item, round(rank, 6) AS rank FROM r{iters}
+"""
+    return head + "".join(steps) + tail
+
+
+# driver=False: hashed nowhere (the domain graph carries the driver
+# evidence); oracle-backed since r9 via the unrolled power method
+@register("item_pagerank", oracle=_item_pagerank_sql(), driver=False)
 def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality of items in the event co-engagement graph
     (both orientations of the undirected edges), 10 rounds at d=0.85,
-    ranks on a 6dp grid. rows-only for the driver: cross-partition
-    double summation is not bit-stable; pytest pins the values against
-    a dense numpy fixed point at 1e-9."""
+    ranks on a 6dp grid. pytest pins the values against a dense numpy
+    fixed point at 1e-9; the DuckDB oracle (_item_pagerank_sql) pins
+    them cross-engine on the published grid."""
     g = build_item_graph(spark, sf_dir)
     sym = g.unionAll(
         g.select(
