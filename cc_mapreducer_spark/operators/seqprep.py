@@ -1,0 +1,285 @@
+"""Sequence preparation for LLM pretraining: context packing and
+long-document windowing — the step between a curated corpus and a
+training dataloader.
+
+Two operators every at-scale pipeline runs after dedup/quality:
+
+  concat-then-chunk packing   the GPT-style recipe: per stream
+      (source), documents are concatenated in a deterministic order
+      with one EOS token between them and the token stream is sliced
+      into fixed-length contexts. Documents CROSS context boundaries
+      (that is the point — zero padding except the stream's final
+      context); the operational questions a pipeline owner asks are
+      exactly what the report computes: contexts produced, fill/padding
+      of the tail, and how many documents get fragmented across a
+      boundary (the signal people weigh against best-fit packing).
+  sliding-window chunking     documents longer than a model's context
+      are split into overlapping windows (stride < window so no token
+      loses its left context entirely) BEFORE packing or embedding —
+      the standard long-doc treatment for embedding models and for
+      context-limited teachers.
+
+Both are closed-form integer arithmetic over the repo tokenizer's
+per-document token counts, so the DuckDB oracles re-derive every bin
+boundary and every window bit-for-bit — no floats, no iteration.
+
+Scale shape: packing is ONE window cumsum per stream (sort within the
+stream's partitions; at 100 TB the stream key is (source, shard) so no
+single partition holds a whole source) followed by a bounded explode
+(a document touches ceil(len/CONTEXT) + 1 bins at most) and a groupBy
+on (source, bin). Chunking is row-local: an explode of
+sequence(0, n_chunks-1) riding the scan. Neither adds a join.
+
+Fixture scaling: CONTEXT=256 / WINDOW=64 / STRIDE=48 (corpus docs are
+~60-100 tokens, so contexts hold several docs and the longest docs
+genuinely split); production swaps 4-8k context and 512-token windows
+— the arithmetic is parameter-blind.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cc_mapreducer_spark.registry import register
+from cc_mapreducer_spark.tables import load_table, spread
+
+CONTEXT_LEN = 256  # tokens per packed training context (incl. EOS seps)
+WINDOW_LEN = 64  # sliding-window chunk length
+WINDOW_STRIDE = 48  # stride (WINDOW_LEN - 16 tokens of overlap)
+
+_SPARK_NTOK = (
+    "size(filter(split(regexp_replace(lower(text), '[^a-z]+', ' '), ' '),"
+    " w -> w != ''))"
+)
+_DUCK_NTOK = (
+    "len(list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', "
+    "' ', 'g'), ' '), w -> w != ''))"
+)
+
+
+def _doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, doc_id, n_tokens, start, end): the EOS-separated token
+    stream offsets per source, docs in doc_id order. end is exclusive;
+    each doc occupies [start, start + n_tokens + 1) — its tokens plus
+    one EOS separator (the GPT concat convention)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "source", "doc_id", F.expr(_SPARK_NTOK).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum(F.col("n_tokens") + 1).over(w), F.lit(0)).alias(
+            "start"
+        ),
+    ).withColumn("end", F.col("start") + F.col("n_tokens") + 1)
+
+
+_PACK_CTE = f"""
+WITH spans AS (
+    SELECT source, doc_id, n_tokens,
+           coalesce(sum(n_tokens + 1) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start,
+           coalesce(sum(n_tokens + 1) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n_tokens + 1 AS "end"
+    FROM (SELECT source, doc_id, {_DUCK_NTOK} AS n_tokens FROM documents)
+), binned AS (
+    SELECT s.source, s.doc_id, s.n_tokens, s.start, s."end",
+           b.range AS bin
+    FROM spans s CROSS JOIN range(0, 4096) b
+    WHERE b.range >= s.start // {CONTEXT_LEN}
+      AND b.range <= (s."end" - 1) // {CONTEXT_LEN}
+), per_bin AS (
+    SELECT source, bin,
+           count(*) AS n_docs,
+           count(*) FILTER (
+               WHERE "end" - 1 > (bin + 1) * {CONTEXT_LEN} - 1
+           ) AS n_crossers,
+           sum(least("end", (bin + 1) * {CONTEXT_LEN})
+               - greatest(start, bin * {CONTEXT_LEN})) AS fill
+    FROM binned GROUP BY source, bin
+)
+"""
+
+_PACK_BINS_SQL = (
+    _PACK_CTE
+    + """
+SELECT source, CAST(bin AS BIGINT) AS bin,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_crossers AS BIGINT) AS n_crossers,
+       CAST(fill AS BIGINT) AS fill_tokens
+FROM per_bin
+"""
+)
+
+_PACK_SUMMARY_SQL = (
+    _PACK_CTE
+    + f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_contexts,
+       CAST(sum(fill) AS BIGINT) AS total_tokens,
+       CAST(count(*) * {CONTEXT_LEN} - sum(fill) AS BIGINT)
+           AS padding_tokens,
+       CAST(sum(n_crossers) AS BIGINT) AS fragmented_docs,
+       round(sum(n_crossers) / CAST(max(d.nd) AS DOUBLE), 6)
+           AS fragmented_frac
+FROM per_bin
+JOIN (SELECT source AS src, count(*) AS nd FROM documents
+      GROUP BY source) d ON d.src = per_bin.source
+GROUP BY source
+"""
+)
+
+
+@register("sequence_pack_bins", oracle=_PACK_BINS_SQL, driver=False)
+def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-grain packing report: for every CONTEXT_LEN-token
+    training context of each source's EOS-joined stream, how many
+    documents it touches, how many of them continue into the next
+    context (fragments), and its token fill. Every context except each
+    stream's last must be exactly full — the property that makes
+    concat-then-chunk the zero-padding recipe."""
+    spans = _doc_spans(spark, sf_dir)
+    L = CONTEXT_LEN
+    binned = spans.select(
+        "source",
+        "doc_id",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                (F.col("start") / L).cast("long"),
+                ((F.col("end") - 1) / L).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count(
+            F.when(F.col("end") - 1 > (F.col("bin") + 1) * L - 1, 1)
+        )
+        .cast("long")
+        .alias("n_crossers"),
+        F.sum(
+            F.least(F.col("end"), (F.col("bin") + 1) * L)
+            - F.greatest(F.col("start"), F.col("bin") * L)
+        )
+        .cast("long")
+        .alias("fill_tokens"),
+    )
+
+
+@register("sequence_pack_summary", oracle=_PACK_SUMMARY_SQL, driver=False)
+def sequence_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-grain packing accounting: contexts produced, total tokens
+    shipped, padding (only the stream tail can pad), fragmented-doc
+    count and fraction — the table that justifies (or indicts) the
+    packing recipe for a corpus."""
+    bins = sequence_pack_bins(spark, sf_dir)
+    n_docs = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .groupBy("source")
+        .agg(F.count("*").alias("nd"))
+    )
+    return (
+        bins.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_contexts"),
+            F.sum("fill_tokens").cast("long").alias("total_tokens"),
+            (F.count("*") * CONTEXT_LEN - F.sum("fill_tokens"))
+            .cast("long")
+            .alias("padding_tokens"),
+            F.sum("n_crossers").cast("long").alias("fragmented_docs"),
+        )
+        .join(n_docs, "source")
+        .select(
+            "source",
+            "n_contexts",
+            "total_tokens",
+            "padding_tokens",
+            "fragmented_docs",
+            F.round(
+                F.col("fragmented_docs") / F.col("nd").cast("double"), 6
+            ).alias("fragmented_frac"),
+        )
+    )
+
+
+_CHUNKS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_NTOK} AS n FROM documents
+), counted AS (
+    SELECT doc_id, n,
+           CASE WHEN n <= {WINDOW_LEN} THEN 1
+                ELSE CAST(ceil((n - {WINDOW_LEN})
+                          / CAST({WINDOW_STRIDE} AS DOUBLE)) AS BIGINT) + 1
+           END AS n_chunks
+    FROM toks WHERE n > 0
+)
+SELECT doc_id,
+       CAST(c.range AS INT) AS chunk_idx,
+       CAST(c.range * {WINDOW_STRIDE} AS BIGINT) AS start_tok,
+       CAST(least({WINDOW_LEN}, n - c.range * {WINDOW_STRIDE}) AS BIGINT)
+           AS chunk_len,
+       CAST(CASE WHEN c.range = 0 THEN 0
+                 ELSE greatest(0,
+                      least({WINDOW_LEN},
+                            n - (c.range - 1) * {WINDOW_STRIDE})
+                      - {WINDOW_STRIDE})
+            END AS BIGINT) AS overlap_prev
+FROM counted CROSS JOIN range(0, 64) c
+WHERE c.range < n_chunks
+"""
+
+
+@register("doc_window_chunks", oracle=_CHUNKS_SQL, driver=False)
+def doc_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of long documents: WINDOW_LEN-token
+    windows at WINDOW_STRIDE, so consecutive windows overlap by
+    WINDOW_LEN - WINDOW_STRIDE tokens and no token loses its left
+    context entirely. One row per (doc, window) with start offset,
+    window length (the tail window may be shorter), and the token
+    overlap with the previous window. Row-local explode — rides the
+    scan, no shuffle."""
+    L, S = WINDOW_LEN, WINDOW_STRIDE
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr(_SPARK_NTOK).cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    counted = docs.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= L, F.lit(1)).otherwise(
+            F.ceil((F.col("n") - L) / float(S)).cast("long") + 1
+        ),
+    )
+    return counted.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")))
+        .alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        (F.col("chunk_idx").cast("long") * S).alias("start_tok"),
+        F.least(F.lit(L), F.col("n") - F.col("chunk_idx") * S)
+        .cast("long")
+        .alias("chunk_len"),
+        F.when(F.col("chunk_idx") == 0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(L), F.col("n") - (F.col("chunk_idx") - 1) * S)
+                - F.lit(S),
+            )
+        )
+        .cast("long")
+        .alias("overlap_prev"),
+    )

@@ -71,6 +71,14 @@ from cc_mapreducer_spark.operators.text_analysis import (
     _CORPUS_TOKENS_SQL,
     corpus_token_totals,
 )
+from cc_mapreducer_spark.operators.seqprep import (
+    _CHUNKS_SQL,
+    _PACK_BINS_SQL,
+    _PACK_SUMMARY_SQL,
+    doc_window_chunks,
+    sequence_pack_bins,
+    sequence_pack_summary,
+)
 from cc_mapreducer_spark.operators.wordpiece import encode_wordpiece
 from cc_mapreducer_spark.registry import register
 from cc_mapreducer_spark.tables import load_table, spread
@@ -89,6 +97,33 @@ from cc_mapreducer_spark.functions.trainer_sql import (
     _wp_maxmatch_sql,
 )
 
+# sequence-prep legs (round 9, operators/seqprep.py): packing bins +
+# stream accounting + sliding windows ride the same driver key
+_SEQPREP_LEGS_SQL = f"""
+UNION ALL
+SELECT 'pack:bin', source || '|' || bin,
+       CAST((n_docs * 1000 + n_crossers) * 1000 + fill_tokens AS DOUBLE)
+FROM ({_PACK_BINS_SQL})
+UNION ALL
+SELECT 'pack:ctx', source, CAST(n_contexts AS DOUBLE)
+FROM ({_PACK_SUMMARY_SQL})
+UNION ALL
+SELECT 'pack:tok', source, CAST(total_tokens AS DOUBLE)
+FROM ({_PACK_SUMMARY_SQL})
+UNION ALL
+SELECT 'pack:pad', source, CAST(padding_tokens AS DOUBLE)
+FROM ({_PACK_SUMMARY_SQL})
+UNION ALL
+SELECT 'pack:frag', source, CAST(fragmented_docs AS DOUBLE)
+FROM ({_PACK_SUMMARY_SQL})
+UNION ALL
+SELECT 'pack:ffrac', source, fragmented_frac FROM ({_PACK_SUMMARY_SQL})
+UNION ALL
+SELECT 'chunk:doc', doc_id || '|' || chunk_idx,
+       CAST((start_tok * 1000 + chunk_len) * 100 + overlap_prev AS DOUBLE)
+FROM ({_CHUNKS_SQL})
+"""
+
 _TOKENIZER_SUITE_SQL = (
     "WITH "
     + _chain_sql("bpe_", _BPE_FREQ, _BPE_SEQ0, 40, _concat_fuse)
@@ -100,6 +135,7 @@ _TOKENIZER_SUITE_SQL = (
     + _wp_maxmatch_sql()
     + _STATS_TAIL
     + _LEGS_SQL.format(corpus=_CORPUS_TOKENS_SQL)
+    + _SEQPREP_LEGS_SQL
 )
 
 
@@ -181,6 +217,7 @@ def tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp_vocab_df = spark.createDataFrame(
         [(v,) for v in wp_vocab], "sym string"
     )
+    pack_sum = sequence_pack_summary(spark, sf_dir).localCheckpoint()
 
     parts = [
         leg(corpus, "corpus:docs", F.col("lang"), F.col("n_docs")),
@@ -214,6 +251,27 @@ def tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg(wp_stats, "wp:unk", F.col("source"), F.col("total_unk")),
         leg(wp_stats, "wp:tpw", F.col("source"),
             F.col("tokens_per_word")),
+        leg(
+            sequence_pack_bins(spark, sf_dir),
+            "pack:bin",
+            F.concat_ws("|", "source", "bin"),
+            (F.col("n_docs") * 1000 + F.col("n_crossers")) * 1000
+            + F.col("fill_tokens"),
+        ),
+        leg(pack_sum, "pack:ctx", F.col("source"), F.col("n_contexts")),
+        leg(pack_sum, "pack:tok", F.col("source"), F.col("total_tokens")),
+        leg(pack_sum, "pack:pad", F.col("source"), F.col("padding_tokens")),
+        leg(pack_sum, "pack:frag", F.col("source"),
+            F.col("fragmented_docs")),
+        leg(pack_sum, "pack:ffrac", F.col("source"),
+            F.col("fragmented_frac")),
+        leg(
+            doc_window_chunks(spark, sf_dir),
+            "chunk:doc",
+            F.concat_ws("|", "doc_id", "chunk_idx"),
+            (F.col("start_tok") * 1000 + F.col("chunk_len")) * 100
+            + F.col("overlap_prev"),
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:
