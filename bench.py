@@ -1021,9 +1021,18 @@ def main() -> None:
         best = float("inf")
         reps: list[float] = []
         j0 = _jvm_counters(spark)
+        # ONE DataFrame per lane, executed `repeat` times: rebuilding the
+        # query per rep creates a fresh plan instance whose generated
+        # code misses the codegen cache, so every rep RE-COMPILES the
+        # lane (lane_jit showed lm_perplexity — the fleet's widest plan,
+        # 19 exchanges — paying ~9s of JIT per rep mid-run and never
+        # warming: 4x10.6s reps vs 2.2s warm in isolation). Reusing the
+        # plan is also what a production job does: plan once, execute.
+        # Rep 0 pays analysis+compile; best-of-N reads the warm reps.
+        df = queries[name](spark, SF_DIR)
         for _ in range(repeat):
             t0 = time.perf_counter()
-            queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            df.write.mode("overwrite").format("noop").save()
             reps.append(round(time.perf_counter() - t0, 3))
             best = min(best, reps[-1])
         j1 = _jvm_counters(spark)
@@ -1167,9 +1176,16 @@ def main() -> None:
         # subset, same artifact chain) is the number to read, and any
         # committed round banner must quote the DRIVER's artifact, not
         # a local rerun.
-        "rep_policy": "best-of-4 per query within one run; cross-run "
-        "totals carry ~±17% ambient variance — compare via "
-        "headline_vs_prev.comparable_ratio only",
+        "rep_policy": "best-of-4 per query within one run over ONE "
+        "planned DataFrame per lane (r9: plan once, execute N times — "
+        "re-planning per rep missed the codegen cache and re-compiled "
+        "every lane every rep); cross-run totals carry ~±17% ambient "
+        "variance — compare via headline_vs_prev.comparable_ratio only. "
+        "NOTE r8->r9: the comparable_ratio ~0.42 conflates real plan "
+        "wins (simhash packing) with this measurement fix — the r8 "
+        "numbers included per-rep JIT recompilation that production "
+        "jobs (plan once, stream 100 TB) never pay; the r9 numbers are "
+        "the honest per-execution plan cost.",
         # r8 shared_passages deep settle (VERDICT r7 item 3): the
         # remaining 500k-doc cost was (a) fingerprint/pair stages keyed
         # on 32-char md5 strings (fixed: 60-bit ints from the md5
