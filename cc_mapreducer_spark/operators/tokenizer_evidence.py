@@ -101,7 +101,7 @@ from cc_mapreducer_spark.functions.trainer_sql import (
 # stream accounting + sliding windows ride the same driver key
 _SEQPREP_LEGS_SQL = f"""
 UNION ALL
-SELECT 'pack:bin', source || '|' || bin,
+SELECT 'pack:bin', source || '|' || shard || '|' || bin,
        CAST((n_docs * 1000 + n_crossers) * 1000 + fill_tokens AS DOUBLE)
 FROM ({_PACK_BINS_SQL})
 UNION ALL
@@ -254,7 +254,7 @@ def tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg(
             sequence_pack_bins(spark, sf_dir),
             "pack:bin",
-            F.concat_ws("|", "source", "bin"),
+            F.concat_ws("|", "source", "shard", "bin"),
             (F.col("n_docs") * 1000 + F.col("n_crossers")) * 1000
             + F.col("fill_tokens"),
         ),

@@ -1,8 +1,11 @@
 """Sequence prep (operators/seqprep.py): packing invariants (every
-context except each stream's tail is exactly full; token conservation),
-window chunking invariants (full coverage, correct overlap), and a
-hand-computed golden on a planted stream. Oracle parity runs in
-tests/test_oracle_parity.py like every registered pair."""
+context except each STREAM's tail is exactly full; token conservation;
+per-source rollup over shard streams), window chunking invariants (full
+coverage, correct overlap), a hand-computed golden on a planted stream,
+and the scale-shape plan assertion (the packing window partitions by
+(source, shard), never source alone — the r9 verdict's named
+scale-killer). Oracle parity runs in tests/test_oracle_parity.py like
+every registered pair."""
 
 from __future__ import annotations
 
@@ -10,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cc_mapreducer_spark.operators.seqprep import (
     CONTEXT_LEN,
+    N_PACK_SHARDS,
     WINDOW_LEN,
     WINDOW_STRIDE,
     doc_window_chunks,
@@ -22,7 +26,7 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 def test_every_non_tail_context_is_full(spark):
     bins = sequence_pack_bins(spark, SF_ORACLE).toPandas()
-    last = bins.groupby("source")["bin"].transform("max")
+    last = bins.groupby(["source", "shard"])["bin"].transform("max")
     non_tail = bins[bins["bin"] < last]
     assert (non_tail.fill_tokens == CONTEXT_LEN).all()
     tail = bins[bins["bin"] == last]
@@ -49,11 +53,54 @@ def test_packing_conserves_tokens(spark):
     assert got == expected
 
 
-def test_bins_are_contiguous_from_zero(spark):
+def test_bins_are_contiguous_from_zero_per_stream(spark):
     bins = sequence_pack_bins(spark, SF_ORACLE).toPandas()
-    for src, grp in bins.groupby("source"):
+    assert bins.shard.between(0, N_PACK_SHARDS - 1).all()
+    for (src, shard), grp in bins.groupby(["source", "shard"]):
         got = sorted(grp.bin)
-        assert got == list(range(len(got))), src
+        assert got == list(range(len(got))), (src, shard)
+
+
+def test_summary_rolls_up_shard_streams(spark):
+    """Per-source summary = exact aggregate of the per-(source, shard)
+    bin rows: contexts = bin count, padding = sum of per-bin slack
+    (only stream tails have slack, checked above)."""
+    bins = sequence_pack_bins(spark, SF_ORACLE).toPandas()
+    summ = sequence_pack_summary(spark, SF_ORACLE).toPandas()
+    by_src = bins.groupby("source").agg(
+        n_contexts=("bin", "size"),
+        total_tokens=("fill_tokens", "sum"),
+        fragmented_docs=("n_crossers", "sum"),
+    )
+    for r in summ.itertuples():
+        row = by_src.loc[r.source]
+        assert r.n_contexts == row.n_contexts
+        assert r.total_tokens == row.total_tokens
+        assert r.fragmented_docs == row.fragmented_docs
+        assert (
+            r.padding_tokens == r.n_contexts * CONTEXT_LEN - r.total_tokens
+        )
+
+
+def test_pack_window_partitions_by_source_and_shard(spark):
+    """Scale-shape assertion (r9 verdict 'What's wrong' #1): the packing
+    cumsum's window partition key must include the shard — a window
+    partitioned by source alone sorts each WHOLE source on one task.
+    Checked in the physical plan's Window node, not the code."""
+    from cc_mapreducer_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(sequence_pack_bins(spark, SF_ORACLE))
+    window_args = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition(" in line
+    ]
+    assert window_args, "no Window node found in the packing plan"
+    for line in window_args:
+        spec = line.split("windowspecdefinition(", 1)[1]
+        assert "shard" in spec.split("ASC", 1)[0], (
+            "packing window partitions by source alone:\n" + line
+        )
 
 
 def test_window_chunks_cover_and_overlap(spark):
@@ -83,32 +130,69 @@ def test_window_chunks_cover_and_overlap(spark):
 
 
 def test_planted_stream_golden(spark):
-    """Three docs of 100/300/50 tokens at L=256: doc0 [0,101), doc1
-    [101,402) crosses the bin-0/1 boundary, doc2 [402,453) sits in
-    bin 1; two contexts, tail fill 453-256=197."""
-    df = spark.createDataFrame(
-        [("s", 0, " ".join(["tok"] * 100)),
-         ("s", 1, " ".join(["tok"] * 300)),
-         ("s", 2, " ".join(["tok"] * 50))],
-        "source string, doc_id long, text string",
-    )
-    import cc_mapreducer_spark.operators.seqprep as sp
+    """Three docs of 100/300/50 tokens at L=256, ids chosen so all
+    three land in the SAME md5 shard (verified below): the stream is
+    doc order, spans [0,101), [101,402) crossing the bin-0/1 boundary,
+    [402,453) in bin 1; two contexts, tail fill 453-256=197. Mirrors
+    _doc_spans' (source, shard) window exactly."""
+    import hashlib
 
-    spans = sp._doc_spans.__wrapped__ if hasattr(sp._doc_spans, "__wrapped__") else None
-    # golden via the public bin query over a temp view path is overkill;
-    # reuse the span builder directly on a manual frame
+    import cc_mapreducer_spark.operators.seqprep as sp
     from pyspark.sql import Window
 
+    def shard_of(doc_id: int) -> int:
+        return (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+            % sp.N_PACK_SHARDS
+        )
+
+    # first three ids sharing a shard, in ascending order
+    ids, want = [], None
+    for i in range(1000):
+        s = shard_of(i)
+        if want is None or s == want:
+            want = s if want is None else want
+            if s == want:
+                ids.append(i)
+        if len(ids) == 3:
+            break
+    assert len(ids) == 3
+
+    df = spark.createDataFrame(
+        [("s", ids[0], " ".join(["tok"] * 100)),
+         ("s", ids[1], " ".join(["tok"] * 300)),
+         ("s", ids[2], " ".join(["tok"] * 50))],
+        "source string, doc_id long, text string",
+    )
     w = (
-        Window.partitionBy("source").orderBy("doc_id")
+        Window.partitionBy("source", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     docs = df.select(
-        "source", "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10,
+            ).cast("long") % sp.N_PACK_SHARDS
+        ).alias("shard"),
+        "doc_id",
         F.expr(sp._SPARK_NTOK).cast("long").alias("n_tokens"),
     ).select(
-        "source", "doc_id", "n_tokens",
+        "source", "shard", "doc_id", "n_tokens",
         F.coalesce(F.sum(F.col("n_tokens") + 1).over(w), F.lit(0)).alias("start"),
     ).withColumn("end", F.col("start") + F.col("n_tokens") + 1)
-    rows = {r.doc_id: (r.start, r.end) for r in docs.collect()}
-    assert rows == {0: (0, 101), 1: (101, 402), 2: (402, 453)}
+    rows = {r.doc_id: (r.shard, r.start, r.end) for r in docs.collect()}
+    assert rows == {
+        ids[0]: (want, 0, 101),
+        ids[1]: (want, 101, 402),
+        ids[2]: (want, 402, 453),
+    }
+
+
+def test_sharding_actually_splits_sources(spark):
+    """The fixture must exercise multi-shard rollup: every source with
+    >= N_PACK_SHARDS docs occupies all N_PACK_SHARDS streams."""
+    bins = sequence_pack_bins(spark, SF_ORACLE).toPandas()
+    shards_per_src = bins.groupby("source")["shard"].nunique()
+    assert (shards_per_src == N_PACK_SHARDS).all()
