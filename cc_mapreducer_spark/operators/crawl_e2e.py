@@ -19,15 +19,23 @@ SQL:
               that catches what URL dedup cannot (planted: every
               (12k+5)th page serves the same boilerplate body from a
               different URL)
+  pack        GPT-style context packing of the SURVIVING corpus (r10):
+              per (domain, shard) stream — the seqprep recipe with the
+              same md5 shard rule — contexts produced, tail padding,
+              and boundary-fragmented docs per domain: the numbers the
+              dataloader hand-off is sized by. The report needs no bin
+              explode: contexts/padding are closed-form in the stream
+              length and fragments fall out of the same offset cumsum.
   report      per-domain funnel counts + shipped tokens + a corpus
               content checksum — the table a crawl operator actually
               watches
 
 Scale shape: admission is broadcast gates + one window; the fetch/
 extract stage rides the scan of the ADMITTED subset; dedup is one
-window on the content hash; the report is one partial-aggregated
-groupBy on domain. Nothing in the composition adds a shuffle the
-stages didn't already own.
+window on the content hash; packing is one window on (domain, shard)
+— sharded, never a whole domain on one task (seqprep's r10 rule); the
+report is one partial-aggregated groupBy on domain. Nothing in the
+composition adds a shuffle the stages didn't already own.
 """
 
 from __future__ import annotations
@@ -44,6 +52,7 @@ from cc_mapreducer_spark.operators.acquisition import (
     crawl_admission_report,
     strip_html,
 )
+from cc_mapreducer_spark.operators.seqprep import CONTEXT_LEN, N_PACK_SHARDS
 from cc_mapreducer_spark.registry import register
 from cc_mapreducer_spark.tables import load_table, spread
 
@@ -137,6 +146,34 @@ WITH adm AS (
            coalesce(sum(clean_h % 100000019) FILTER (WHERE rk = 1), 0)
                AS content_sum
     FROM deduped GROUP BY domain
+), surv AS (
+    -- pack stage input: the docs that survived quality + dedup, with
+    -- the seqprep shard rule (md5(doc_id) % N — hashed so the shard
+    -- never correlates with the id assignment; see operators/seqprep)
+    SELECT domain, doc_id, n_tokens,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+               % {N_PACK_SHARDS} AS shard
+    FROM deduped WHERE rk = 1
+), pspans AS (
+    SELECT domain, shard, doc_id, n_tokens,
+           coalesce(sum(n_tokens + 1) OVER (
+               PARTITION BY domain, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pstart
+    FROM surv
+), pstreams AS (
+    SELECT domain, shard, sum(n_tokens + 1) AS t_len,
+           count(*) FILTER (WHERE (pstart + n_tokens) // {CONTEXT_LEN}
+                                  > pstart // {CONTEXT_LEN}) AS n_frag
+    FROM pspans GROUP BY domain, shard
+), packed AS (
+    SELECT domain,
+           sum((t_len + {CONTEXT_LEN} - 1) // {CONTEXT_LEN})
+               AS pack_contexts,
+           sum(((t_len + {CONTEXT_LEN} - 1) // {CONTEXT_LEN})
+               * {CONTEXT_LEN} - t_len) AS pack_padding,
+           sum(n_frag) AS pack_fragments
+    FROM pstreams GROUP BY domain
 ), rev AS (
     -- the family's revisit residue (warc_ingest._records_for_doc):
     -- every (7k+3)th ADMITTED fetch also stores a headers-only
@@ -144,7 +181,9 @@ WITH adm AS (
     -- Spark side's digest join must resolve every one, saving the
     -- payload bytes. The oracle re-derives the closed form; the Spark
     -- side EARNS it by building/parsing real WARC bytes and joining.
-    SELECT f.domain, length(f.html) AS saved
+    -- strlen = BYTE count, matching the Spark side's len(payload bytes);
+    -- length() would count characters and silently diverge on non-ASCII
+    SELECT f.domain, strlen(f.html) AS saved
     FROM (SELECT a.doc_id,
                  regexp_extract(
                      regexp_extract(a.canonical_url,
@@ -173,19 +212,25 @@ SELECT a.domain,
        CAST(coalesce(r.n_revisit_resolved, 0) AS BIGINT)
            AS n_revisit_resolved,
        CAST(coalesce(r.revisit_saved_bytes, 0) AS BIGINT)
-           AS revisit_saved_bytes
+           AS revisit_saved_bytes,
+       CAST(coalesce(k.pack_contexts, 0) AS BIGINT) AS pack_contexts,
+       CAST(coalesce(k.pack_padding, 0) AS BIGINT) AS pack_padding,
+       CAST(coalesce(k.pack_fragments, 0) AS BIGINT) AS pack_fragments
 FROM adm_counts a
 LEFT JOIN corpus c USING (domain)
 LEFT JOIN rev_counts r USING (domain)
+LEFT JOIN packed k USING (domain)
 """
 
 
 @register("crawl_e2e_funnel", oracle=_E2E_SQL, driver=False)
 def crawl_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discovery-to-corpus in one plan; see the module docstring. Per
-    domain: URLs seen, admitted, fetched, passing the quality floor,
-    unique after content dedup, tokens shipped, and a modular checksum
-    of the shipped content hashes."""
+    """Discovery-to-corpus-to-contexts in one plan; see the module
+    docstring. Per domain: URLs seen, admitted, fetched, passing the
+    quality floor, unique after content dedup, tokens shipped, a
+    modular checksum of the shipped content hashes, revisit resolution,
+    and the dataloader hand-off numbers (packed contexts / padding /
+    fragmented docs over the surviving corpus)."""
     from pyspark.sql import Window
 
     adm = crawl_admission_report(spark, sf_dir)
@@ -361,9 +406,58 @@ def crawl_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("content_sum"),
     )
+    # pack stage: the surviving corpus through the seqprep recipe —
+    # per (domain, shard) stream (same md5 shard rule; a raw-id modulo
+    # would correlate with the fixture's id striping). contexts and
+    # padding are closed-form in each stream's length; fragments come
+    # from the same offset cumsum — no bin explode needed at report
+    # grain. Integer `div`, not float division: exact at any offset.
+    L = CONTEXT_LEN
+    surv = deduped.filter(F.col("rk") == 1).select(
+        "domain",
+        "doc_id",
+        "n_tokens",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % N_PACK_SHARDS
+        ).alias("shard"),
+    )
+    pw = (
+        Window.partitionBy("domain", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pstreams = (
+        surv.withColumn(
+            "pstart",
+            F.coalesce(F.sum(F.col("n_tokens") + 1).over(pw), F.lit(0)),
+        )
+        .groupBy("domain", "shard")
+        .agg(
+            F.sum(F.col("n_tokens") + 1).alias("t_len"),
+            F.count(
+                F.when(
+                    F.expr(f"(pstart + n_tokens) div {L} > pstart div {L}"),
+                    1,
+                )
+            ).alias("n_frag"),
+        )
+    )
+    packed = pstreams.groupBy("domain").agg(
+        F.sum(F.expr(f"(t_len + {L} - 1) div {L}")).alias("pack_contexts"),
+        F.sum(
+            F.expr(f"((t_len + {L} - 1) div {L}) * {L} - t_len")
+        ).alias("pack_padding"),
+        F.sum("n_frag").alias("pack_fragments"),
+    )
     return (
         adm_counts.join(corpus, "domain", "left")
         .join(rev_counts, "domain", "left")
+        .join(packed, "domain", "left")
         .select(
             "domain",
             "n_urls",
@@ -388,5 +482,14 @@ def crawl_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("revisit_saved_bytes", F.lit(0))
             .cast("long")
             .alias("revisit_saved_bytes"),
+            F.coalesce("pack_contexts", F.lit(0))
+            .cast("long")
+            .alias("pack_contexts"),
+            F.coalesce("pack_padding", F.lit(0))
+            .cast("long")
+            .alias("pack_padding"),
+            F.coalesce("pack_fragments", F.lit(0))
+            .cast("long")
+            .alias("pack_fragments"),
         )
     )

@@ -748,6 +748,11 @@ UNION ALL
 SELECT 'e2e:saved', domain, CAST(revisit_saved_bytes AS DOUBLE)
 FROM ({_E2E_SQL})
 UNION ALL
+SELECT 'e2e:pack', domain,
+       CAST((pack_contexts * 100000 + pack_padding) * 100000
+            + pack_fragments AS DOUBLE)
+FROM ({_E2E_SQL})
+UNION ALL
 SELECT 'edges:n', src_domain || '|' || dst_domain, CAST(n_links AS DOUBLE)
 FROM ({_EDGES_SQL})
 UNION ALL
@@ -766,7 +771,11 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip->canonicalize->tokenize chain (per-doc and per-domain), the
     WARC round-trip witnesses (body hash, block/content byte geometry,
     HTTP status), the crawl-policy and robots.txt gates, and the
-    composed admission decision. The ``warcchain:*`` legs run the WARC
+    composed admission decision. The ``e2e:pack`` leg (r10) hashes the
+    funnel's corpus-to-contexts hand-off: packed contexts, padding, and
+    fragmented docs of the SURVIVING corpus per domain — curation ->
+    dedup -> quality -> pack in one composed DAG.
+    The ``warcchain:*`` legs run the WARC
     path (bytes -> response records -> the chain) against the SAME
     oracle SQL as the batch chain — hashing green means the container
     round trip is a semantic no-op end to end, per-value. The
@@ -1018,6 +1027,17 @@ def acquisition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             _leg(e2e, "e2e:saved", F.col("domain"),
                  F.col("revisit_saved_bytes")),
+            # corpus-to-contexts hand-off (r10): packing the surviving
+            # docs — contexts*1e10 + padding*1e5 + fragments stays exact
+            # in a double far past any fixture scale (< 2^53)
+            _leg(
+                e2e,
+                "e2e:pack",
+                F.col("domain"),
+                (F.col("pack_contexts") * 100000 + F.col("pack_padding"))
+                * 100000
+                + F.col("pack_fragments"),
+            ),
             _leg(
                 edges,
                 "edges:n",

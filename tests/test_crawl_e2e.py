@@ -44,6 +44,26 @@ def test_content_duplicates_collapse_to_one(spark):
     )
 
 
+def test_pack_stage_accounts_for_survivors(spark):
+    """The corpus-to-contexts hand-off (r10): per domain, packed
+    contexts times CONTEXT_LEN must equal the survivors' stream tokens
+    (shipped tokens + one EOS per unique doc) plus the padding; each
+    (domain, shard) stream pads at most one context tail."""
+    from cc_mapreducer_spark.operators.seqprep import (
+        CONTEXT_LEN,
+        N_PACK_SHARDS,
+    )
+
+    df = crawl_e2e_funnel(spark, SF_ORACLE).toPandas()
+    stream_tokens = df.tokens_shipped + df.n_unique
+    assert (
+        df.pack_contexts * CONTEXT_LEN == stream_tokens + df.pack_padding
+    ).all()
+    assert (df.pack_fragments <= df.n_unique).all()
+    assert df.pack_contexts.sum() > 0
+    assert (df.pack_padding < CONTEXT_LEN * N_PACK_SHARDS).all()
+
+
 def test_admission_counts_match_standalone_report(spark):
     from cc_mapreducer_spark.operators.acquisition import (
         crawl_admission_report,
