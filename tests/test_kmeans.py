@@ -19,10 +19,15 @@ from tests.conftest import SF_ORACLE
 
 
 def _numpy_lloyds(x, k, iters):
-    """Bit-faithful replica: same init (first k unit rows), same
-    first-max argmax, same empty-cell rule, same renormalized means."""
+    """Dense replica: same init (first k unit rows, quantized), same
+    first-max argmax, same empty-cell rule, same renormalized means
+    with the same q() step — but BLAS reductions (matmul, norm), so it
+    is an independent implementation of the same recipe; allclose, not
+    bit-equality, is the contract (the bit-exact check is the DuckDB
+    oracle)."""
+    q = lambda a: np.floor(a * 1e9 + 0.5) / 1e9  # noqa: E731
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    cent = x[:k].copy()
+    cent = q(x[:k].copy())
     for _ in range(iters):
         assign = np.argmax(x @ cent.T, axis=1)
         new = cent.copy()
@@ -32,7 +37,7 @@ def _numpy_lloyds(x, k, iters):
                 m = members.mean(axis=0)
                 n = np.linalg.norm(m)
                 if n > 0:
-                    new[c] = m / n
+                    new[c] = q(m / n)
         cent = new
     return cent
 
