@@ -1017,6 +1017,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     lane_jit: dict[str, dict] = {}
     lane_reps: dict[str, list[float]] = {}
+    lane_build: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
         reps: list[float] = []
@@ -1029,7 +1030,20 @@ def main() -> None:
         # warming: 4x10.6s reps vs 2.2s warm in isolation). Reusing the
         # plan is also what a production job does: plan once, execute.
         # Rep 0 pays analysis+compile; best-of-N reads the warm reps.
+        #
+        # CONSTRUCTION IS TIMED TOO (ADVICE r9): some lanes do real
+        # eager work while BUILDING the DataFrame (localCheckpoint
+        # iterations in duplicate_clusters, trainer collect loops in the
+        # tokenizer stats, the WARC mapInPandas checkpoint in
+        # crawl_e2e_funnel) — that cost is outside the reps by design
+        # (it is the train-once / materialize-once artifact cost a
+        # production pipeline amortizes across many executions), but it
+        # must be VISIBLE, not silently excluded: lane_build records it
+        # per lane and notes.eager_lanes names the lanes where it is
+        # material.
+        tb0 = time.perf_counter()
         df = queries[name](spark, SF_DIR)
+        lane_build[name] = round(time.perf_counter() - tb0, 3)
         for _ in range(repeat):
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
@@ -1147,6 +1161,18 @@ def main() -> None:
         # agg) is packed into 33 columns; both halves of r8 item 1.
         "lane_reps": lane_reps,
         "lane_jit": lane_jit,
+        # Per-lane DataFrame-construction time (ADVICE r9): the build
+        # phase is excluded from the timed reps (plan once, execute N),
+        # but lanes that materialize artifacts eagerly at build time do
+        # real work there. eager_lanes = lanes whose build exceeded 1s —
+        # read their lane_build alongside their rep times; the
+        # total_build_s aggregate bounds everything the headline total
+        # does NOT include.
+        "lane_build": lane_build,
+        "total_build_s": round(sum(lane_build.values()), 3),
+        "eager_lanes": sorted(
+            k for k, v in lane_build.items() if v >= 1.0
+        ),
         "jvm_final": _jvm_counters(spark),
         # r8 drift attribution (VERDICT r8 item 6): the driver's r8 run
         # drew 40 comparable lanes at 1.53x r7 with UNIFORM per-lane
@@ -1184,8 +1210,15 @@ def main() -> None:
         "NOTE r8->r9: the comparable_ratio ~0.42 conflates real plan "
         "wins (simhash packing) with this measurement fix — the r8 "
         "numbers included per-rep JIT recompilation that production "
-        "jobs (plan once, stream 100 TB) never pay; the r9 numbers are "
-        "the honest per-execution plan cost.",
+        "jobs (plan once, stream 100 TB) never pay. AMENDED r10 "
+        "(ADVICE r9): 'honest per-execution plan cost' overclaimed for "
+        "lanes that do eager work at DataFrame-construction time "
+        "(checkpoint/train/collect during build) — for those lanes the "
+        "reps time the post-artifact execution only. lane_build now "
+        "records the excluded construction cost per lane and "
+        "eager_lanes names where it is material; r9 had no such field, "
+        "so r8->r9 per-lane ratios on eager lanes understate their "
+        "end-to-end cost by their build time.",
         # r8 shared_passages deep settle (VERDICT r7 item 3): the
         # remaining 500k-doc cost was (a) fingerprint/pair stages keyed
         # on 32-char md5 strings (fixed: 60-bit ints from the md5
