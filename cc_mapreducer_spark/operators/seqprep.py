@@ -70,6 +70,7 @@ N_PACK_SHARDS = 4  # packing streams per source (tasks-per-source knob)
 # error() legs below so exceeding them fails loudly, never silently.
 _MAX_BINS = 4096
 _MAX_CHUNKS = 64
+_MAX_FFD_BINS = 64  # best-fit comparison: bins per stream (guarded)
 
 _SPARK_NTOK = (
     "size(filter(split(regexp_replace(lower(text), '[^a-z]+', ' '), ' '),"
@@ -351,3 +352,216 @@ def doc_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_prev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-fit-decreasing packing (r9 verdict stretch #7): the alternative
+# the concat-then-chunk fragmentation stats weigh against. Docs are
+# placed WHOLE (padding instead of fragmentation; docs longer than a
+# context are truncated and accounted), first-fit over bins in creation
+# order, items in (size DESC, doc_id ASC) order, per (source, shard)
+# stream — the same bounded streams as concat-chunk, so each greedy
+# fold is shard-sized, never corpus-sized.
+#
+# Oracle: FFD is an inherently sequential fold, so the DuckDB oracle is
+# a RECURSIVE CTE over the per-stream doc rank with the bin state
+# carried as _MAX_FFD_BINS integer COLUMNS updated by generated
+# CASE/prefix-OR arithmetic. Columns, not lists: DuckDB 1.0 silently
+# mis-evaluates lambdas that capture a join column inside a recursive
+# term (list_transform(state, x -> x + d.s <= L) yields empty state —
+# the same correlation bug class as the memory-noted recursive scalar
+# subquery), while plain column expressions over a join are exact.
+# "Open a new bin" needs no special case: empty bins are zero columns
+# and every item fits a zero bin (s <= L by truncation), so first-fit
+# over the fixed columns IS unbounded first-fit while bins stay under
+# the cap — and two guards make the cap fail-loud: the LAST bin column
+# must stay 0 (headroom) and sum(bins) must equal sum(s) (conservation:
+# a silently dropped doc cannot balance).
+# ---------------------------------------------------------------------------
+
+
+def _ffd_sql() -> str:
+    """Generate the recursive first-fit-decreasing oracle (module
+    comment above): per-(source, shard) ranked items folded through
+    _MAX_FFD_BINS bin columns."""
+    L, nb = CONTEXT_LEN, _MAX_FFD_BINS
+    rng = range(1, nb + 1)
+
+    def fits(j: int) -> str:
+        return f"(r.b{j} + d.s <= {L})"
+
+    def placed_before(j: int) -> str:
+        if j == 1:
+            return "false"
+        return "(" + " OR ".join(fits(i) for i in range(1, j)) + ")"
+
+    zeros = ", ".join(f"CAST(0 AS BIGINT) AS b{j}" for j in rng)
+    upd = ", ".join(
+        f"CASE WHEN {fits(j)} AND NOT {placed_before(j)} "
+        f"THEN r.b{j} + d.s ELSE r.b{j} END AS b{j}"
+        for j in rng
+    )
+    n_bins = " + ".join(f"CASE WHEN f.b{j} > 0 THEN 1 ELSE 0 END" for j in rng)
+    used = " + ".join(f"f.b{j}" for j in rng)
+    return f"""
+WITH RECURSIVE docs0 AS (
+    SELECT source,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+               % {N_PACK_SHARDS} AS shard,
+           doc_id,
+           least(n_tokens + 1, {L}) AS s,
+           greatest(n_tokens + 1 - {L}, 0) AS trunc
+    FROM (SELECT source, doc_id, {_DUCK_NTOK} AS n_tokens FROM documents)
+), ranked AS MATERIALIZED (
+    SELECT *, row_number() OVER (
+        PARTITION BY source, shard ORDER BY s DESC, doc_id) AS rk
+    FROM docs0
+), counts AS MATERIALIZED (
+    SELECT source, shard, count(*) AS n_docs, sum(s) AS s_sum,
+           count(*) FILTER (WHERE trunc > 0) AS truncated_docs,
+           sum(trunc) AS truncated_tokens
+    FROM ranked GROUP BY source, shard
+), r AS (
+    SELECT source, shard, 0 AS step, {zeros} FROM counts
+  UNION ALL
+    SELECT r.source, r.shard, r.step + 1, {upd}
+    FROM r JOIN ranked d
+      ON d.source = r.source AND d.shard = r.shard AND d.rk = r.step + 1
+), fin AS (
+    SELECT f.source, f.shard, c.n_docs, c.s_sum,
+           c.truncated_docs, c.truncated_tokens,
+           {n_bins} AS n_bins, {used} AS used_tokens, f.b{nb} AS last_bin
+    FROM r f JOIN counts c
+      ON f.source = c.source AND f.shard = c.shard AND f.step = c.n_docs
+), guard AS (
+    SELECT CASE
+        WHEN max(last_bin) > 0 THEN error(
+            'ffd oracle: bin cap {_MAX_FFD_BINS} reached — raise '
+            || '_MAX_FFD_BINS or N_PACK_SHARDS')
+        WHEN bool_or(used_tokens <> s_sum) THEN error(
+            'ffd oracle: token conservation broken — an item was '
+            || 'silently dropped (bin cap overflow)')
+        ELSE 0 END AS ok
+    FROM fin
+)
+SELECT source, CAST(shard AS BIGINT) AS shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_bins AS BIGINT) AS n_bins,
+       CAST(used_tokens AS BIGINT) AS used_tokens,
+       CAST(n_bins * {L} - used_tokens AS BIGINT) AS padding_tokens,
+       CAST(truncated_docs AS BIGINT) AS truncated_docs,
+       CAST(truncated_tokens AS BIGINT) AS truncated_tokens
+FROM fin CROSS JOIN guard g
+WHERE g.ok = 0
+"""
+
+
+_BESTFIT_SQL = _ffd_sql()
+
+
+@register("sequence_pack_bestfit", oracle=_BESTFIT_SQL, driver=False)
+def sequence_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing report per (source, shard) stream:
+    bins used, tokens placed, padding (every bin can pad — the cost of
+    never fragmenting a document), and the truncation the whole-doc
+    rule forces on docs longer than a context. The greedy fold runs in
+    applyInPandas per stream — each group is shard-bounded by
+    construction, the same scale shape as the concat-chunk window."""
+    import pandas as pd
+
+    L = CONTEXT_LEN
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % N_PACK_SHARDS
+        ).alias("shard"),
+        "doc_id",
+        F.least(
+            F.expr(_SPARK_NTOK).cast("long") + 1, F.lit(L).cast("long")
+        ).alias("s"),
+        F.greatest(
+            F.expr(_SPARK_NTOK).cast("long") + 1 - L, F.lit(0).cast("long")
+        ).alias("trunc"),
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["s", "doc_id"], ascending=[False, True])
+        fills: list[int] = []
+        for s in pdf["s"]:
+            s = int(s)
+            for i, f in enumerate(fills):
+                if f + s <= L:
+                    fills[i] = f + s
+                    break
+            else:
+                fills.append(s)
+        used = sum(fills)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_docs": [len(pdf)],
+                "n_bins": [len(fills)],
+                "used_tokens": [used],
+                "padding_tokens": [len(fills) * L - used],
+                "truncated_docs": [int((pdf["trunc"] > 0).sum())],
+                "truncated_tokens": [int(pdf["trunc"].sum())],
+            }
+        )
+
+    return docs.groupBy("source", "shard").applyInPandas(
+        ffd,
+        "source string, shard long, n_docs long, n_bins long, "
+        "used_tokens long, padding_tokens long, truncated_docs long, "
+        "truncated_tokens long",
+    )
+
+
+_COMPARE_SQL = f"""
+SELECT cc.source,
+       cc.n_contexts AS cc_contexts,
+       cc.padding_tokens AS cc_padding_tokens,
+       cc.fragmented_docs AS cc_fragmented_docs,
+       bf.ffd_bins, bf.ffd_padding_tokens,
+       bf.ffd_truncated_docs, bf.ffd_truncated_tokens
+FROM ({_PACK_SUMMARY_SQL}) cc
+JOIN (SELECT source,
+             CAST(sum(n_bins) AS BIGINT) AS ffd_bins,
+             CAST(sum(padding_tokens) AS BIGINT) AS ffd_padding_tokens,
+             CAST(sum(truncated_docs) AS BIGINT) AS ffd_truncated_docs,
+             CAST(sum(truncated_tokens) AS BIGINT) AS ffd_truncated_tokens
+      FROM ({_BESTFIT_SQL}) GROUP BY source) bf USING (source)
+"""
+
+
+@register("packing_strategy_compare", oracle=_COMPARE_SQL, driver=False)
+def packing_strategy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing tradeoff table, per source: concat-then-chunk's
+    contexts / (tail-only) padding / fragmented docs against
+    first-fit-decreasing's bins / per-bin padding / truncations — the
+    numbers a pipeline owner weighs when choosing a recipe (zero
+    padding + fragments vs zero fragments + padding)."""
+    cc = sequence_pack_summary(spark, sf_dir).select(
+        "source",
+        F.col("n_contexts").alias("cc_contexts"),
+        F.col("padding_tokens").alias("cc_padding_tokens"),
+        F.col("fragmented_docs").alias("cc_fragmented_docs"),
+    )
+    bf = (
+        sequence_pack_bestfit(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum("n_bins").cast("long").alias("ffd_bins"),
+            F.sum("padding_tokens").cast("long").alias("ffd_padding_tokens"),
+            F.sum("truncated_docs").cast("long").alias("ffd_truncated_docs"),
+            F.sum("truncated_tokens")
+            .cast("long")
+            .alias("ffd_truncated_tokens"),
+        )
+    )
+    return cc.join(bf, "source")

@@ -196,3 +196,60 @@ def test_sharding_actually_splits_sources(spark):
     bins = sequence_pack_bins(spark, SF_ORACLE).toPandas()
     shards_per_src = bins.groupby("source")["shard"].nunique()
     assert (shards_per_src == N_PACK_SHARDS).all()
+
+
+def test_ffd_invariants_and_tradeoff(spark):
+    """FFD packing: geometry (used + padding == bins * L), optimality
+    bounds (ceil(tokens/L) <= bins <= docs), first-fit correctness via
+    oracle parity, and the tradeoff vs concat-chunk: with no
+    truncations (fixture docs all fit a context), FFD can never pad
+    LESS than concat-chunk's tail-only padding."""
+    import numpy as np
+
+    from cc_mapreducer_spark.operators.seqprep import (
+        packing_strategy_compare,
+        sequence_pack_bestfit,
+    )
+
+    bf = sequence_pack_bestfit(spark, SF_ORACLE).toPandas()
+    assert (
+        bf.used_tokens + bf.padding_tokens == bf.n_bins * CONTEXT_LEN
+    ).all()
+    assert (bf.n_bins >= np.ceil(bf.used_tokens / CONTEXT_LEN)).all()
+    assert (bf.n_bins <= bf.n_docs).all()
+    assert (bf.truncated_docs == 0).all()  # fixture docs all fit
+
+    cmp_ = packing_strategy_compare(spark, SF_ORACLE).toPandas()
+    assert (cmp_.ffd_truncated_tokens == 0).all()
+    assert (cmp_.ffd_padding_tokens >= cmp_.cc_padding_tokens).all()
+    assert (cmp_.cc_fragmented_docs > 0).any()  # the tradeoff is real
+    assert (cmp_.ffd_bins >= cmp_.cc_contexts).all()
+
+
+def test_ffd_planted_golden_and_truncation(spark, tmp_path):
+    """Planted stream: sizes (incl. EOS) 200/150/100/90/60 at L=256 pack
+    first-fit-decreasing into [200+?, ...] = bins (200, 150+100, 90+60)
+    -> 3 bins, fills 200/250/150; a 300-token doc is truncated to 256
+    and accounted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cc_mapreducer_spark.operators.seqprep import sequence_pack_bestfit
+
+    sizes = [199, 149, 99, 89, 59, 300]  # +1 EOS each; last truncates
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(sizes)), pa.int64()),
+            "text": pa.array([" ".join(["tok"] * n) for n in sizes]),
+            "source": pa.array(["s"] * len(sizes)),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    bf = sequence_pack_bestfit(spark, str(tmp_path)).toPandas()
+    assert bf.truncated_docs.sum() == 1
+    assert bf.truncated_tokens.sum() == 300 + 1 - CONTEXT_LEN
+    # geometry still conserves post-truncation
+    assert (
+        bf.used_tokens + bf.padding_tokens == bf.n_bins * CONTEXT_LEN
+    ).all()
+    assert bf.used_tokens.sum() == sum(min(n + 1, CONTEXT_LEN) for n in sizes)
