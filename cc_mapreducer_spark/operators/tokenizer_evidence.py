@@ -71,6 +71,12 @@ from cc_mapreducer_spark.operators.text_analysis import (
     _CORPUS_TOKENS_SQL,
     corpus_token_totals,
 )
+from cc_mapreducer_spark.operators.dataloader import (
+    _MANIFEST_SQL,
+    _MIXTURE_SQL,
+    context_shuffle_manifest,
+    corpus_mixture_plan,
+)
 from cc_mapreducer_spark.operators.seqprep import (
     _CHUNKS_SQL,
     _PACK_BINS_SQL,
@@ -98,7 +104,9 @@ from cc_mapreducer_spark.functions.trainer_sql import (
 )
 
 # sequence-prep legs (round 9, operators/seqprep.py): packing bins +
-# stream accounting + sliding windows ride the same driver key
+# stream accounting + sliding windows ride the same driver key; the
+# dataloader legs (round 10, operators/dataloader.py) extend the chain
+# to the mixture plan (mix:*) and the shuffle manifest (rdr:*)
 _SEQPREP_LEGS_SQL = f"""
 UNION ALL
 SELECT 'pack:bin', source || '|' || shard || '|' || bin,
@@ -122,6 +130,18 @@ UNION ALL
 SELECT 'chunk:doc', doc_id || '|' || chunk_idx,
        CAST((start_tok * 1000 + chunk_len) * 100 + overlap_prev AS DOUBLE)
 FROM ({_CHUNKS_SQL})
+UNION ALL
+SELECT 'mix:avail', source, CAST(available_tokens AS DOUBLE)
+FROM ({_MIXTURE_SQL})
+UNION ALL
+SELECT 'mix:target', source, CAST(target_tokens AS DOUBLE)
+FROM ({_MIXTURE_SQL})
+UNION ALL
+SELECT 'mix:epochs', source, epochs FROM ({_MIXTURE_SQL})
+UNION ALL
+SELECT 'rdr:ctx', source || '|' || shard || '|' || bin,
+       CAST(reader * 100000 + pos AS DOUBLE)
+FROM ({_MANIFEST_SQL})
 """
 
 _TOKENIZER_SUITE_SQL = (
@@ -271,6 +291,20 @@ def tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", "doc_id", "chunk_idx"),
             (F.col("start_tok") * 1000 + F.col("chunk_len")) * 100
             + F.col("overlap_prev"),
+        ),
+    ]
+    # dataloader hand-off legs (r10): mixture plan + shuffle manifest —
+    # the corpus -> contexts -> mixture -> readers chain, all hashed
+    mix = corpus_mixture_plan(spark, sf_dir).localCheckpoint()
+    parts += [
+        leg(mix, "mix:avail", F.col("source"), F.col("available_tokens")),
+        leg(mix, "mix:target", F.col("source"), F.col("target_tokens")),
+        leg(mix, "mix:epochs", F.col("source"), F.col("epochs")),
+        leg(
+            context_shuffle_manifest(spark, sf_dir),
+            "rdr:ctx",
+            F.concat_ws("|", "source", "shard", "bin"),
+            F.col("reader") * 100000 + F.col("pos"),
         ),
     ]
     out = parts[0]
