@@ -114,6 +114,12 @@ TREND_QUERIES = [
                                 # the exact-Jaccard witness legs stay out:
                                 # the lane times the scale path, not the
                                 # join the sketch exists to avoid)
+    "sequence_pack_bins",   # (r10) sharded packing window: one cumsum on
+                            # (source, shard) + bounded explode — the
+                            # empirical check that the r10 shard fix
+                            # holds the exponent (the r9 per-source
+                            # window would sort 1/20th of the corpus on
+                            # ONE task at every size)
 ]
 
 

@@ -108,14 +108,20 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
-    tot = weighted.agg(
-        F.sum("weight").alias("w_tot"),
+    # corpus totals via unbounded windows over the per-source frame —
+    # tens of rows (one per source) at any corpus scale, and no join in
+    # the plan (the broadcast-one-row alternative plans as a
+    # BroadcastNestedLoopJoin the fleet audit rightly dislikes)
+    quota = weighted.select(
+        "source",
+        "available_tokens",
+        "weight",
         F.expr(
-            f"CAST(sum(available_tokens) * {BUDGET_NUM} div {BUDGET_DEN}"
-            " AS BIGINT)"
+            f"(sum(available_tokens) OVER ()) * {BUDGET_NUM}"
+            f" div {BUDGET_DEN}"
         ).alias("budget"),
-    )
-    quota = weighted.crossJoin(F.broadcast(tot)).select(
+        F.expr("sum(weight) OVER ()").alias("w_tot"),
+    ).select(
         "source",
         "available_tokens",
         "weight",
