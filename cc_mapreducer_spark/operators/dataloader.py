@@ -28,9 +28,17 @@ context_shuffle_manifest     which reader gets which context, in what
     from the bins table, so the oracle re-derives every (reader,
     position) pair.
 
-Both ride sequence_pack_* outputs: corpus -> contexts -> mixture ->
-shuffled readers is the full pretraining hand-off chain, and every step
-is driver-hashable integer arithmetic.
+mixture_context_sample     WHICH contexts the mixture ships: the
+    source's context target split over its shards by a second
+    largest-remainder pass, each shard contributing its first
+    `allocated` contexts in shuffle-key order — so the pick rank is a
+    window WITHIN a shard, never per source (the same single-partition
+    refusal as the manifest), and the sample is reproducible from the
+    seed alone.
+
+All three ride sequence_pack_* outputs: corpus -> contexts -> mixture
+-> sampled set -> shuffled readers is the full pretraining hand-off
+chain, and every step is driver-hashable integer arithmetic.
 """
 
 from __future__ import annotations
@@ -208,4 +216,148 @@ def context_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fill_tokens").cast("long"),
         "reader",
         F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+_SAMPLE_SQL = f"""
+WITH mix AS (
+    SELECT source, target_contexts FROM ({_MIXTURE_SQL})
+), ctx AS (
+    SELECT source, shard, bin, fill_tokens,
+           md5('{SHUFFLE_SEED}' || '|' || source || '|' || shard
+               || '|' || bin) AS skey
+    FROM ({_PACK_BINS_SQL})
+), shard_cnt AS (
+    SELECT source, shard, count(*) AS n_ctx FROM ctx GROUP BY source, shard
+), src_cnt AS (
+    SELECT source, sum(n_ctx) AS n_total FROM shard_cnt GROUP BY source
+), alloc0 AS (
+    -- second largest-remainder pass: the source's context target split
+    -- over its shards by shard size — integer arithmetic again
+    SELECT c.source, c.shard, c.n_ctx,
+           m.target_contexts * c.n_ctx // s.n_total AS base,
+           m.target_contexts * c.n_ctx % s.n_total AS rem,
+           m.target_contexts
+    FROM shard_cnt c
+    JOIN src_cnt s USING (source) JOIN mix m USING (source)
+), alloc AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY source ORDER BY rem DESC, shard) AS rr,
+           target_contexts - sum(base) OVER (PARTITION BY source)
+               AS leftover
+    FROM alloc0
+), quota AS (
+    SELECT source, shard, n_ctx,
+           least(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END, n_ctx)
+               AS allocated
+    FROM alloc
+), ranked AS (
+    SELECT source, shard, fill_tokens,
+           row_number() OVER (
+               PARTITION BY source, shard ORDER BY skey, bin) AS srank
+    FROM ctx
+)
+SELECT q.source, CAST(q.shard AS BIGINT) AS shard,
+       CAST(q.n_ctx AS BIGINT) AS available_contexts,
+       CAST(q.allocated AS BIGINT) AS picked_contexts,
+       CAST(coalesce(sum(r.fill_tokens), 0) AS BIGINT) AS sampled_tokens
+FROM quota q
+LEFT JOIN ranked r
+  ON r.source = q.source AND r.shard = q.shard AND r.srank <= q.allocated
+GROUP BY q.source, q.shard, q.n_ctx, q.allocated
+"""
+
+
+@register("mixture_context_sample", oracle=_SAMPLE_SQL, driver=False)
+def mixture_context_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH contexts the mixture ships, per (source, shard): the
+    source's context target is split over its shards by a second
+    largest-remainder pass (integer, deterministic), and each shard
+    contributes its first `allocated` contexts in shuffle-key order.
+    Ranking therefore stays WITHIN a shard — a per-source pick order
+    would be the same single-partition sort the manifest refuses — and
+    the whole sample is reproducible from the seed alone."""
+    mix = corpus_mixture_plan(spark, sf_dir).select(
+        "source", "target_contexts"
+    )
+    ctx = sequence_pack_bins(spark, sf_dir).select(
+        "source",
+        "shard",
+        "bin",
+        "fill_tokens",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(SHUFFLE_SEED),
+                F.col("source"),
+                F.col("shard").cast("string"),
+                F.col("bin").cast("string"),
+            )
+        ).alias("skey"),
+    )
+    shard_cnt = ctx.groupBy("source", "shard").agg(
+        F.count("*").alias("n_ctx")
+    )
+    alloc = (
+        shard_cnt.withColumn(
+            "n_total",
+            F.sum("n_ctx").over(Window.partitionBy("source")),
+        )
+        .join(mix, "source")
+        .select(
+            "source",
+            "shard",
+            "n_ctx",
+            F.expr("target_contexts * n_ctx div n_total").alias("base"),
+            F.expr("target_contexts * n_ctx % n_total").alias("rem"),
+            "target_contexts",
+        )
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("rem").desc(), F.col("shard")
+                )
+            ),
+        )
+        .withColumn(
+            "leftover",
+            F.col("target_contexts")
+            - F.sum("base").over(Window.partitionBy("source")),
+        )
+        .select(
+            "source",
+            "shard",
+            "n_ctx",
+            F.least(
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0),
+                F.col("n_ctx"),
+            ).alias("allocated"),
+        )
+    )
+    ranked = ctx.withColumn(
+        "srank",
+        F.row_number().over(
+            Window.partitionBy("source", "shard").orderBy("skey", "bin")
+        ),
+    )
+    picked = (
+        ranked.join(alloc, ["source", "shard"])
+        .filter(F.col("srank") <= F.col("allocated"))
+        .groupBy("source", "shard")
+        .agg(F.sum("fill_tokens").alias("sampled_tokens"))
+    )
+    return (
+        alloc.join(picked, ["source", "shard"], "left")
+        .select(
+            "source",
+            F.col("shard").cast("long"),
+            F.col("n_ctx").cast("long").alias("available_contexts"),
+            F.col("allocated").cast("long").alias("picked_contexts"),
+            F.coalesce("sampled_tokens", F.lit(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
     )

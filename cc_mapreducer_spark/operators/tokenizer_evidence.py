@@ -74,8 +74,10 @@ from cc_mapreducer_spark.operators.text_analysis import (
 from cc_mapreducer_spark.operators.dataloader import (
     _MANIFEST_SQL,
     _MIXTURE_SQL,
+    _SAMPLE_SQL,
     context_shuffle_manifest,
     corpus_mixture_plan,
+    mixture_context_sample,
 )
 from cc_mapreducer_spark.operators.seqprep import (
     _CHUNKS_SQL,
@@ -142,6 +144,11 @@ UNION ALL
 SELECT 'rdr:ctx', source || '|' || shard || '|' || bin,
        CAST(reader * 100000 + pos AS DOUBLE)
 FROM ({_MANIFEST_SQL})
+UNION ALL
+SELECT 'mix:sample', source || '|' || shard,
+       CAST((available_contexts * 100000 + picked_contexts) * 100000
+            + sampled_tokens AS DOUBLE)
+FROM ({_SAMPLE_SQL})
 """
 
 _TOKENIZER_SUITE_SQL = (
@@ -305,6 +312,17 @@ def tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rdr:ctx",
             F.concat_ws("|", "source", "shard", "bin"),
             F.col("reader") * 100000 + F.col("pos"),
+        ),
+        leg(
+            mixture_context_sample(spark, sf_dir),
+            "mix:sample",
+            F.concat_ws("|", "source", "shard"),
+            (
+                F.col("available_contexts") * 100000
+                + F.col("picked_contexts")
+            )
+            * 100000
+            + F.col("sampled_tokens"),
         ),
     ]
     out = parts[0]

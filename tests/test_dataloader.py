@@ -92,3 +92,29 @@ def test_manifest_deterministic_and_seed_sensitive(spark):
     assert all(
         reader_of("r10", row) == row.reader for row in a.itertuples()
     )
+
+
+def test_sample_apportions_target_over_shards(spark):
+    from cc_mapreducer_spark.operators.dataloader import (
+        mixture_context_sample,
+    )
+    from cc_mapreducer_spark.operators.seqprep import (
+        CONTEXT_LEN,
+        N_PACK_SHARDS,
+    )
+
+    mix = corpus_mixture_plan(spark, SF_ORACLE).toPandas()
+    samp = mixture_context_sample(spark, SF_ORACLE).toPandas()
+    assert (samp.picked_contexts <= samp.available_contexts).all()
+    assert (samp.sampled_tokens <= samp.picked_contexts * CONTEXT_LEN).all()
+    assert ((samp.sampled_tokens > 0) == (samp.picked_contexts > 0)).all()
+    per_src = samp.groupby("source").agg(
+        picked=("picked_contexts", "sum"),
+        avail=("available_contexts", "sum"),
+    )
+    tgt = mix.set_index("source").target_contexts
+    for src, row in per_src.iterrows():
+        want = min(tgt[src], row.avail)
+        # largest-remainder + per-shard least() can undershoot by at
+        # most the number of saturated shards
+        assert want >= row.picked >= want - N_PACK_SHARDS, src
