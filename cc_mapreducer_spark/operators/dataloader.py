@@ -76,9 +76,16 @@ WITH avail AS (
                 AS BIGINT) AS budget
     FROM weighted
 ), quota AS (
+    -- split quotient: budget*weight overflows int64 once corpus tokens
+    -- pass ~7e12 (budget ~ T/2 times weight ~ sqrt(T) > 2^63 near 28 TB
+    -- of text — inside the claimed regime). (q*W + r)*w identity keeps
+    -- every intermediate <= max(budget, w_tot^2) — bounded by T and by
+    -- (n_sources * sqrt(T))^2, both safe past 100 TB. Same split in the
+    -- Spark twin; exact integer identity, so values are unchanged.
     SELECT w.source, w.available_tokens, w.weight,
-           t.budget * w.weight // t.w_tot AS base,
-           t.budget * w.weight % t.w_tot AS rem,
+           (t.budget // t.w_tot) * w.weight
+               + ((t.budget % t.w_tot) * w.weight) // t.w_tot AS base,
+           ((t.budget % t.w_tot) * w.weight) % t.w_tot AS rem,
            t.budget, t.w_tot
     FROM weighted w CROSS JOIN tot t
 ), ranked AS (
@@ -130,11 +137,17 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("budget"),
         F.expr("sum(weight) OVER ()").alias("w_tot"),
     ).select(
+        # split quotient (see oracle comment): budget * weight wraps
+        # int64 near 28 TB of text; (q*W + r)*w keeps intermediates
+        # bounded by max(budget, w_tot^2) — exact identity, same values
         "source",
         "available_tokens",
         "weight",
-        F.expr("budget * weight div w_tot").alias("base"),
-        F.expr("budget * weight % w_tot").alias("rem"),
+        F.expr(
+            "(budget div w_tot) * weight"
+            " + ((budget % w_tot) * weight) div w_tot"
+        ).alias("base"),
+        F.expr("((budget % w_tot) * weight) % w_tot").alias("rem"),
         "budget",
     )
     w = Window.orderBy(F.col("rem").desc(), F.col("source"))
@@ -233,10 +246,16 @@ WITH mix AS (
     SELECT source, sum(n_ctx) AS n_total FROM shard_cnt GROUP BY source
 ), alloc0 AS (
     -- second largest-remainder pass: the source's context target split
-    -- over its shards by shard size — integer arithmetic again
+    -- over its shards by shard size — integer arithmetic again, with
+    -- the same split-quotient as the mixture plan (target % n_total
+    -- < n_total, times a shard's n_ctx ~ n_total / n_shards, keeps
+    -- intermediates ~ n_total^2 / n_shards — bounded at production
+    -- shard counts where target * n_ctx itself would wrap)
     SELECT c.source, c.shard, c.n_ctx,
-           m.target_contexts * c.n_ctx // s.n_total AS base,
-           m.target_contexts * c.n_ctx % s.n_total AS rem,
+           (m.target_contexts // s.n_total) * c.n_ctx
+               + ((m.target_contexts % s.n_total) * c.n_ctx) // s.n_total
+               AS base,
+           ((m.target_contexts % s.n_total) * c.n_ctx) % s.n_total AS rem,
            m.target_contexts
     FROM shard_cnt c
     JOIN src_cnt s USING (source) JOIN mix m USING (source)
@@ -309,8 +328,13 @@ def mixture_context_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "shard",
             "n_ctx",
-            F.expr("target_contexts * n_ctx div n_total").alias("base"),
-            F.expr("target_contexts * n_ctx % n_total").alias("rem"),
+            F.expr(
+                "(target_contexts div n_total) * n_ctx"
+                " + ((target_contexts % n_total) * n_ctx) div n_total"
+            ).alias("base"),
+            F.expr(
+                "((target_contexts % n_total) * n_ctx) % n_total"
+            ).alias("rem"),
             "target_contexts",
         )
         .withColumn(

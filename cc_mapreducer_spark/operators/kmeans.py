@@ -60,10 +60,16 @@ float arithmetic is cross-engine-reproducible. Three rules make it so:
 The oracle (_KMEANS_SIZES_SQL) unrolls all 10 iterations as generated
 CTE chains (c0 -> a0 -> s0/w0 -> c1 -> ...), every chain CTE
 MATERIALIZED (each is referenced twice; inlining is exponential — the
-binary_dedup / trainer_sql discipline). Residual risk: a value landing
-within ~1e-14 of a q() boundary, or a dot tie within accumulation
-error — parity is therefore verified at all three SFs like every
-float-adjacent key.
+binary_dedup / trainer_sql discipline). The residual risk — a member-
+axis mean landing within accumulation error of a q() boundary — is
+DETECTED, not tolerated: _q_guard fails loudly with the offending
+(iter, cell, dim, margin) whenever a value sits inside _Q_MARGIN grid
+units of the floor boundary (ADVICE r10 #3), so a parity coin-flip
+can never surface as an unattributable hash mismatch. Dot ties need no
+guard: dots are functions of quantized centroids and deterministic
+unit vectors (left-assoc folds), so a tie is an EXACT tie in both
+engines and the shared first-max/min(cell) rule resolves it
+identically. Parity remains verified at all three SFs.
 """
 
 from __future__ import annotations
@@ -79,11 +85,41 @@ _K = 8
 _ITERS = 10
 _DIM = 64
 
+# q()-grid hazard margin (ADVICE r10 #3): member-axis sums are
+# order-nondeterministic in BOTH engines, and q() only absorbs that
+# ~1e-14 wiggle AWAY from grid boundaries — a mean component landing
+# within accumulation error of a floor boundary flips a centroid bit
+# nondeterministically and parity becomes a coin flip. The wiggle is
+# ~1e-5 in grid units (1e-14 relative at the 1e9 scale); any value
+# closer than _Q_MARGIN grid units to a boundary fails LOUDLY with a
+# diagnostic instead of surfacing as an unattributable hash mismatch.
+_Q_MARGIN = 1e-4
+
 
 def _q(a: np.ndarray) -> np.ndarray:
     """Cross-engine centroid quantization: floor(v*1e9 + 0.5)/1e9 with
     plain IEEE ops — bit-identical to the SQL twin by construction."""
     return np.floor(a * 1e9 + 0.5) / 1e9
+
+
+def _q_guard(v: np.ndarray, where: str) -> None:
+    """Fail loud if any component of v sits within _Q_MARGIN grid units
+    of a q() floor boundary (module comment above). Only member-axis
+    means need this — init centroids and dots are bit-identical across
+    engines by the left-assoc fold rule, so their ties are exact ties."""
+    t = v * 1e9 + 0.5
+    frac = t - np.floor(t)
+    margin = np.minimum(frac, 1.0 - frac)
+    bad = np.nonzero(margin < _Q_MARGIN)[0]
+    if bad.size:
+        d = int(bad[0])
+        raise ValueError(
+            f"kmeans q() boundary hazard at {where} dim {d}: value "
+            f"{v[d]!r} sits {float(margin[d]):.3e} grid units from the "
+            "1e-9 boundary — cross-engine parity would be "
+            "nondeterministic; compare rows-only for this corpus or "
+            "perturb the quantization scale"
+        )
 
 
 def _unit(x: np.ndarray) -> np.ndarray:
@@ -183,7 +219,7 @@ def kmeans_train(emb: DataFrame, k: int = _K, iters: int = _ITERS) -> np.ndarray
     # per-element and its persist alone measured 29s at 150k x 64.
     loop_emb = emb.select("embedding").persist()
     try:
-        for _ in range(iters):
+        for it in range(iters):
             parts = _cell_partials(loop_emb, cent).collect()
             n = np.zeros(cent.shape[0], dtype=np.float64)
             s = np.zeros_like(cent)
@@ -195,6 +231,7 @@ def kmeans_train(emb: DataFrame, k: int = _K, iters: int = _ITERS) -> np.ndarray
                 m = s[j] / n[j]
                 nrm = _norm_fold(m)
                 if nrm > 0:
+                    _q_guard(m / nrm, f"iter {it} cell {j}")
                     new[j] = _q(m / nrm)
             cent = new
     finally:

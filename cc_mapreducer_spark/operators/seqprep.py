@@ -183,18 +183,31 @@ FROM per_bin
 _PACK_SUMMARY_SQL = (
     _PACK_CTE
     + f"""
-SELECT source,
+, frag AS (
+    -- fragmented_docs counts DOCUMENTS that cross >= 1 boundary, not
+    -- boundary crossings (ADVICE r10 #2): sum(n_crossers) counts a doc
+    -- once per crossed boundary, so a doc longer than CONTEXT_LEN
+    -- would inflate the count and fragmented_frac could exceed 1.
+    -- Per-doc boolean from spans matches crawl_e2e's pack_fragments.
+    SELECT source,
+           count(*) FILTER (
+               WHERE ("end" - 1) // {CONTEXT_LEN} > start // {CONTEXT_LEN}
+           ) AS fd
+    FROM spans GROUP BY source
+)
+SELECT per_bin.source,
        CAST(count(*) AS BIGINT) AS n_contexts,
        CAST(sum(fill) AS BIGINT) AS total_tokens,
        CAST(count(*) * {CONTEXT_LEN} - sum(fill) AS BIGINT)
            AS padding_tokens,
-       CAST(sum(n_crossers) AS BIGINT) AS fragmented_docs,
-       round(sum(n_crossers) / CAST(max(d.nd) AS DOUBLE), 6)
+       CAST(max(f.fd) AS BIGINT) AS fragmented_docs,
+       round(max(f.fd) / CAST(max(d.nd) AS DOUBLE), 6)
            AS fragmented_frac
 FROM per_bin
 JOIN (SELECT source AS src, count(*) AS nd FROM documents
       GROUP BY source) d ON d.src = per_bin.source
-GROUP BY source
+JOIN frag f ON f.source = per_bin.source
+GROUP BY per_bin.source
 """
 )
 
@@ -252,6 +265,23 @@ def sequence_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("nd"))
     )
+    L = CONTEXT_LEN
+    # per-DOC crossing boolean, not per-bin crossing count (ADVICE r10
+    # #2): a doc longer than CONTEXT_LEN crosses several boundaries but
+    # fragments once — matches crawl_e2e's pack_fragments semantics
+    frag = (
+        _doc_spans(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(
+                F.when(
+                    ((F.col("end") - 1) / L).cast("long")
+                    > (F.col("start") / L).cast("long"),
+                    1,
+                )
+            ).alias("fragmented_docs")
+        )
+    )
     return (
         bins.groupBy("source")
         .agg(
@@ -260,8 +290,8 @@ def sequence_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") * CONTEXT_LEN - F.sum("fill_tokens"))
             .cast("long")
             .alias("padding_tokens"),
-            F.sum("n_crossers").cast("long").alias("fragmented_docs"),
         )
+        .join(frag, "source")
         .join(n_docs, "source")
         .select(
             "source",

@@ -13,6 +13,7 @@ from cc_mapreducer_spark.operators.dataloader import (
     BUDGET_DEN,
     BUDGET_NUM,
     N_READERS,
+    SHUFFLE_SEED,
     context_shuffle_manifest,
     corpus_mixture_plan,
 )
@@ -85,12 +86,15 @@ def test_manifest_deterministic_and_seed_sensitive(spark):
         return int(h[:8], 16) % N_READERS
 
     moved = sum(
-        reader_of("r11", row) != row.reader for row in a.itertuples()
+        reader_of(SHUFFLE_SEED + "x", row) != row.reader
+        for row in a.itertuples()
     )
     assert moved > 0
     # and the python md5 derivation reproduces the engine's assignment
+    # (the ACTUAL seed constant, not a literal — bumping the epoch seed
+    # must not break this half, only the sensitivity half above)
     assert all(
-        reader_of("r10", row) == row.reader for row in a.itertuples()
+        reader_of(SHUFFLE_SEED, row) == row.reader for row in a.itertuples()
     )
 
 

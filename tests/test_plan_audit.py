@@ -83,6 +83,49 @@ ALLOWED_PYTHON_EVAL = {
     # group in applyInPandas; candidate scoring shares the brute-force
     # mapInPandas kernel (operators/mmr.py)
     "similarity_topk_mmr",
+    # FFD packing: per-(source, shard) greedy fold in applyInPandas —
+    # inherently sequential per stream, shard-bounded by construction
+    "sequence_pack_bestfit",
+    "packing_strategy_compare",  # contains the FFD leg above
+    # distributed Lloyd's: assign/update fused in mapInPandas batches
+    # (operators/kmeans.py — the measured 36x-over-HOF design)
+    "kmeans_cluster_sizes",
+    # --- entries below added when the gate grew the mapInPandas node
+    # names (VERDICT r10 "what's wrong" #2) — every one is a documented
+    # Arrow-batched design, now audited instead of slipping through ---
+    # own-codec byte/media kernels: decode/encode rides the scan in
+    # mapInPandas by design (operators/multimodal.py, binary_dedup.py,
+    # image_dedup.py)
+    "adpcm_codec_stats",
+    "jpeg_color_codec_stats",
+    "binary_chunk_dedup",
+    "image_dhash_fingerprint",
+    "image_near_dup_pairs",
+    "image_dup_clusters",
+    # WARC record synthesis + parse: mapInPandas over Arrow batches,
+    # decode rides the scan (operators/warc_ingest.py, crawl_e2e.py)
+    "warc_response_stats",
+    "warc_segment_reassembly",
+    "wet_export_roundtrip",
+    "warc_acquisition_chain",
+    # tokenizer trainers/encoders: the merge loop is inherently
+    # sequential per word, so encode runs Arrow-batched with the vocab
+    # in the closure (operators/bpe.py, byte_bpe.py, wordpiece.py,
+    # unigram_lm.py)
+    "bpe_token_stats",
+    "byte_bpe_token_stats",
+    "wordpiece_token_stats",
+    "unigram_token_stats",
+    # retrieval queries containing the (allowed) brute-force
+    # mapInPandas scoring leg
+    "similar_documents",
+    "hybrid_search_rrf",
+    # suites/digests whose legs are the allowed kernels above
+    "multimodal_suite",
+    "binary_dedup_suite",
+    "image_dedup_suite",
+    "sketches_suite",
+    "acquisition_suite",
 }
 # streaming queries materialize through a memory sink; their batch plan is
 # not the interesting one and building them is slow — audited separately
@@ -101,11 +144,23 @@ def test_no_scale_antipatterns(spark, name):
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
     # BatchEvalPython = row-at-a-time Python: forbidden everywhere.
-    # ArrowEvalPython / MapInPandas are Arrow-vectorized and allowed, but
-    # only where the operator deliberately opted into Python scoring.
+    # Every Arrow-vectorized Python node (ArrowEvalPython, MapInPandas,
+    # FlatMapGroupsInPandas, the Arrow variants) is allowed ONLY where
+    # the operator deliberately opted into Python scoring — the r10
+    # verdict found the old substring ("EvalPython") missed the
+    # mapInPandas/applyInPandas node names, so an unlisted query could
+    # silently grow a pandas stage.
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in ALLOWED_PYTHON_EVAL:
-        assert "EvalPython" not in plan, f"{name}: Python evaluation in plan"
+        for node in (
+            "EvalPython",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+            "FlatMapCoGroupsInPandas",
+            "MapInArrow",
+            "FlatMapGroupsInArrow",
+        ):
+            assert node not in plan, f"{name}: Python stage ({node}) in plan"
     assert "Scan parquet" in plan or "Scan ExistingRDD" in plan
 
 
