@@ -87,13 +87,22 @@ _DIM = 64
 
 # q()-grid hazard margin (ADVICE r10 #3): member-axis sums are
 # order-nondeterministic in BOTH engines, and q() only absorbs that
-# ~1e-14 wiggle AWAY from grid boundaries — a mean component landing
-# within accumulation error of a floor boundary flips a centroid bit
-# nondeterministically and parity becomes a coin flip. The wiggle is
-# ~1e-5 in grid units (1e-14 relative at the 1e9 scale); any value
-# closer than _Q_MARGIN grid units to a boundary fails LOUDLY with a
-# diagnostic instead of surfacing as an unattributable hash mismatch.
-_Q_MARGIN = 1e-4
+# wiggle AWAY from grid boundaries — a mean component landing within
+# accumulation error of a floor boundary flips a centroid bit
+# nondeterministically and parity becomes a coin flip. Calibration
+# (measured r11): the cross-engine summation-order drift for the
+# fixture member counts is ~3e-8 grid units (sqrt(n)·eps random-walk
+# error of the sum, /n for the mean, x1e9 to grid units), while the
+# MINIMUM margin actually observed across every guarded trainer
+# (kmeans, IVF, all 16x256 PQ codebooks) at all three SFs is 1.2e-6 —
+# so 3e-7 sits 10x above the hazard scale and 4x below the tightest
+# legitimate fixture value. Any value closer than this fails LOUDLY
+# with a diagnostic instead of surfacing as an unattributable hash
+# mismatch. Note the guard is checked ~160k times per PQ training run:
+# a margin as wide as 1e-4 would false-trip on ~uniform fractional
+# parts (expected min over N draws is 0.5/N), which is why the
+# threshold must be calibrated, not guessed.
+_Q_MARGIN = 3e-7
 
 
 def _q(a: np.ndarray) -> np.ndarray:

@@ -18,12 +18,14 @@ bounded reranking window, never the corpus), so the Python stage is
 Arrow-batched and O(M^2 * k) per query with M fixed by contract. The
 only shuffle is the groupBy on query_id — |queries| * M rows.
 
-No DuckDB oracle: the greedy argmax chain is iterative and not
-SQL-expressible (same policy as IVF/PQ float-argmin ties); instead the
-pytest gate pins the operator EXACTLY against an independent
-pure-Python reference and asserts the diversity property MMR exists
-for (with planted duplicate clusters, plain top-k returns one cluster;
-MMR covers several).
+DuckDB oracle (r11): the greedy argmax chain is k FIXED iterations
+over a bounded candidate set, so it unrolls into generated CTE stages
+(_mmr_sql below — the kmeans/IVFPQ playbook); candidate sims ride the
+9dp grid in both engines so every greedy score is bit-identical. The
+pytest gate additionally pins the kernel EXACTLY against an
+independent pure-Python reference and asserts the diversity property
+MMR exists for (with planted duplicate clusters, plain top-k returns
+one cluster; MMR covers several).
 """
 
 from __future__ import annotations
@@ -57,7 +59,11 @@ def mmr_numpy(
     caller, but re-implemented loop-for-loop in the test to pin it."""
     n = len(cand_ids)
     vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-    sim = vn @ vn.T  # candidate-candidate cosine, (n, n)
+    # candidate-candidate cosines on the repo's 9dp grid — the same
+    # rounding contract the relevance scores already carry, which makes
+    # every greedy score (two exact multiplies and a subtract over
+    # 9dp-grid inputs) reproducible by the unrolled SQL oracle
+    sim = np.round(vn @ vn.T, 9)  # (n, n)
     selected: list[int] = []
     out: list[tuple[int, float]] = []
     remaining = np.ones(n, dtype=bool)
@@ -121,11 +127,124 @@ def mmr_rerank(
     )
 
 
-@register("similarity_topk_mmr", driver=False)
+# --------------------------------------------------------------------------
+# the MMR DuckDB oracle: the greedy chain unrolled (r11)
+# --------------------------------------------------------------------------
+#
+# The module docstring's old "not SQL-expressible" policy fell to the
+# same playbook as kmeans/IVFPQ (VERDICT r10 next-round #1): the greedy
+# loop is k fixed iterations of argmax over a bounded candidate set, so
+# it unrolls into k generated CTE stages. Determinism rules:
+#   - rel and candidate-candidate sims are on the 9dp grid in BOTH
+#     engines (the proven brute-force cosine pattern);
+#   - the per-step score is two IEEE multiplies and a subtract over
+#     grid inputs (lam and 1-lam emitted as exact double literals), so
+#     it is bit-identical;
+#   - max over selected sims is order-free; the argmax tiebreak
+#     (score desc, rel desc, vec_id) equals numpy's first-max over the
+#     (rel desc, vec_id)-sorted candidate block;
+#   - sel{i} accumulators are MATERIALIZED (each referenced twice —
+#     the repo's MATERIALIZED-or-exponential discipline).
+
+
+def _mmr_sql(k: int = MMR_K, m: int = M_CANDIDATES) -> str:
+    from cc_mapreducer_spark.operators.similarity import (
+        _N_QUERIES,
+        _ROUND,
+        _duck_dot,
+    )
+
+    lam = repr(float(MMR_LAMBDA))
+    oml = repr(1.0 - MMR_LAMBDA)  # 0.30000000000000004 — the IEEE value
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(({_duck_dot(a, b)})"
+            f" / (sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})),"
+            f" {_ROUND})"
+        )
+
+    out = [
+        f"""WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+    WHERE vec_id < {_N_QUERIES}
+), cand AS MATERIALIZED (
+    SELECT query_id, vec_id, rel
+    FROM (SELECT query_id, vec_id, rel,
+                 row_number() OVER (
+                     PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+          FROM (SELECT q.query_id, e.vec_id,
+                       {cos('qe', 'e.embedding')} AS rel
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id))
+    WHERE rn <= {m}
+), sim AS MATERIALIZED (
+    SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+           {cos('ea.embedding', 'eb.embedding')} AS s
+    FROM cand a
+    JOIN cand b ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+), p1 AS MATERIALIZED (
+    SELECT query_id, vec_id, rel, {lam} * rel AS score, 1 AS mmr_rank
+    FROM (SELECT query_id, vec_id, rel,
+                 row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY {lam} * rel DESC, rel DESC, vec_id) AS rn
+          FROM cand)
+    WHERE rn = 1
+), sel1 AS MATERIALIZED (
+    SELECT query_id, vec_id FROM p1
+)"""
+    ]
+    for i in range(2, k + 1):
+        out.append(
+            f""", p{i} AS MATERIALIZED (
+    SELECT query_id, vec_id, rel, score, {i} AS mmr_rank
+    FROM (
+        SELECT c.query_id, c.vec_id, c.rel,
+               {lam} * c.rel - {oml} * ms.msim AS score,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY ({lam} * c.rel - {oml} * ms.msim) DESC,
+                            c.rel DESC, c.vec_id) AS rn
+        FROM cand c
+        JOIN (SELECT s.query_id, s.va AS vec_id, max(s.s) AS msim
+              FROM sim s
+              JOIN sel{i - 1} t
+                ON t.query_id = s.query_id AND t.vec_id = s.vb
+              GROUP BY s.query_id, s.va) ms
+          ON ms.query_id = c.query_id AND ms.vec_id = c.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} t2
+                          WHERE t2.query_id = c.query_id
+                            AND t2.vec_id = c.vec_id)
+    ) WHERE rn = 1
+), sel{i} AS MATERIALIZED (
+    SELECT query_id, vec_id FROM sel{i - 1}
+    UNION ALL SELECT query_id, vec_id FROM p{i}
+)"""
+        )
+    picks = " UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, k + 1))
+    out.append(
+        f"""
+SELECT query_id, vec_id, rel AS cosine,
+       CAST(mmr_rank AS INT) AS mmr_rank,
+       round(score, 6) AS mmr_score
+FROM ({picks})
+"""
+    )
+    return "".join(out)
+
+
+_MMR_SQL = _mmr_sql()
+
+
+@register("similarity_topk_mmr", oracle=_MMR_SQL, driver=False)
 def similarity_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-{MMR_K} over the exact top-{M_CANDIDATES}
     candidate set (at scale the candidates come from the IVF+PQ
-    shortlist instead — the re-rank stage is generator-agnostic)."""
+    shortlist instead — the re-rank stage is generator-agnostic).
+    Oracle-backed since r11: _mmr_sql unrolls the greedy chain."""
     from cc_mapreducer_spark.operators.similarity import (
         _query_matrix,
         _ROUND,

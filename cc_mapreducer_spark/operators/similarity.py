@@ -127,6 +127,26 @@ def _query_matrix(spark: SparkSession, sf_dir: str):
     return qids, qm
 
 
+def _query_matrix_det(spark: SparkSession, sf_dir: str):
+    """Deterministic twin of _query_matrix for parity-grade consumers
+    (IVF probes, PQ LUTs): unit-normalizes with the LEFT-ASSOCIATED
+    squared-norm fold (kmeans._unit) instead of BLAS, so downstream dots
+    against q()-quantized codebooks are bit-identical to the DuckDB
+    oracle's generated chains."""
+    from cc_mapreducer_spark.operators.kmeans import _unit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+    )
+    qids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    if not len(rows):
+        return qids, np.zeros((0, 1))
+    return qids, _unit(
+        np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    )
+
+
 def _topk(scored: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return scored.select(
@@ -488,11 +508,14 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF (inverted-file) ANN — the codebook-based scale path
 # --------------------------------------------------------------------------
 
-# Not a registered query: the 50-key roster is full (see
-# operators/consolidated.py) and IVF assignment depends on float argmin
-# ties, which is exactly the kind of decision the DuckDB oracle gate
-# cannot hash-compare robustly. It ships as a library operator with
-# recall/subset tests (tests/test_similarity.py) instead.
+# similarity_topk_ivf itself is not a registered query (the 50-key
+# roster is full — operators/consolidated.py), but since r11 the
+# training recipe is PARITY-GRADE: deterministic first-k init,
+# left-associated dimension folds, and q() centroid quantization after
+# every update (the kmeans_cluster_sizes playbook, operators/kmeans.py)
+# — so the IVFPQ composition in operators/pq.py can re-derive the
+# coarse codebook inside its DuckDB oracle (VERDICT r10 next-round #1).
+# Recall/subset behavior stays pytest-pinned in tests/test_similarity.py.
 
 _IVF_K = 16          # coarse-quantizer cells
 _IVF_NPROBE = 4      # cells scanned per query
@@ -501,17 +524,30 @@ _IVF_ITERS = 10
 
 
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    """Train the coarse quantizer: seeded Lloyd's k-means on a
-    deterministic sample (first _IVF_TRAIN_N vec_ids), run driver-side in
-    numpy. The codebook is tiny (k x dim floats) — at 100 TB you train it
-    once offline on a sample and broadcast it; the expensive part (cell
-    assignment) stays distributed. In-session the trained tensor is
-    memoized per corpus identity (pq.train_memo_key) — retraining per
-    query call is not the serving shape."""
+    """Train the coarse quantizer: deterministic Lloyd's on the first
+    _IVF_TRAIN_N vec_ids, driver-side numpy. The codebook is tiny
+    (k x dim floats) — at 100 TB you train it once offline on a sample
+    and broadcast it; the expensive part (cell assignment) stays
+    distributed. In-session the trained tensor is memoized per corpus
+    identity (pq.train_memo_key).
+
+    Cross-engine reproducible by the kmeans playbook: init = the first
+    _IVF_K sample vectors (vec_id order, unit, quantized), every
+    dimension-axis reduction a left-associated fold (_dots/_unit from
+    operators/kmeans.py), member-axis means absorbed onto the 1e-9 q()
+    grid with the boundary-hazard guard — so the DuckDB oracle in
+    operators/pq.py re-derives this exact tensor from first principles."""
+    from cc_mapreducer_spark.operators.kmeans import (
+        _norm_fold,
+        _q,
+        _q_guard,
+        _unit,
+        _dots,
+    )
     from cc_mapreducer_spark.operators.pq import _TRAIN_MEMO, train_memo_key
 
     key = train_memo_key(
-        spark, sf_dir, "ivf", _IVF_K, _IVF_TRAIN_N, _IVF_ITERS
+        spark, sf_dir, "ivf-det", _IVF_K, _IVF_TRAIN_N, _IVF_ITERS
     )
     if key in _TRAIN_MEMO:
         return _TRAIN_MEMO[key]
@@ -519,34 +555,44 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     rows = sorted(
         emb.filter(F.col("vec_id") < _IVF_TRAIN_N).select("vec_id", "embedding").collect()
     )
-    x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    rng = np.random.RandomState(0)
-    cent = x[rng.choice(len(x), _IVF_K, replace=False)]
-    for _ in range(_IVF_ITERS):
-        assign = np.argmax(x @ cent.T, axis=1)  # cosine on unit vectors
+    x = _unit(np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows]))
+    cent = _q(x[:_IVF_K].copy())
+    for it in range(_IVF_ITERS):
+        assign = np.argmax(_dots(x, cent), axis=1)  # cosine; first-max ties
+        new = cent.copy()
         for c in range(_IVF_K):
             members = x[assign == c]
             if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / np.linalg.norm(m)
+                m = members.sum(axis=0) / len(members)
+                nrm = _norm_fold(m)
+                if nrm > 0:
+                    _q_guard(m / nrm, f"ivf iter {it} cell {c}")
+                    new[c] = _q(m / nrm)
+        cent = new
     _TRAIN_MEMO[key] = cent
     return cent
 
 
 def ivf_assignments(spark: SparkSession, sf_dir: str, cent: np.ndarray) -> DataFrame:
-    """Distributed cell assignment: one numpy argmax per Arrow batch.
+    """Distributed cell assignment: one numpy argmax per Arrow batch,
+    with the left-assoc dot fold so the assignment is bit-identical to
+    the oracle's chain (kmeans.assign_cells is the same kernel shape).
     At scale this materializes once as a bucketed table keyed by cell."""
+    from cc_mapreducer_spark.operators.kmeans import _dots, _unit
+
     emb = load_table(spark, sf_dir, "embeddings")
 
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).values)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m = _unit(
+                np.stack(
+                    pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).values
+                )
+            )
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].values, "cell": np.argmax(m @ cent.T, axis=1)}
+                {"vec_id": pdf["vec_id"].values, "cell": np.argmax(_dots(m, cent), axis=1)}
             )
 
     return emb.select("vec_id", "embedding").mapInPandas(assign, "vec_id long, cell int")
@@ -559,13 +605,15 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (query, cell) probe list, hash-join on cell, Arrow-batched matmul
     scoring, per-query window top-k. Same output schema as the other
     similarity_topk_* queries."""
-    qids, qm = _query_matrix(spark, sf_dir)
+    from cc_mapreducer_spark.operators.kmeans import _dots
+
+    qids, qm = _query_matrix_det(spark, sf_dir)
     if not len(qids):  # empty corpus: no queries, nothing to train on
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rn int"
         )
     cent = ivf_centroids(spark, sf_dir)
-    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :_IVF_NPROBE]
+    probes = np.argsort(-_dots(qm, cent), axis=1)[:, :_IVF_NPROBE]
     probe_rows = [
         (int(qids[i]), int(c)) for i in range(len(qids)) for c in probes[i]
     ]

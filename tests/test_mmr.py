@@ -1,7 +1,8 @@
 """MMR re-ranking: exact equality with an independent pure-Python
 greedy reference, the diversity property it exists for, first-pick
-relevance, and partition invariance. (No SQL oracle by policy — greedy
-argmax chains are not SQL-expressible; same treatment as IVF/PQ.)"""
+relevance, partition invariance — and, since r11, DuckDB-oracle parity
+at the non-registry SFs (the unrolled greedy chain of
+operators/mmr.py:_mmr_sql; sf0.01 is covered by test_oracle_parity)."""
 
 from __future__ import annotations
 
@@ -26,7 +27,8 @@ def _reference_mmr(cands, vecs_by_id, k, lam):
         num = sum(x * y for x, y in zip(a, b))
         da = math.sqrt(sum(x * x for x in a))
         db = math.sqrt(sum(x * x for x in b))
-        return num / (da * db)
+        # the operator's sims ride the repo's 9dp grid (oracle contract)
+        return round(num / (da * db), 9)
 
     # candidates arrive as [(vec_id, rel)] sorted by (rel desc, id)
     remaining = list(cands)
@@ -106,6 +108,25 @@ def test_diversity_property_vs_plain_topk(spark):
     # and the first pick is the most relevant candidate regardless
     first = [r for r in got if r.mmr_rank == 1][0]
     assert first.vec_id == plain[0]
+
+
+def test_mmr_oracle_parity_other_sfs(spark):
+    """sf0.01 is the registry parity gate (test_oracle_parity); the
+    float-adjacent greedy chain is additionally pinned at the other two
+    SFs (the kmeans / IVFPQ precedent)."""
+    from cc_mapreducer_spark.operators.mmr import _MMR_SQL
+    from tests.oracle import compare_frames, duckdb_connection
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        con = duckdb_connection(sf)
+        try:
+            compare_frames(
+                similarity_topk_mmr(spark, sf).toPandas(),
+                con.sql(_MMR_SQL).df(),
+                f"similarity_topk_mmr@{sf}",
+            )
+        finally:
+            con.close()
 
 
 def test_registered_key_runs_and_is_partition_invariant(spark):

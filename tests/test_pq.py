@@ -137,6 +137,30 @@ def test_saved_index_serving_path_matches_in_process(spark, tmp_path):
     assert code_bytes / n_vecs < 120  # 16B codes + parquet overhead
 
 
+def test_ivfpq_oracle_parity_other_sfs(spark):
+    """sf0.01 is the registry parity gate (test_oracle_parity); the
+    float-adjacent IVFPQ chain is additionally pinned at the other two
+    SFs — cross-engine float edge cases are scale-dependent (the
+    kmeans / q()-grid precedent)."""
+    import pytest
+    from cc_mapreducer_spark.operators.pq import (
+        _IVFPQ_SQL,
+        similarity_topk_ivfpq,
+    )
+    from tests.oracle import compare_frames, duckdb_connection
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        con = duckdb_connection(sf)
+        try:
+            compare_frames(
+                similarity_topk_ivfpq(spark, sf).toPandas(),
+                con.sql(_IVFPQ_SQL).df(),
+                f"similarity_topk_ivfpq@{sf}",
+            )
+        finally:
+            con.close()
+
+
 def test_ivfpq_matches_ivf_candidate_recall_and_is_deterministic(spark):
     # IVFPQ = IVF's candidate set + PQ's compressed scoring + the exact
     # re-rank. Within the probed cells the re-rank is exact, so IVFPQ's
@@ -174,14 +198,15 @@ def test_ivfpq_scans_only_probed_cells(spark):
     # its query's probe list (subset property), and the candidate count
     # is far below the brute-force Q x N pair count
     import numpy as np
-    from cc_mapreducer_spark.operators.pq import pq_train, pq_encode, _query_luts, _adc_scan_paired
+    from cc_mapreducer_spark.operators.kmeans import _dots
+    from cc_mapreducer_spark.operators.pq import pq_train, pq_encode
     from cc_mapreducer_spark.operators.similarity import (
-        _IVF_NPROBE, _query_matrix, ivf_assignments, ivf_centroids,
+        _IVF_NPROBE, _query_matrix_det, ivf_assignments, ivf_centroids,
     )
 
-    qids, qm = _query_matrix(spark, SF_SMOKE)
+    qids, qm = _query_matrix_det(spark, SF_SMOKE)
     cent = ivf_centroids(spark, SF_SMOKE)
-    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :_IVF_NPROBE]
+    probes = np.argsort(-_dots(qm, cent), axis=1)[:, :_IVF_NPROBE]
     probe = {(int(qids[i]), int(c)) for i in range(len(qids)) for c in probes[i]}
     probe_df = spark.createDataFrame(sorted(probe), "query_id long, cell int")
     books = pq_train(spark, SF_SMOKE)
