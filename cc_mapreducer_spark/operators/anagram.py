@@ -332,7 +332,10 @@ FROM pairs GROUP BY 1
 )
 
 
-@register("hash_partition_stats", oracle=_HASH_PARTITION_SQL)
+# driver=False since r11 (roster rotation, VERDICT r10 next-round #7):
+# the values are driver-hashed as tokenizer_suite's ``hashpart`` leg,
+# freeing the roster slot for corpus_to_readers (crawl -> readers DAG)
+@register("hash_partition_stats", oracle=_HASH_PARTITION_SQL, driver=False)
 def q_hash_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hash_partition (§2.4): per-bucket pair/signature counts under a
     10-way content hash, mirroring SHUFFLER_HASH_MODULO=10

@@ -86,7 +86,10 @@ def _e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_E2E_SQL = f"""
+# the funnel CTE chain, shared by the report (_E2E_SQL) and the reader
+# hand-off (_READERS_SQL below) — crawl -> corpus -> readers is ONE
+# composable chain in both engines (VERDICT r10 next-round #4)
+_E2E_CTE = f"""
 WITH adm AS (
     SELECT doc_id, canonical_url, admitted FROM ({_ADMISSION_SQL})
 ), pages AS (
@@ -200,6 +203,11 @@ WITH adm AS (
            sum(saved) AS revisit_saved_bytes
     FROM rev GROUP BY domain
 )
+"""
+
+_E2E_SQL = (
+    _E2E_CTE
+    + """
 SELECT a.domain,
        CAST(a.n_urls AS BIGINT) AS n_urls,
        CAST(a.n_admitted AS BIGINT) AS n_admitted,
@@ -221,16 +229,15 @@ LEFT JOIN corpus c USING (domain)
 LEFT JOIN rev_counts r USING (domain)
 LEFT JOIN packed k USING (domain)
 """
+)
 
 
-@register("crawl_e2e_funnel", oracle=_E2E_SQL, driver=False)
-def crawl_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discovery-to-corpus-to-contexts in one plan; see the module
-    docstring. Per domain: URLs seen, admitted, fetched, passing the
-    quality floor, unique after content dedup, tokens shipped, a
-    modular checksum of the shipped content hashes, revisit resolution,
-    and the dataloader hand-off numbers (packed contexts / padding /
-    fragmented docs over the surviving corpus)."""
+def _funnel_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The funnel chain as named DataFrames — one builder shared by the
+    per-domain report (crawl_e2e_funnel) and the reader hand-off
+    (corpus_to_readers), so the two can never diverge on what
+    'surviving corpus' means. Returns adm_counts / corpus / rev_counts
+    / packed / pstreams keyed frames."""
     from pyspark.sql import Window
 
     adm = crawl_admission_report(spark, sf_dir)
@@ -454,6 +461,26 @@ def crawl_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pack_padding"),
         F.sum("n_frag").alias("pack_fragments"),
     )
+    return {
+        "adm_counts": adm_counts,
+        "corpus": corpus,
+        "rev_counts": rev_counts,
+        "packed": packed,
+        "pstreams": pstreams,
+    }
+
+
+@register("crawl_e2e_funnel", oracle=_E2E_SQL, driver=False)
+def crawl_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery-to-corpus-to-contexts in one plan; see the module
+    docstring. Per domain: URLs seen, admitted, fetched, passing the
+    quality floor, unique after content dedup, tokens shipped, a
+    modular checksum of the shipped content hashes, revisit resolution,
+    and the dataloader hand-off numbers (packed contexts / padding /
+    fragmented docs over the surviving corpus)."""
+    fr = _funnel_frames(spark, sf_dir)
+    adm_counts, corpus = fr["adm_counts"], fr["corpus"]
+    rev_counts, packed = fr["rev_counts"], fr["packed"]
     return (
         adm_counts.join(corpus, "domain", "left")
         .join(rev_counts, "domain", "left")
@@ -493,3 +520,371 @@ def crawl_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pack_fragments"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_to_readers (r11, VERDICT r10 next-round #4): the reader hand-off
+# computed FROM THE FUNNEL'S SURVIVING CORPUS — crawl -> corpus ->
+# contexts -> mixture -> shuffled readers as one driver-hashed DAG. The
+# mixture / manifest / sampling arithmetic is operators/dataloader.py's
+# (temperature alpha=0.5, split-quotient largest remainder, keyed-md5
+# epoch shuffle, shard-bounded pick ranks), re-rooted on the funnel's
+# per-(domain, shard) streams instead of the standalone documents table.
+#
+# Scale shape: the mixture windows run over the per-domain frame (orders
+# of magnitude smaller than the corpus — one row per domain); contexts
+# explode row-locally from stream lengths (bounded by tokens/CONTEXT_LEN
+# — the manifest IS that table, there is no cheaper honest form); reader
+# positions come from a reader-bounded window (production readers =
+# worker count — each reader's sorted manifest is exactly that worker's
+# shard, the dataloader discipline); pick ranks window WITHIN a
+# (domain, shard) stream, never per domain.
+# ---------------------------------------------------------------------------
+
+from cc_mapreducer_spark.operators.dataloader import (  # noqa: E402
+    BUDGET_DEN,
+    BUDGET_NUM,
+    N_READERS,
+    SHUFFLE_SEED,
+)
+
+_RD_MAX_BINS = 4096  # DuckDB range() cap for the context explode (guarded)
+
+_READERS_SQL = (
+    _E2E_CTE
+    + f""", streams AS (
+    SELECT domain, shard, t_len,
+           (t_len + {CONTEXT_LEN} - 1) // {CONTEXT_LEN} AS n_ctx
+    FROM pstreams
+), avail AS (
+    SELECT domain, sum(t_len) AS available_tokens FROM streams GROUP BY domain
+), weighted AS (
+    SELECT domain, available_tokens,
+           CAST(floor(sqrt(CAST(available_tokens AS DOUBLE))) AS BIGINT)
+               AS weight
+    FROM avail
+), tot AS (
+    SELECT sum(weight) AS w_tot,
+           CAST(sum(available_tokens) * {BUDGET_NUM} // {BUDGET_DEN}
+                AS BIGINT) AS budget
+    FROM weighted
+), quota AS (
+    -- split quotient (the dataloader overflow rule): intermediates stay
+    -- bounded by max(budget, w_tot^2) past 100 TB
+    SELECT w.domain, w.available_tokens, w.weight,
+           (t.budget // t.w_tot) * w.weight
+               + ((t.budget % t.w_tot) * w.weight) // t.w_tot AS base,
+           ((t.budget % t.w_tot) * w.weight) % t.w_tot AS rem,
+           t.budget
+    FROM weighted w CROSS JOIN tot t
+), mix AS (
+    SELECT domain, available_tokens, weight,
+           base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS target_tokens
+    FROM (SELECT *,
+                 row_number() OVER (ORDER BY rem DESC, domain) AS rr,
+                 budget - sum(base) OVER () AS leftover
+          FROM quota)
+), bin_guard AS (
+    SELECT CASE WHEN max(n_ctx) > {_RD_MAX_BINS}
+                THEN error('corpus_to_readers oracle: bin cap '
+                           || '{_RD_MAX_BINS} exceeded — raise _RD_MAX_BINS')
+                ELSE 0 END AS ok
+    FROM streams
+), ctx AS (
+    SELECT s.domain, s.shard, b.range AS bin,
+           CASE WHEN b.range < s.n_ctx - 1 THEN {CONTEXT_LEN}
+                ELSE s.t_len - (s.n_ctx - 1) * {CONTEXT_LEN} END AS fill,
+           md5('{SHUFFLE_SEED}' || '|' || s.domain || '|' || s.shard
+               || '|' || b.range) AS skey,
+           s.n_ctx
+    FROM streams s CROSS JOIN range(0, {_RD_MAX_BINS}) b
+    CROSS JOIN bin_guard g
+    WHERE b.range < s.n_ctx AND g.ok = 0
+), manifest AS (
+    SELECT domain, shard, bin, fill, skey, n_ctx,
+           ('0x' || substr(skey, 1, 8))::BIGINT % {N_READERS} AS reader
+    FROM ctx
+), positions AS (
+    SELECT domain, shard, bin, reader,
+           row_number() OVER (
+               PARTITION BY reader ORDER BY skey, domain, shard, bin) AS pos
+    FROM manifest
+), src_cnt AS (
+    SELECT domain, sum(n_ctx) AS n_total FROM streams GROUP BY domain
+), alloc AS (
+    SELECT domain, shard, n_ctx,
+           least(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END, n_ctx)
+               AS allocated
+    FROM (SELECT *,
+                 row_number() OVER (
+                     PARTITION BY domain ORDER BY rem DESC, shard) AS rr,
+                 target_contexts - sum(base) OVER (PARTITION BY domain)
+                     AS leftover
+          FROM (SELECT s.domain, s.shard, s.n_ctx,
+                       (tc.target_contexts // c.n_total) * s.n_ctx
+                           + ((tc.target_contexts % c.n_total) * s.n_ctx)
+                             // c.n_total AS base,
+                       ((tc.target_contexts % c.n_total) * s.n_ctx)
+                           % c.n_total AS rem,
+                       tc.target_contexts
+                FROM streams s
+                JOIN src_cnt c USING (domain)
+                JOIN (SELECT domain,
+                             CAST(ceil(target_tokens
+                                       / CAST({CONTEXT_LEN} AS DOUBLE))
+                                  AS BIGINT) AS target_contexts
+                      FROM mix) tc USING (domain)))
+), srank AS (
+    SELECT domain, shard, fill,
+           row_number() OVER (
+               PARTITION BY domain, shard ORDER BY skey, bin) AS rk
+    FROM ctx
+), sampled AS (
+    SELECT a.domain, a.shard, a.allocated,
+           coalesce(sum(r.fill), 0) AS sampled_tokens
+    FROM alloc a
+    LEFT JOIN srank r
+      ON r.domain = a.domain AND r.shard = a.shard AND r.rk <= a.allocated
+    GROUP BY a.domain, a.shard, a.allocated
+)
+SELECT 'mix:avail' AS component, domain AS entity,
+       CAST(available_tokens AS DOUBLE) AS value
+FROM mix
+UNION ALL
+SELECT 'mix:target', domain, CAST(target_tokens AS DOUBLE) FROM mix
+UNION ALL
+SELECT 'mix:epochs', domain,
+       CAST(target_tokens AS DOUBLE) / available_tokens FROM mix
+UNION ALL
+SELECT 'rdr:ctx',
+       domain || '|' || CAST(shard AS VARCHAR) || '|' || CAST(bin AS VARCHAR),
+       CAST(reader * 100000 + pos AS DOUBLE)
+FROM positions
+UNION ALL
+SELECT 'mix:picked',
+       domain || '|' || CAST(shard AS VARCHAR),
+       CAST(allocated AS DOUBLE)
+FROM sampled
+UNION ALL
+SELECT 'mix:sampled',
+       domain || '|' || CAST(shard AS VARCHAR),
+       CAST(sampled_tokens AS DOUBLE)
+FROM sampled
+"""
+)
+
+
+@register("corpus_to_readers", oracle=_READERS_SQL)
+def corpus_to_readers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataloader hand-off FROM the crawl funnel's surviving corpus
+    (module-bottom comment): per-domain temperature-mixture targets and
+    epoch factors, the epoch-stable per-context reader manifest, and the
+    shard-bounded mixture sample — every leg driver-hashed against an
+    oracle that chains the same arithmetic off the same funnel CTEs.
+    Legs: mix:avail / mix:target / mix:epochs (per domain), rdr:ctx
+    (per context: reader * 1e5 + position), mix:picked / mix:sampled
+    (per (domain, shard))."""
+    from pyspark.sql import Window
+
+    fr = _funnel_frames(spark, sf_dir)
+    L = CONTEXT_LEN
+    streams = fr["pstreams"].select(
+        "domain",
+        "shard",
+        "t_len",
+        F.expr(f"(t_len + {L} - 1) div {L}").alias("n_ctx"),
+    )
+    avail = streams.groupBy("domain").agg(
+        F.sum("t_len").cast("long").alias("available_tokens")
+    )
+    weighted = avail.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("available_tokens").cast("double"))).cast("long"),
+    )
+    quota = weighted.select(
+        "domain",
+        "available_tokens",
+        "weight",
+        F.expr(
+            f"(sum(available_tokens) OVER ()) * {BUDGET_NUM}"
+            f" div {BUDGET_DEN}"
+        ).alias("budget"),
+        F.expr("sum(weight) OVER ()").alias("w_tot"),
+    ).select(
+        "domain",
+        "available_tokens",
+        "weight",
+        F.expr(
+            "(budget div w_tot) * weight"
+            " + ((budget % w_tot) * weight) div w_tot"
+        ).alias("base"),
+        F.expr("((budget % w_tot) * weight) % w_tot").alias("rem"),
+        "budget",
+    )
+    mix = (
+        quota.withColumn(
+            "rr",
+            F.row_number().over(
+                Window.orderBy(F.col("rem").desc(), F.col("domain"))
+            ),
+        )
+        .withColumn(
+            "leftover",
+            F.col("budget") - F.sum("base").over(Window.partitionBy()),
+        )
+        .select(
+            "domain",
+            "available_tokens",
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("target_tokens"),
+        )
+    )
+    ctx = streams.select(
+        "domain",
+        "shard",
+        "t_len",
+        "n_ctx",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_ctx") - 1)
+        ).alias("bin"),
+    ).select(
+        "domain",
+        "shard",
+        "bin",
+        "n_ctx",
+        F.when(F.col("bin") < F.col("n_ctx") - 1, F.lit(L).cast("long"))
+        .otherwise(F.col("t_len") - (F.col("n_ctx") - 1) * L)
+        .alias("fill"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(SHUFFLE_SEED),
+                F.col("domain"),
+                F.col("shard").cast("string"),
+                F.col("bin").cast("string"),
+            )
+        ).alias("skey"),
+    )
+    positions = ctx.withColumn(
+        "reader",
+        (
+            F.conv(F.substring("skey", 1, 8), 16, 10).cast("long")
+            % N_READERS
+        ).cast("long"),
+    ).withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("reader").orderBy(
+                "skey", "domain", "shard", "bin"
+            )
+        ),
+    )
+    tc = mix.select(
+        "domain",
+        F.ceil(F.col("target_tokens") / float(L)).cast("long").alias(
+            "target_contexts"
+        ),
+    )
+    alloc = (
+        streams.withColumn(
+            "n_total", F.sum("n_ctx").over(Window.partitionBy("domain"))
+        )
+        .join(tc, "domain")
+        .select(
+            "domain",
+            "shard",
+            "n_ctx",
+            F.expr(
+                "(target_contexts div n_total) * n_ctx"
+                " + ((target_contexts % n_total) * n_ctx) div n_total"
+            ).alias("base"),
+            F.expr(
+                "((target_contexts % n_total) * n_ctx) % n_total"
+            ).alias("rem"),
+            "target_contexts",
+        )
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.partitionBy("domain").orderBy(
+                    F.col("rem").desc(), F.col("shard")
+                )
+            ),
+        )
+        .withColumn(
+            "leftover",
+            F.col("target_contexts")
+            - F.sum("base").over(Window.partitionBy("domain")),
+        )
+        .select(
+            "domain",
+            "shard",
+            F.least(
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0),
+                F.col("n_ctx"),
+            ).alias("allocated"),
+        )
+    )
+    srank = ctx.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("domain", "shard").orderBy("skey", "bin")
+        ),
+    )
+    sampled = (
+        alloc.join(
+            srank.select("domain", "shard", "fill", "rk"),
+            ["domain", "shard"],
+            "left",
+        )
+        .withColumn(
+            "pick",
+            F.when(F.col("rk") <= F.col("allocated"), F.col("fill")),
+        )
+        .groupBy("domain", "shard", "allocated")
+        .agg(F.coalesce(F.sum("pick"), F.lit(0)).alias("sampled_tokens"))
+    )
+
+    def leg(df, name, entity, value):
+        return df.select(
+            F.lit(name).alias("component"),
+            entity.alias("entity"),
+            value.cast("double").alias("value"),
+        )
+
+    parts = [
+        leg(mix, "mix:avail", F.col("domain"), F.col("available_tokens")),
+        leg(mix, "mix:target", F.col("domain"), F.col("target_tokens")),
+        leg(
+            mix,
+            "mix:epochs",
+            F.col("domain"),
+            F.col("target_tokens").cast("double")
+            / F.col("available_tokens"),
+        ),
+        leg(
+            positions,
+            "rdr:ctx",
+            F.concat_ws("|", "domain", "shard", "bin"),
+            F.col("reader") * 100000 + F.col("pos"),
+        ),
+        leg(
+            sampled,
+            "mix:picked",
+            F.concat_ws("|", "domain", "shard"),
+            F.col("allocated"),
+        ),
+        leg(
+            sampled,
+            "mix:sampled",
+            F.concat_ws("|", "domain", "shard"),
+            F.col("sampled_tokens"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -62,6 +62,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cc_mapreducer_spark.operators.anagram import (
+    _HASH_PARTITION_SQL,
+    q_hash_partition_stats,
+)
 from cc_mapreducer_spark.operators.bpe import encode_bpe, train_bpe
 from cc_mapreducer_spark.operators.byte_bpe import (
     encode_byte_bpe,
@@ -149,6 +153,10 @@ SELECT 'mix:sample', source || '|' || shard,
        CAST((available_contexts * 100000 + picked_contexts) * 100000
             + sampled_tokens AS DOUBLE)
 FROM ({_SAMPLE_SQL})
+UNION ALL
+SELECT 'hashpart', CAST(bucket AS VARCHAR),
+       CAST(n_pairs * 100000 + n_signatures AS DOUBLE)
+FROM ({_HASH_PARTITION_SQL})
 """
 
 _TOKENIZER_SUITE_SQL = (
@@ -323,6 +331,15 @@ def tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             * 100000
             + F.col("sampled_tokens"),
+        ),
+        # absorbed hash_partition_stats (r11 roster rotation): per-bucket
+        # pair/signature counts of the §2.4 shuffle demo stay hashed here
+        # while its roster slot goes to corpus_to_readers
+        leg(
+            q_hash_partition_stats(spark, sf_dir),
+            "hashpart",
+            F.col("bucket"),
+            F.col("n_pairs") * 100000 + F.col("n_signatures"),
         ),
     ]
     out = parts[0]
