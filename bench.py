@@ -1198,6 +1198,46 @@ def main() -> None:
             "simhash_r9_packed": {"cold": 1.9, "warm": 1.2},
             "code_cache": "512m -> 1g",
         },
+        # r10 drift attribution (VERDICT r10 item 1): the r10 driver
+        # draw put span_dup_coverage at 2.565s (2.36x r9 — above the
+        # 1.77x same-code envelope) and contrastive_negatives at 3.396s
+        # (1.76x) on UNTOUCHED source (spans.py / contrastive.py absent
+        # from the r10 diff; re-verified against the r11 tree). Three
+        # fresh-session best-of-4 draws of exactly these two lanes on
+        # identical code (r11 session, bench lane policy, JIT/GC deltas
+        # captured per lane):
+        #   session 1 — a C2 COMPILATION STORM: 84s/158s of compile
+        #     time landed inside the two lanes (gc 2.0s/13.8s) and the
+        #     draws came back 4.546s and 3.675s, with contrastive's
+        #     cold reps at 54.0s and 26.1s before warming;
+        #   sessions 2-3 — clean JIT (29-54s compile, <0.5s gc): spans
+        #     1.658s / 1.565s, contrastive 2.643s / 2.567s.
+        # Same code, same plans, 2.9x spread on spans purely with JIT
+        # state — the r10 driver values sit INSIDE the observed
+        # fresh-session range, and the slow draws correlate with
+        # comp_ms/gc_ms exactly as the lane_jit instrument predicts.
+        # Verdict: ambient JIT/GC pressure, not a plan change; the two
+        # lanes' r10 'weak' flag is cleared by measurement.
+        "drift_attribution_r10": {
+            "identical_code": True,
+            "span_dup_coverage": {
+                "r9_driver": 1.085,
+                "r10_driver": 2.565,
+                "fresh_best_of_4": [4.546, 1.658, 1.565],
+                "comp_ms": [84176, 53958, 49219],
+                "gc_ms": [2021, 429, 435],
+            },
+            "contrastive_negatives": {
+                "r9_driver": 1.93,
+                "r10_driver": 3.396,
+                "fresh_best_of_4": [3.675, 2.643, 2.567],
+                "comp_ms": [157924, 28630, 32387],
+                "gc_ms": [13810, 102, 190],
+                "cold_reps_session1": [54.04, 26.071],
+            },
+            "mechanism": "C2 compilation storm / GC pressure (session-"
+            "level ambient state); slow draws correlate with comp_ms",
+        },
         # Measurement policy (VERDICT r7 item 6): each query is
         # best-of-N (default 4) WITHIN a run, which is robust to
         # per-query warmup but NOT to run-level ambient state (JIT

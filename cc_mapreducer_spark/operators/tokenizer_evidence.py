@@ -183,8 +183,9 @@ def tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     single merge decision fails the hash), the served vocabulary, and
     the per-source compression stats of the *_token_stats queries. The
     oracle re-derives all three TRAININGS plus WordPiece's MaxMatch
-    serving (module docstring); unigram-LM (EM float accumulation, not
-    cross-engine-exact) stays replica-pinned in pytest."""
+    serving (module docstring); unigram-LM got its own unrolled-EM
+    oracle in r11 (operators/unigram_lm.py — integer count grid, no
+    float accumulation) and is hashed via its single key."""
 
     def leg(df: DataFrame, component: str, entity, value) -> DataFrame:
         return df.select(

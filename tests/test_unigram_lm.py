@@ -1,8 +1,11 @@
-"""Unigram-LM tokenizer (operators/unigram_lm.py): the lattice
-forward/backward matches brute-force enumeration exactly, Viterbi
-matches a brute-force best-segmentation search under the same rounded
-tie-break, the distributed trainer matches a pure-python replica on a
-planted corpus, and the registered query holds its invariants."""
+"""Unigram-LM tokenizer (operators/unigram_lm.py): the probability-
+space lattice forward/backward matches brute-force enumeration, Viterbi
+matches a brute-force best-segmentation search under the same
+tie-break, the distributed trainer matches a pure-python replica of the
+fixed schedule EXACTLY (the integer count grid makes the comparison
+exact, not approximate), and the registered query holds its
+invariants. Cross-ENGINE parity is pinned by the DuckDB oracle
+(test_oracle_parity at sf0.01; the other SFs below)."""
 
 from __future__ import annotations
 
@@ -34,32 +37,32 @@ def _all_segmentations(word: str, pieces: set[str]):
 
 
 def test_forward_backward_matches_brute_force():
-    logp = {
-        "a": math.log(0.3),
-        "b": math.log(0.2),
-        "ab": math.log(0.35),
-        "ba": math.log(0.1),
-        "bab": math.log(0.05),
-    }
+    p = {"a": 0.3, "b": 0.2, "ab": 0.35, "ba": 0.1, "bab": 0.05}
     for word in ("abab", "aabb", "babab", "a"):
-        total, ec = _forward_backward(word, logp)
-        segs = list(_all_segmentations(word, set(logp)))
-        probs = [math.exp(sum(logp[p] for p in s)) for s in segs]
+        total, posts = _forward_backward(word, p)
+        segs = list(_all_segmentations(word, set(p)))
+        probs = [math.prod(p[q] for q in s) for s in segs]
         z = sum(probs)
-        assert abs(math.exp(total) - z) < 1e-12
-        # expected counts: posterior-weighted piece counts
+        assert abs(total - z) < 1e-14
+        # per-piece expected counts: posterior-weighted piece counts
+        got: dict[str, float] = {}
+        for piece, post in posts:
+            got[piece] = got.get(piece, 0.0) + post
         expect: dict[str, float] = {}
         for s, pr in zip(segs, probs):
-            for p in s:
-                expect[p] = expect.get(p, 0.0) + pr / z
-        assert set(ec) == set(expect)
-        for p in expect:
-            assert abs(ec[p] - expect[p]) < 1e-10, (word, p)
+            for q in s:
+                expect[q] = expect.get(q, 0.0) + pr / z
+        # posts list may carry zero-posterior edges (piece present but
+        # path unreachable); they add exact zeros
+        for q in expect:
+            assert abs(got.get(q, 0.0) - expect[q]) < 1e-10, (word, q)
+        for q in set(got) - set(expect):
+            assert got[q] == 0.0, (word, q)
 
 
 def test_forward_backward_unreachable_word():
-    total, ec = _forward_backward("xyz", {"a": -1.0})
-    assert total == float("-inf") and ec == {}
+    total, posts = _forward_backward("xyz", {"a": 0.5})
+    assert total == 0.0 and posts == []
 
 
 def test_viterbi_matches_brute_force_with_tiebreak():
@@ -69,34 +72,41 @@ def test_viterbi_matches_brute_force_with_tiebreak():
     alphabet = "abc"
     for _ in range(60):
         word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
-        pieces = {c: round(math.log(0.2), 6) for c in alphabet}
+        pieces = {c: 0.2 for c in alphabet}
         for _ in range(5):
             i = rng.randint(0, len(word) - 1)
             j = rng.randint(i + 1, min(len(word), i + MAX_PIECE_LEN))
-            pieces[word[i:j]] = round(math.log(rng.uniform(0.01, 0.5)), 6)
+            pieces[word[i:j]] = rng.uniform(0.01, 0.5)
         got = _viterbi(word, pieces)
+        # brute-force best under the operator's contract: highest
+        # product, then fewest pieces, then lexicographically smallest
+        # SPACE-joined piece string (equals tuple order: ' ' < 'a')
         best = min(
             (
                 (
-                    -sum(round(pieces[p], 6) for p in s),
+                    -math.prod(pieces[q] for q in s),
                     len(s),
-                    tuple(s),
+                    " ".join(s),
                 )
                 for s in _all_segmentations(word, set(pieces))
             ),
         )
-        assert tuple(got) == best[2], (word, got, best)
+        assert " ".join(got) == best[2], (word, got, best)
 
 
 def _replica_train(words: dict[str, int]) -> dict[str, float]:
-    """Pure-python replica of train_unigram's exact schedule: seed by
-    freq*len (top SEED_VOCAB), uniform init, EM_ITERS EM steps with
-    9dp-rounded counts, prune multi-char pieces by SHRINK toward
-    TARGET_VOCAB, repeat; char coverage floored."""
+    """Pure-python replica of train_unigram's EXACT fixed schedule —
+    (EM x EM_ITERS, prune) x PRUNE_ROUNDS + EM x EM_ITERS — driving the
+    shared lattice kernel directly (no Spark). The integer count grid
+    makes every step exact, so the comparison below is equality, not
+    allclose: any scheduling or aggregation drift in the distributed
+    trainer fails loudly."""
     from cc_mapreducer_spark.operators.unigram_lm import (
+        _C_SCALE,
+        _CHAR_FLOOR,
         EM_ITERS,
+        PRUNE_ROUNDS,
         SEED_VOCAB,
-        SHRINK,
         TARGET_VOCAB,
     )
 
@@ -105,38 +115,44 @@ def _replica_train(words: dict[str, int]) -> dict[str, float]:
     for w, cnt in words.items():
         for i in range(len(w)):
             for ln in range(2, min(MAX_PIECE_LEN, len(w) - i) + 1):
-                p = w[i : i + ln]
-                scores[p] = scores.get(p, 0) + cnt * len(p)
-    seed = sorted(scores, key=lambda p: (-scores[p], p))[:SEED_VOCAB]
+                q = w[i : i + ln]
+                scores[q] = scores.get(q, 0) + cnt * len(q)
+    seed = sorted(scores, key=lambda q: (-scores[q], q))[:SEED_VOCAB]
     pieces = sorted(chars | set(seed))
-    logp = {p: round(-math.log(len(pieces)), 6) for p in pieces}
-    while True:
-        for _ in range(EM_ITERS):
-            agg: dict[str, float] = {}
-            for w, cnt in words.items():
-                total, ec = _forward_backward(w, logp)
-                if total == float("-inf"):
-                    continue
-                for p, c in ec.items():
-                    agg[p] = agg.get(p, 0.0) + c * cnt
-            agg = {p: round(c, 9) for p, c in agg.items()}
-            tot = sum(agg.values())
-            logp = {
-                p: round(math.log(c / tot), 6) for p, c in agg.items() if c > 0
-            }
-            for ch in chars:
-                if ch not in logp:
-                    logp[ch] = round(math.log(1e-9), 6)
-        multi = sorted((p for p in logp if len(p) > 1), key=lambda p: (-logp[p], p))
-        if len(multi) <= TARGET_VOCAB:
-            break
-        keep = max(TARGET_VOCAB, int(len(multi) * SHRINK))
+    p = {q: 1.0 / len(pieces) for q in pieces}
+
+    def em(p):
+        agg: dict[str, int] = {}
+        for w, cnt in words.items():
+            total, posts = _forward_backward(w, p)
+            if total == 0.0:
+                continue
+            for piece, post in posts:
+                qi = math.floor((post * cnt) * float(_C_SCALE) + 0.5)
+                agg[piece] = agg.get(piece, 0) + qi
+        tot = sum(agg.values())
+        out = {q: c / tot for q, c in agg.items() if c > 0}
+        for ch in chars:
+            if ch not in out:
+                out[ch] = _CHAR_FLOOR
+        return out
+
+    def prune(p):
+        multi = sorted((q for q in p if len(q) > 1), key=lambda q: (-p[q], q))
+        keep = max(TARGET_VOCAB, (len(multi) * 3) // 4)
         kept = set(multi[:keep]) | chars
-        logp = {p: lp for p, lp in logp.items() if p in kept}
-    return logp
+        return {q: v for q, v in p.items() if q in kept}
+
+    for _ in range(PRUNE_ROUNDS):
+        for _ in range(EM_ITERS):
+            p = em(p)
+        p = prune(p)
+    for _ in range(EM_ITERS):
+        p = em(p)
+    return p
 
 
-def test_trainer_matches_python_replica(spark):
+def test_trainer_matches_python_replica_exactly(spark):
     texts = [
         "the quick brown fox jumps over the lazy dog",
         "the quick brown fox",
@@ -149,14 +165,11 @@ def test_trainer_matches_python_replica(spark):
     )
     from cc_mapreducer_spark.operators.bpe import word_freq_table
 
-    words = {
-        r["word"]: r["cnt"] for r in word_freq_table(docs).collect()
-    }
+    words = {r["word"]: r["cnt"] for r in word_freq_table(docs).collect()}
     expect = _replica_train(words)
     got = train_unigram(docs)
-    assert set(got) == set(expect)
-    for p in expect:
-        assert abs(got[p] - expect[p]) <= 2e-6, p
+    # EXACT equality: integer-grid counts leave no room for drift
+    assert got == expect
     # and the segmentations agree exactly under the shared Viterbi
     freq = word_freq_table(docs)
     segs = {
@@ -177,6 +190,25 @@ def test_registered_query_invariants(spark):
         assert 1 <= r["n_pieces"] <= len(r["word"])
     # a corpus this repetitive must learn real multi-char pieces
     assert any(r["n_pieces"] < len(r["word"]) for r in rows)
+
+
+def test_unigram_oracle_parity_other_sfs(spark):
+    """sf0.01 is the registry parity gate (test_oracle_parity); the
+    unrolled-EM oracle is additionally pinned at the other two SFs
+    (the kmeans / IVFPQ / MMR precedent for float-adjacent keys)."""
+    from cc_mapreducer_spark.operators.unigram_lm import _UNIGRAM_SQL
+    from tests.oracle import compare_frames, duckdb_connection
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        con = duckdb_connection(sf)
+        try:
+            compare_frames(
+                unigram_token_stats(spark, sf).toPandas(),
+                con.sql(_UNIGRAM_SQL).df(),
+                f"unigram_token_stats@{sf}",
+            )
+        finally:
+            con.close()
 
 
 def test_saved_model_serving_equals_inline(spark, tmp_path):
