@@ -73,3 +73,54 @@ def test_admission_counts_match_standalone_report(spark):
     adm = crawl_admission_report(spark, SF_ORACLE).toPandas()
     assert funnel.n_urls.sum() == len(adm)
     assert funnel.n_admitted.sum() == int(adm.admitted.sum())
+
+
+def test_corpus_to_readers_consistent_with_funnel(spark):
+    """The reader hand-off's legs must be internally consistent AND
+    agree with the funnel report they derive from: the manifest covers
+    exactly the packed contexts (sum of pack_contexts), every domain's
+    sampled tokens stay within its target + one context of slack per
+    shard, and per-reader positions are 1..n contiguous."""
+    from collections import defaultdict
+
+    from cc_mapreducer_spark.operators.crawl_e2e import corpus_to_readers
+    from cc_mapreducer_spark.operators.dataloader import N_READERS
+    from cc_mapreducer_spark.operators.seqprep import CONTEXT_LEN
+
+    SF = "/root/testdata/sf0.001"
+    legs = defaultdict(dict)
+    for r in corpus_to_readers(spark, SF).collect():
+        legs[r["component"]][r["entity"]] = r["value"]
+    funnel = {r["domain"]: r for r in crawl_e2e_funnel(spark, SF).collect()}
+
+    # rdr:ctx covers exactly the packed contexts of the funnel report
+    assert len(legs["rdr:ctx"]) == sum(
+        r["pack_contexts"] for r in funnel.values()
+    )
+    # reader ids in range; per-reader positions contiguous from 1
+    by_reader = defaultdict(list)
+    for v in legs["rdr:ctx"].values():
+        reader, pos = int(v) // 100000, int(v) % 100000
+        assert 0 <= reader < N_READERS
+        by_reader[reader].append(pos)
+    for reader, ps in by_reader.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), reader
+    # mixture: available tokens match the funnel's packed streams
+    # (t_len totals = tokens_shipped + one EOS per unique doc)
+    for dom, avail in legs["mix:avail"].items():
+        f = funnel[dom]
+        assert avail == f["tokens_shipped"] + f["n_unique"], dom
+    # targets: sum == budget (half the corpus, largest-remainder exact)
+    tot_avail = sum(legs["mix:avail"].values())
+    assert sum(legs["mix:target"].values()) == int(tot_avail) // 2
+    # sample: picked contexts within availability; sampled tokens reach
+    # at least target - one context per shard (ceil slack), never more
+    # than picked * CONTEXT_LEN
+    picked_by_dom = defaultdict(float)
+    sampled_by_dom = defaultdict(float)
+    for ent, v in legs["mix:picked"].items():
+        picked_by_dom[ent.split("|")[0]] += v
+    for ent, v in legs["mix:sampled"].items():
+        sampled_by_dom[ent.split("|")[0]] += v
+    for dom in picked_by_dom:
+        assert sampled_by_dom[dom] <= picked_by_dom[dom] * CONTEXT_LEN
