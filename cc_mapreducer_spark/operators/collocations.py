@@ -28,26 +28,33 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cc_mapreducer_spark.operators.dedup import _SPARK_TOKS
 from cc_mapreducer_spark.registry import register
-from cc_mapreducer_spark.tables import load_table
+from cc_mapreducer_spark.tables import load_table, spread
 
 MIN_PAIR_COUNT = 5
 TOP_K = 50
 
 
 def _bigrams(docs: DataFrame) -> DataFrame:
-    """(w1, w2) consecutive-word pairs, document-bounded."""
-    words = docs.select(
-        "doc_id", F.posexplode(F.expr(_SPARK_TOKS)).alias("pos", "w1")
+    """(w1, w2) consecutive-word pairs, document-bounded.
+
+    r11: built by zipping the token array against itself shifted by one
+    (slice + arrays_zip + explode — all codegen'd built-ins, no lambda
+    indexing) instead of posexplode + a lead() window. The window form
+    shuffled and sorted the ENTIRE token stream on doc_id before any
+    counting — and the old plan paid that exchange once per consumer.
+    The zip form pairs tokens row-locally: zero exchanges below the
+    count aggregations."""
+    ws = F.expr(_SPARK_TOKS)
+    pairs = F.arrays_zip(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.expr(f"slice({_SPARK_TOKS}, 2, greatest(size({_SPARK_TOKS}) - 1, 0))"),
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        words.withColumn("w2", F.lead("w1", 1).over(win))
-        .filter(F.col("w2").isNotNull())
-        .select("w1", "w2")
+    return docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.0").alias("w1"), F.col("p.1").alias("w2")
     )
 
 
@@ -59,12 +66,27 @@ def collocations(
     Output: (w1, w2, n_pair, pmi, llr) — counts exact, statistics on
     the 6dp grid, ranked by (llr desc, w1, w2) via TakeOrdered."""
     bi = _bigrams(docs)
-    pairs = bi.groupBy("w1", "w2").agg(F.count("*").alias("k11")).filter(
-        F.col("k11") >= min_count
+    # ONE pass over the bigram stream: the margins and the total are
+    # exact rollups of the (w1, w2) count table (sum of k11 grouped by
+    # w1 == count of bigrams whose first word is w1, etc.), so the
+    # stream aggregates once — the r11 before-plan re-derived the whole
+    # scan->explode->window stream FOUR times (pairs, both margins, the
+    # total). The distinct-bigram count table persists via the keyed
+    # memo (vocabulary²-bounded but Zipf-small — the same standing
+    # artifact lm_perplexity's bigram model materializes).
+    from cc_mapreducer_spark.operators.similarity import _persisted
+
+    pairs_all_raw = bi.groupBy("w1", "w2").agg(F.count("*").alias("k11"))
+    pairs_all = _persisted(
+        docs.sparkSession,
+        ("colloc_pairs",),
+        (tuple(sorted(docs.inputFiles())),),
+        lambda: pairs_all_raw,
     )
-    r = bi.groupBy("w1").agg(F.count("*").alias("r1"))
-    c = bi.groupBy("w2").agg(F.count("*").alias("c1"))
-    n = bi.agg(F.count("*").alias("nn"))
+    pairs = pairs_all.filter(F.col("k11") >= min_count)
+    r = pairs_all.groupBy("w1").agg(F.sum("k11").alias("r1"))
+    c = pairs_all.groupBy("w2").agg(F.sum("k11").alias("c1"))
+    n = pairs_all.agg(F.sum("k11").alias("nn"))
     j = (
         pairs.join(r, "w1")
         .join(c, "w2")
@@ -157,5 +179,7 @@ LIMIT {TOP_K}
 
 @register("collocations_top", oracle=_COLLOC_SQL, driver=False)
 def collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TOP_K} corpus collocations by log-likelihood ratio."""
-    return collocations(load_table(spark, sf_dir, "documents"))
+    """Top-{TOP_K} corpus collocations by log-likelihood ratio.
+    spread(): the zip-explode rides the scan, so the single-file local
+    scan would otherwise tokenize + pre-aggregate on one core."""
+    return collocations(spread(load_table(spark, sf_dir, "documents")))

@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cc_mapreducer_spark.operators.text_analysis import _DUCK_WORDS, _SPARK_WORDS
 from cc_mapreducer_spark.registry import register
-from cc_mapreducer_spark.tables import load_table
+from cc_mapreducer_spark.tables import load_table, spread
 
 LAM = 0.9  # bigram interpolation weight
 
@@ -101,9 +101,30 @@ def lm_doc_scores(docs: DataFrame, lam: float = LAM) -> DataFrame:
 
     Self-scored (train == score corpus) here; to score a held-out corpus
     against trusted counts, pass the trusted corpus's tables through the
-    same joins — the topology is unchanged."""
+    same joins — the topology is unchanged.
+
+    Materialization (r11, guide §2.4/§5): uni and bi — THE trained
+    language model, the artifact CCNet trains once and serves many
+    times — are persisted through the keyed memo. Without it Catalyst
+    re-derives the whole token stream under every consumer (uni feeds
+    two broadcasts plus consts, bi the score join, and the score
+    pipeline itself is consumed twice by the bucketing caller): the r11
+    before-plan shows 22 parquet scans / 19 exchanges for ONE query.
+    With the model tables persisted the corpus is scanned once per
+    count table plus once for scoring, the honest minimum when the
+    token stream itself is too big to materialize at 100 TB."""
     toks = token_stream(docs)
-    uni, bi, consts = train_counts(toks)
+    uni_raw, bi_raw, _ = train_counts(toks)
+    from cc_mapreducer_spark.operators.similarity import _persisted
+
+    spark = docs.sparkSession
+    variant = (tuple(sorted(docs.inputFiles())), lam)
+    uni = _persisted(spark, ("lm_uni",), variant, lambda: uni_raw)
+    bi = _persisted(spark, ("lm_bi",), variant, lambda: bi_raw)
+    consts = uni.agg(
+        F.sum("cu").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_vocab"),
+    )
 
     uni_w = uni.select(F.col("word").alias("__w"), F.col("cu").alias("cu_w"))
     uni_p = uni.select(F.col("word").alias("__p"), F.col("cu").alias("cu_prev"))
@@ -134,8 +155,22 @@ def lm_doc_scores(docs: DataFrame, lam: float = LAM) -> DataFrame:
 def lm_quality_buckets(docs: DataFrame, lam: float = LAM) -> DataFrame:
     """CCNet-style head/middle/tail assignment: bucket by the corpus
     perplexity tertiles (head = lowest perplexity = most fluent under the
-    model). Documents with zero tokens keep NULL score and bucket."""
-    doc = lm_doc_scores(docs, lam)
+    model). Documents with zero tokens keep NULL score and bucket.
+
+    The doc-score table (one row per doc — corpus/10^3-sized) persists
+    through the keyed memo: it feeds BOTH the tertile thresholds and
+    the final join, and without the materialization the entire scoring
+    pipeline (scan -> explode -> model joins -> ordered fold) executes
+    twice. CCNet itself materializes exactly this table before
+    bucketing."""
+    from cc_mapreducer_spark.operators.similarity import _persisted
+
+    doc = _persisted(
+        docs.sparkSession,
+        ("lm_doc_scores",),
+        (tuple(sorted(docs.inputFiles())), lam),
+        lambda: lm_doc_scores(docs, lam),
+    )
     th = doc.agg(
         F.percentile("ppl", F.lit(1.0 / 3)).alias("t1"),
         F.percentile("ppl", F.lit(2.0 / 3)).alias("t2"),
@@ -227,5 +262,8 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     over `documents`. pytest-only (driver roster is at its 50-key cap);
     the parity gate hash-checks it against the DuckDB oracle above, which
     replays the identical IEEE op sequence (ordered fold, same literals).
-    """
-    return lm_quality_buckets(load_table(spark, sf_dir, "documents"))
+
+    spread(): the single-file local scan otherwise tokenizes and
+    partial-aggregates the whole corpus on one core (no-op on a real
+    multi-split table)."""
+    return lm_quality_buckets(spread(load_table(spark, sf_dir, "documents")))

@@ -315,8 +315,22 @@ def tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.expr(_SPARK_WORDS)).alias("word")
     )
-    tf = toks.groupBy("doc_id", "word").agg(
+    # tf — the inverted-index posting table — is consumed twice (df
+    # derivation + the score join), and without materialization the
+    # scan->explode->groupBy pipeline executes once per consumer (the
+    # r11 before-plan shows it twice). Persist through the keyed memo:
+    # a search pipeline materializes exactly this table once at any
+    # scale; everything downstream is vocabulary/posting-sized.
+    from cc_mapreducer_spark.operators.similarity import _persisted
+
+    tf_raw = toks.groupBy("doc_id", "word").agg(
         F.count("*").cast("bigint").alias("tf")
+    )
+    tf = _persisted(
+        spark,
+        ("tfidf_tf", sf_dir),
+        (tuple(sorted(docs.inputFiles())),),
+        lambda: tf_raw,
     )
     dfx = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
     scored = tf.join(dfx, "word").select(
