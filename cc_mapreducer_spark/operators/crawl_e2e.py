@@ -247,7 +247,22 @@ def _funnel_frames(spark: SparkSession, sf_dir: str) -> dict:
         1,
     )
     domain = F.regexp_extract(host, r"[^.]+\.[^.]+$", 0)
-    adm = adm.withColumn("domain", domain)
+    # The admission table is consumed twice (the per-domain URL counts
+    # and the admitted-set join that feeds the fetch stage); without a
+    # persist the whole robots∘blocklist∘first-seen pipeline executes
+    # once per consumer (r11; guide §2.4). A real frontier materializes
+    # exactly this decision table.
+    from cc_mapreducer_spark.operators.similarity import _persisted
+
+    _variant = (
+        tuple(sorted(load_table(spark, sf_dir, "documents").inputFiles())),
+    )
+    adm = _persisted(
+        spark,
+        ("e2e_adm", sf_dir),
+        _variant,
+        lambda: adm.withColumn("domain", domain),
+    )
     adm_counts = adm.groupBy("domain").agg(
         F.count("*").cast("long").alias("n_urls"),
         F.count(F.when(F.col("admitted"), 1)).cast("long").alias("n_admitted"),
@@ -394,8 +409,16 @@ def _funnel_frames(spark: SparkSession, sf_dir: str) -> dict:
         .alias("clean_h"),
     ).withColumn("q_ok", F.col("n_distinct") >= MIN_DISTINCT_TOKENS)
     w = Window.partitionBy("q_ok", "clean_h").orderBy("doc_id")
-    deduped = profiled.withColumn(
-        "rk", F.when(F.col("q_ok"), F.row_number().over(w))
+    # deduped — the profiled, rank-tagged corpus — feeds both the
+    # per-domain corpus rollup and the pack/reader stages; persist so
+    # the strip+tokenize+window pipeline over the fetched set runs once.
+    deduped = _persisted(
+        spark,
+        ("e2e_deduped", sf_dir),
+        _variant,
+        lambda: profiled.withColumn(
+            "rk", F.when(F.col("q_ok"), F.row_number().over(w))
+        ),
     )
     corpus = deduped.groupBy("domain").agg(
         F.count("*").cast("long").alias("n_fetched"),

@@ -491,21 +491,32 @@ def psi_from_counts(counts: DataFrame, n_bins: int = _PSI_BINS) -> DataFrame:
     0..B-1 bin domain: per-bin smoothed contributions plus the
     bin-ordered-fold total (engine-independent summation). Shared by
     the batch query below and the streaming monitor's read path —
-    structural, not coincidental, equality between the two."""
-    totals = counts.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    structural, not coincidental, equality between the two.
+
+    r11 (guide §2.4): totals and the fold run as UNBOUNDED WINDOWS over
+    the B-row histogram instead of agg + crossJoin-broadcast legs — the
+    histogram is consumed ONCE, where the old three-consumer tree
+    re-executed the entire upstream scan+bucket pipeline per consumer
+    (embedding_drift_psi's r11 before-plan: 32 parquet scans for a
+    16-bin report; after: one per slice leg). The single-partition
+    window is bounded by n_bins — the same audit-blessed shape
+    corpus_mixture_plan uses for corpus totals. The fold still sums in
+    bin order over the SAME IEEE sequence (array_sort of (bin, contrib)
+    structs), so every value is bit-identical to the old form."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
     p = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + n_bins).cast("double")
     q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + n_bins).cast("double")
-    contrib = counts.crossJoin(F.broadcast(totals)).withColumn(
-        "psi_contrib", (p - q) * F.log(p / q)
+    contrib = counts.withColumn("tr", F.sum("n_ref").over(w)).withColumn(
+        "tc", F.sum("n_cur").over(w)
+    ).withColumn("psi_contrib", (p - q) * F.log(p / q))
+    total = F.expr(
+        "aggregate(transform(array_sort(collect_list(named_struct("
+        "'b', bin, 'c', psi_contrib)) OVER (PARTITION BY 1)), x -> x.c), "
+        "CAST(0 AS DOUBLE), (a, x) -> a + x)"
     )
-    tot = contrib.agg(
-        F.expr(
-            "aggregate(transform(array_sort(collect_list(named_struct("
-            "'b', bin, 'c', psi_contrib))), x -> x.c), "
-            "CAST(0 AS DOUBLE), (a, x) -> a + x)"
-        ).alias("psi_total")
-    )
-    return contrib.crossJoin(F.broadcast(tot)).select(
+    return contrib.withColumn("psi_total", total).select(
         "bin",
         "n_ref",
         "n_cur",

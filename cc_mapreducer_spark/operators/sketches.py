@@ -201,12 +201,27 @@ def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word string, true_cnt bigint, cms_est bigint, "
             "overcount bigint, within_eps boolean",
         )
-    sketch = build_cms(words)
-    probes = (
-        words.groupBy("word")
-        .agg(F.count("*").cast("bigint").alias("true_cnt"))
-        .orderBy(F.desc("true_cnt"), "word")
-        .limit(_N_PROBES)
+    # Both small tables persist through the keyed memo: the sketch is
+    # BY DEFINITION the materialized artifact (<= d*w rows), and the
+    # probe table (<= _N_PROBES rows) feeds both the estimate join and
+    # the final report — without the persist each consumer re-ran the
+    # whole scan->explode->agg pipeline (r11; guide §2.4).
+    from cc_mapreducer_spark.operators.similarity import _persisted
+
+    variant = (tuple(sorted(docs.inputFiles())),)
+    sketch = _persisted(
+        spark, ("cms_sketch", sf_dir), variant, lambda: build_cms(words)
+    )
+    probes = _persisted(
+        spark,
+        ("cms_probes", sf_dir),
+        variant,
+        lambda: (
+            words.groupBy("word")
+            .agg(F.count("*").cast("bigint").alias("true_cnt"))
+            .orderBy(F.desc("true_cnt"), "word")
+            .limit(_N_PROBES)
+        ),
     )
     est = cms_estimate(sketch, probes)
     # Match the oracle exactly: ceil(e * N / w) computed in double.
