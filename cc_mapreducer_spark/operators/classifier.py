@@ -296,7 +296,19 @@ def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic until the final division."""
     from pyspark.sql import Window
 
-    scored = quality_classifier_scores(spark, sf_dir)
+    # The scored corpus feeds BOTH the per-score AUC rollup and the
+    # confusion-count aggregate; persist it through the keyed memo so
+    # the feature+scoring pipeline executes once, not once per consumer
+    # (r11; guide §2.4 — an eval harness materializes its scores table).
+    from cc_mapreducer_spark.operators.similarity import _persisted
+    from cc_mapreducer_spark.tables import load_table as _lt
+
+    scored = _persisted(
+        spark,
+        ("classifier_scored", sf_dir),
+        (tuple(sorted(_lt(spark, sf_dir, "documents").inputFiles())),),
+        lambda: quality_classifier_scores(spark, sf_dir),
+    )
     per_score = scored.groupBy("score").agg(
         F.sum("y").cast("bigint").alias("p"),
         (F.count("*") - F.sum("y")).cast("bigint").alias("neg"),

@@ -622,41 +622,54 @@ _SPAN_REMOVAL_L32_SQL = _removal_sql(L_LONG)
 def _span_removal_frame(
     spark: SparkSession, sf_dir: str, length: int
 ) -> DataFrame:
-    """The removal pipeline at one resolution; see ``span_removal``."""
+    """The removal pipeline at one resolution; see ``span_removal``.
+
+    r11 rebuild (guide §8: move decisions on small rows, payload once):
+    instead of exploding EVERY corpus token into (doc_id, pos) rows,
+    anti-joining the cut positions, and re-assembling documents with a
+    sort-collect aggregate — two token-grain exchanges plus an
+    ObjectHashAggregate carrying every surviving word — the merged cut
+    intervals (a few rows per affected doc, none for clean docs) roll
+    up per doc and attach to the document row with a broadcast-eligible
+    left join; the excision is then a row-local array filter over the
+    token array the scan already carries. Tokens never shuffle at all:
+    the only corpus-grain data movement left is the span-key aggregate
+    the detection fundamentally requires. Before-plan: token posexplode
+    + LeftAnti + collect_list reassembly; after-plan: broadcast join +
+    filter/array_join projection. Values are byte-identical (same kept
+    tokens in the same order, space-joined; clean/short docs come back
+    verbatim)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     words = F.filter(
         F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
         lambda x: x != F.lit(""),
     )
     norm = docs.select("doc_id", words.alias("words"))
-    toks = norm.select(
-        "doc_id",
-        F.posexplode("words").alias("pos0", "word"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
-    cut = _removal_islands(docs, length).select(
-        "doc_id", F.explode(F.sequence("s", "e")).alias("pos")
+    cuts = (
+        _removal_islands(docs, length)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("cuts"))
     )
-    kept = toks.join(cut, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("kept_tokens"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda x: x["word"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
+    kept = F.when(
+        F.col("cuts").isNull(), F.col("words")
+    ).otherwise(
+        F.expr(
+            "filter(words, (w, i) -> "
+            "NOT exists(cuts, c -> i + 1 >= c.s AND i + 1 <= c.e))"
+        )
     )
-    return norm.select(
-        "doc_id", F.size("words").alias("total_tokens")
-    ).join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        F.col("total_tokens").cast("bigint"),
-        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
-        (F.col("total_tokens") - F.coalesce("kept_tokens", F.lit(0)))
-        .cast("bigint")
-        .alias("removed_tokens"),
-        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    return (
+        norm.join(cuts, "doc_id", "left")
+        .withColumn("kept_words", kept)
+        .select(
+            "doc_id",
+            F.size("words").cast("bigint").alias("total_tokens"),
+            F.size("kept_words").cast("bigint").alias("kept_tokens"),
+            (F.size("words") - F.size("kept_words"))
+            .cast("bigint")
+            .alias("removed_tokens"),
+            F.array_join("kept_words", " ").alias("cleaned_text"),
+        )
     )
 
 
