@@ -300,14 +300,21 @@ def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # confusion-count aggregate; persist it through the keyed memo so
     # the feature+scoring pipeline executes once, not once per consumer
     # (r11; guide §2.4 — an eval harness materializes its scores table).
-    from cc_mapreducer_spark.operators.similarity import _persisted
-    from cc_mapreducer_spark.tables import load_table as _lt
+    from cc_mapreducer_spark.operators.similarity import (
+        _frame_files,
+        _persisted,
+    )
 
+    # Variant = the file listing of the frame ACTUALLY persisted, which
+    # covers every source table the scoring pipeline reads — not just
+    # documents (ADVICE r11: an in-session overwrite of another input
+    # would have served a stale scored frame).
+    scored_raw = quality_classifier_scores(spark, sf_dir)
     scored = _persisted(
         spark,
         ("classifier_scored", sf_dir),
-        (tuple(sorted(_lt(spark, sf_dir, "documents").inputFiles())),),
-        lambda: quality_classifier_scores(spark, sf_dir),
+        (_frame_files(scored_raw),),
+        lambda: scored_raw,
     )
     per_score = scored.groupBy("score").agg(
         F.sum("y").cast("bigint").alias("p"),

@@ -74,13 +74,21 @@ def collocations(
     # total). The distinct-bigram count table persists via the keyed
     # memo (vocabulary²-bounded but Zipf-small — the same standing
     # artifact lm_perplexity's bigram model materializes).
-    from cc_mapreducer_spark.operators.similarity import _persisted
+    from cc_mapreducer_spark.operators.similarity import (
+        _frame_files,
+        _frame_identity,
+        _persisted,
+    )
 
     pairs_all_raw = bi.groupBy("w1", "w2").agg(F.count("*").alias("k11"))
+    # Corpus identity in the logical key (ADVICE r11: a bare
+    # ("colloc_pairs",) slot thrashed when two corpora alternate in one
+    # session, and collides outright for in-memory frames); file
+    # listing as the staleness variant.
     pairs_all = _persisted(
         docs.sparkSession,
-        ("colloc_pairs",),
-        (tuple(sorted(docs.inputFiles())),),
+        ("colloc_pairs", _frame_identity(docs)),
+        (_frame_files(docs),),
         lambda: pairs_all_raw,
     )
     pairs = pairs_all.filter(F.col("k11") >= min_count)

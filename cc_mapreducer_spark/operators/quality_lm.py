@@ -115,12 +115,23 @@ def lm_doc_scores(docs: DataFrame, lam: float = LAM) -> DataFrame:
     token stream itself is too big to materialize at 100 TB."""
     toks = token_stream(docs)
     uni_raw, bi_raw, _ = train_counts(toks)
-    from cc_mapreducer_spark.operators.similarity import _persisted
+    from cc_mapreducer_spark.operators.similarity import (
+        _frame_files,
+        _frame_identity,
+        _persisted,
+    )
 
     spark = docs.sparkSession
-    variant = (tuple(sorted(docs.inputFiles())), lam)
-    uni = _persisted(spark, ("lm_uni",), variant, lambda: uni_raw)
-    bi = _persisted(spark, ("lm_bi",), variant, lambda: bi_raw)
+    # Logical key = the corpus's plan identity (+ lam): distinct corpora
+    # — including in-memory ones with no inputFiles, and distinct
+    # transformations over the same files — get their own slots instead
+    # of colliding on (or thrashing) one (ADVICE r11 high). Variant =
+    # the current file listing, so an in-session path overwrite still
+    # misses and rebuilds.
+    ident = (_frame_identity(docs), lam)
+    variant = (_frame_files(docs),)
+    uni = _persisted(spark, ("lm_uni", *ident), variant, lambda: uni_raw)
+    bi = _persisted(spark, ("lm_bi", *ident), variant, lambda: bi_raw)
     consts = uni.agg(
         F.sum("cu").cast("bigint").alias("n_total"),
         F.count("*").cast("bigint").alias("n_vocab"),
@@ -163,12 +174,16 @@ def lm_quality_buckets(docs: DataFrame, lam: float = LAM) -> DataFrame:
     pipeline (scan -> explode -> model joins -> ordered fold) executes
     twice. CCNet itself materializes exactly this table before
     bucketing."""
-    from cc_mapreducer_spark.operators.similarity import _persisted
+    from cc_mapreducer_spark.operators.similarity import (
+        _frame_files,
+        _frame_identity,
+        _persisted,
+    )
 
     doc = _persisted(
         docs.sparkSession,
-        ("lm_doc_scores",),
-        (tuple(sorted(docs.inputFiles())), lam),
+        ("lm_doc_scores", _frame_identity(docs), lam),
+        (_frame_files(docs),),
         lambda: lm_doc_scores(docs, lam),
     )
     th = doc.agg(

@@ -248,6 +248,29 @@ def _cosine_pair_udf(*cols):
 _PERSISTED: dict[tuple, tuple[tuple, DataFrame]] = {}
 
 
+def _frame_identity(df: DataFrame) -> int:
+    """Semantic hash of the frame's ANALYZED plan — a stable identity
+    for the corpus definition itself. Two different corpora collide on
+    ``inputFiles()`` whenever they share backing files (a filtered or
+    transformed frame over the same parquet) or have none at all
+    (``createDataFrame`` local relations return ``[]``), so a memo
+    keyed on files alone would serve corpus A's cached artifact to
+    corpus B (ADVICE r11 high: lm_doc_scores(B) after lm_doc_scores(A)
+    scored B against A's model). The semantic hash distinguishes those
+    plans; pair it with ``_frame_files`` as the staleness variant."""
+    return int(df._jdf.queryExecution().analyzed().semanticHash())
+
+
+def _frame_files(df: DataFrame) -> tuple:
+    """Current file listing of every source the frame reads — the
+    staleness variant for ``_persisted`` (an in-session path overwrite
+    keeps the plan identity but changes the listing). Built from the
+    frame ACTUALLY persisted, so it covers all of its source tables,
+    not just one of them (ADVICE r11: e2e_adm tracked only documents'
+    files while deriving from robots/blocklist/pages too)."""
+    return tuple(sorted(df.inputFiles()))
+
+
 def _persisted(spark: SparkSession, logical: tuple, variant: tuple, build) -> DataFrame:
     """One persisted frame per (session, logical source): ``variant``
     captures everything the built frame depends on (current file
