@@ -252,17 +252,17 @@ def _funnel_frames(spark: SparkSession, sf_dir: str) -> dict:
     # persist the whole robots∘blocklist∘first-seen pipeline executes
     # once per consumer (r11; guide §2.4). A real frontier materializes
     # exactly this decision table.
-    from cc_mapreducer_spark.operators.similarity import _persisted
+    from cc_mapreducer_spark.operators.similarity import (
+        _frame_files,
+        _persisted,
+    )
 
-    _variant = (
-        tuple(sorted(load_table(spark, sf_dir, "documents").inputFiles())),
-    )
-    adm = _persisted(
-        spark,
-        ("e2e_adm", sf_dir),
-        _variant,
-        lambda: adm.withColumn("domain", domain),
-    )
+    adm_dom = adm.withColumn("domain", domain)
+    # Variant from the frame ACTUALLY persisted: adm derives from
+    # robots/blocklist/pages as well as documents, and _frame_files
+    # covers them all (ADVICE r11).
+    _variant = (_frame_files(adm_dom),)
+    adm = _persisted(spark, ("e2e_adm", sf_dir), _variant, lambda: adm_dom)
     adm_counts = adm.groupBy("domain").agg(
         F.count("*").cast("long").alias("n_urls"),
         F.count(F.when(F.col("admitted"), 1)).cast("long").alias("n_admitted"),
@@ -410,15 +410,17 @@ def _funnel_frames(spark: SparkSession, sf_dir: str) -> dict:
     ).withColumn("q_ok", F.col("n_distinct") >= MIN_DISTINCT_TOKENS)
     w = Window.partitionBy("q_ok", "clean_h").orderBy("doc_id")
     # deduped — the profiled, rank-tagged corpus — feeds both the
-    # per-domain corpus rollup and the pack/reader stages; persist so
-    # the strip+tokenize+window pipeline over the fetched set runs once.
-    deduped = _persisted(
-        spark,
-        ("e2e_deduped", sf_dir),
-        _variant,
-        lambda: profiled.withColumn(
-            "rk", F.when(F.col("q_ok"), F.row_number().over(w))
-        ),
+    # per-domain corpus rollup and the pack/reader stages.
+    # NOT persisted (r12): the r11 e2e_deduped persist was the funnel
+    # regression VERDICT r11 flagged — fresh-session A/B of all four
+    # persist combinations (best-of-6, cold sessions):
+    #   both 1.46/2.29s  adm-only 1.26/1.28s  dedup-only 2.01/2.58s
+    #   none 2.23/1.50s  (crawl_e2e_funnel / corpus_to_readers)
+    # The profiled frame reads the already-materialized localCheckpoint
+    # upstream, so re-deriving it per consumer is cheaper than the
+    # InMemory round trip; only the admission table wins as a persist.
+    deduped = profiled.withColumn(
+        "rk", F.when(F.col("q_ok"), F.row_number().over(w))
     )
     corpus = deduped.groupBy("domain").agg(
         F.count("*").cast("long").alias("n_fetched"),
