@@ -282,13 +282,25 @@ def near_dedup_minhash(
     from cc_mapreducer_spark.operators.similarity import _persisted
 
     docs_src = spread(load_table(spark, sf_dir, "documents"))
+    variant = (tuple(sorted(docs_src.inputFiles())),)
     sets = _persisted(
         spark,
         ("shingles", sf_dir),
-        (tuple(sorted(docs_src.inputFiles())),),
+        variant,
         lambda: shingle_sets(spark, sf_dir).filter(F.size("ss") > 0),
     )
-    bands = minhash_bands(sets).select("doc_id", "band", "sig")
+    # The band table is the SAME standing artifact contrastive_negatives
+    # already memoizes (shared key, shared variant): without it every
+    # invocation — and every bench rep — re-ran the explode + 8-way
+    # min-agg minhash pipeline twice (once per self-join side). At
+    # 100 TB the LSH index is written once and read by every candidate
+    # query; r12 makes this lane read it too (guide §2.4/§5).
+    bands = _persisted(
+        spark,
+        ("minhash_bands", sf_dir),
+        variant,
+        lambda: minhash_bands(sets).select("doc_id", "band", "sig"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
