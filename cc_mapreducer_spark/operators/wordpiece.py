@@ -284,6 +284,59 @@ def _model_path_for(spark: SparkSession, sf_dir: str) -> str:
 
 from cc_mapreducer_spark.functions.trainer_sql import wp_stats_sql
 
+def encode_wordpiece_stats(docs: DataFrame, vocab: list[str]) -> DataFrame:
+    """(source, n_tokens, n_words, n_unk) — one row per document, the
+    stats-grain encoder. Same greedy MaxMatch + per-task word memo as
+    ``encode_wordpiece``, but it never materializes or ships the token
+    arrays (the stats consumer only sums counts), and it CARRIES the
+    grouping column through the kernel instead of joining the encoded
+    stream back to the corpus on doc_id — the r11 lane paid a full
+    token-stream shuffle plus the Arrow transfer of every tokens array
+    only to discard both (guide §2.3 project-before-the-exchange, §4.1
+    pass only the columns the function needs)."""
+    import pandas as pd
+
+    from cc_mapreducer_spark.operators.bpe import _normalize
+
+    vset = set(vocab)
+
+    def run(batches):
+        memo: dict[str, tuple[int, int]] = {}
+
+        def enc(w: str) -> tuple[int, int]:
+            t = memo.get(w)
+            if t is None:
+                pieces = encode_word_wordpiece(w, vset)
+                t = memo[w] = (len(pieces), pieces.count(UNK))
+            return t
+
+        for pdf in batches:
+            src, n_tokens, n_words, n_unk = [], [], [], []
+            for source, text in zip(pdf["source"], pdf["text"]):
+                words = [w for w in _normalize(text).split(" ") if w]
+                nt = nu = 0
+                for w in words:
+                    t, u = enc(w)
+                    nt += t
+                    nu += u
+                src.append(source)
+                n_tokens.append(nt)
+                n_words.append(len(words))
+                n_unk.append(nu)
+            yield pd.DataFrame(
+                {
+                    "source": src,
+                    "n_tokens": n_tokens,
+                    "n_words": n_words,
+                    "n_unk": n_unk,
+                }
+            )
+
+    return docs.select("source", "text").mapInPandas(
+        run, "source string, n_tokens int, n_words int, n_unk int"
+    )
+
+
 # driver=False: hashed inside tokenizer_suite; oracle-backed since r9
 # (training AND the MaxMatch serving both unroll in SQL)
 @register("wordpiece_token_stats", oracle=wp_stats_sql(), driver=False)
@@ -292,11 +345,14 @@ def wordpiece_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SERVING path — greedy MaxMatch against the saved vocab artifact
     (training runs once per corpus per process via
     wordpiece_save_model); values pinned exactly against the
-    pure-python replica in pytest, saved-vs-inline equality included."""
+    pure-python replica in pytest, saved-vs-inline equality included.
+    Aggregates the stats-grain encoder (counts only, source carried
+    through the kernel) — r11's shape joined the full token-array
+    stream back to the corpus on doc_id and shuffled it, for an
+    aggregation that reads none of the tokens."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     vocab = wordpiece_load_model(spark, _model_path_for(spark, sf_dir))
-    enc = encode_wordpiece(docs, vocab)
-    per_doc = docs.select("doc_id", "source").join(enc, "doc_id")
+    per_doc = encode_wordpiece_stats(docs, vocab)
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_words"),
