@@ -147,15 +147,28 @@ def zorder_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pruning metadata a reader consults. Every Z-value and tile
     boundary re-derived exactly by the oracle."""
     df = order_layouts(spark, sf_dir)
+    # Both layouts from ONE execution of the tiled frame: the r12
+    # before-plan shows the union re-deriving the scan + both global
+    # ntile windows once PER BRANCH (guide §2.4 — duplicated subtrees).
+    # A row-local explode of the two (layout, pid) taggings replaces
+    # the self-union: the windows run once, the doubled rows are 4
+    # small columns wide, and the aggregation is unchanged.
     both = df.select(
-        F.lit("zorder").alias("layout"), F.col("zpid").alias("pid"),
-        "ck", "day",
-    ).unionByName(
-        df.select(
-            F.lit("linear").alias("layout"), F.col("lpid").alias("pid"),
-            "ck", "day",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("zpid").alias("pid"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.col("lpid").alias("pid"),
+                ),
+            )
+        ).alias("lp"),
+        "ck",
+        "day",
+    ).select("lp.layout", "lp.pid", "ck", "day")
     return both.groupBy("layout", F.col("pid").cast("long").alias("pid")).agg(
         F.min("ck").cast("long").alias("min_ck"),
         F.max("ck").cast("long").alias("max_ck"),
