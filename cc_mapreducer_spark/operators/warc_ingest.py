@@ -58,7 +58,6 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -507,17 +506,6 @@ _SEG_SIZE = 120  # WARC segment block size (bytes) for the fixture chain
 _CHUNK_SIZE = 100  # chunked-TE chunk size; both pinned so the oracle is
 # a closed-form function of the html fixture length
 
-_FRAG_SCHEMA = StructType(
-    [
-        StructField("origin", StringType()),
-        StructField("seg_no", IntegerType()),
-        StructField("frag", BinaryType()),
-        StructField("declared_total", LongType()),
-        StructField("doc_id", LongType()),
-    ]
-)
-
-
 def _segmented_blob_for_doc(doc_id: int, uri: str, html: str) -> bytes:
     """The fixture container for the segmentation/TE chain. Four planted
     wire shapes, keyed on doc_id % 5: (0) plain HTTP message segmented
@@ -544,30 +532,34 @@ def _segmented_blob_for_doc(doc_id: int, uri: str, html: str) -> bytes:
     return build_warc(recs, gzip_per_record=(doc_id % 3 == 0))
 
 
-def _fragment_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Stage 1 of reassembly: parse containers into one row PER RECORD
-    (first segments and continuations alike), claiming nothing about
-    which fragments belong together — that is the shuffle's job. doc_id
-    rides only on first segments (continuations carry no target URI per
-    spec), so a lost first segment surfaces as a null-doc group, not a
-    silently-healed row."""
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        rows = {k.name: [] for k in _FRAG_SCHEMA.fields}
-        for html, uri, doc_id in zip(pdf["html"], pdf["url"], pdf["doc_id"]):
-            blob = _segmented_blob_for_doc(int(doc_id), uri, html)
-            for rec in parse_warc(blob):
-                is_cont = rec["type"] == "continuation"
-                rows["origin"].append(
-                    rec["segment_origin_id"] if is_cont else rec["record_id"]
-                )
-                rows["seg_no"].append(rec["segment_number"] or 1)
-                rows["frag"].append(rec["block"])
-                rows["declared_total"].append(rec["segment_total_length"])
-                m = re.search(r"page-(\d+)", rec["target_uri"] or "")
-                rows["doc_id"].append(int(m.group(1)) if m and not is_cont else None)
-        yield pd.DataFrame(rows)
+def _fragment_groups(blob: bytes) -> dict:
+    """Parse one container into fragment groups keyed by the record's
+    WARC-Segment-Origin-ID (continuations) / record id (first
+    segments): origin -> {doc_id, declared_total, parts: [(seg_no,
+    frag)]}. doc_id rides only on first segments (continuations carry
+    no target URI per spec), so a lost first segment still surfaces as
+    a null-doc group, not a silently-healed row — the exact grouping
+    the r11 shuffle performed, done where the fragments already are."""
+    groups: dict = {}
+    for rec in parse_warc(blob):
+        is_cont = rec["type"] == "continuation"
+        origin = rec["segment_origin_id"] if is_cont else rec["record_id"]
+        g = groups.setdefault(
+            origin, {"doc_id": None, "declared_total": None, "parts": []}
+        )
+        g["parts"].append((rec["segment_number"] or 1, rec["block"]))
+        if rec["segment_total_length"] is not None:
+            d = g["declared_total"]
+            g["declared_total"] = (
+                rec["segment_total_length"]
+                if d is None
+                else max(d, rec["segment_total_length"])
+            )
+        if not is_cont:
+            m = re.search(r"page-(\d+)", rec["target_uri"] or "")
+            if m:
+                g["doc_id"] = int(m.group(1))
+    return groups
 
 
 _REASSEMBLED_SCHEMA = StructType(
@@ -582,37 +574,54 @@ _REASSEMBLED_SCHEMA = StructType(
 )
 
 
-def _decode_reassembled(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """Stage 3: parse the reassembled HTTP block (decoding chunked TE
-    where the message declares it) and emit the per-capture witnesses.
-    A declared WARC-Segment-Total-Length that disagrees with the
-    reassembled byte count raises — a short reassembly must never look
-    like a small capture."""
+def _reassemble_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Parse containers, group fragments by origin, byte-concat in
+    segment order, then parse the reassembled HTTP block (decoding
+    chunked TE where the message declares it) and emit the per-capture
+    witnesses. A declared WARC-Segment-Total-Length that disagrees with
+    the reassembled byte count raises — a short reassembly must never
+    look like a small capture.
+
+    One Arrow pass, zero shuffles (r12): every fragment of a segmented
+    record lives in the container the task is already holding, so the
+    r11 shape — ship each fragment's payload bytes through a groupBy
+    exchange, collect_list + concat, then a SECOND Python stage to
+    decode — moved the heavy bytes across the JVM/Python boundary three
+    times and the network once to reunite rows that were never apart
+    (guide §8: reassemble row-locally; the span_removal playbook). When
+    segments genuinely span containers (multi-file WARC captures), the
+    local pass degrades gracefully: unmatched groups surface with null
+    doc_id and a keyed shuffle of ONLY those residuals — payload moved
+    once — is the scalable follow-up, not a full-stream exchange."""
     import hashlib
 
     for pdf in batches:
         if not len(pdf):
             continue
         rows = {k.name: [] for k in _REASSEMBLED_SCHEMA.fields}
-        for doc_id, n_seg, block, declared in zip(
-            pdf["doc_id"], pdf["n_segments"], pdf["block"],
-            pdf["declared_total"],
-        ):
-            block = bytes(block)
-            if not pd.isna(declared) and int(declared) != len(block):
-                raise ValueError(
-                    f"segment total-length mismatch for doc {doc_id}: "
-                    f"declared {int(declared)}, reassembled {len(block)}"
+        for html, uri, doc_id in zip(pdf["html"], pdf["url"], pdf["doc_id"]):
+            blob = _segmented_blob_for_doc(int(doc_id), uri, html)
+            for g in _fragment_groups(blob).values():
+                g["parts"].sort()
+                block = b"".join(frag for _, frag in g["parts"])
+                declared = g["declared_total"]
+                if declared is not None and int(declared) != len(block):
+                    raise ValueError(
+                        f"segment total-length mismatch for doc "
+                        f"{g['doc_id']}: declared {int(declared)}, "
+                        f"reassembled {len(block)}"
+                    )
+                _, headers, body = parse_http_response(block)
+                rows["doc_id"].append(g["doc_id"])
+                rows["n_segments"].append(len(g["parts"]))
+                rows["block_len"].append(len(block))
+                rows["content_len"].append(len(body))
+                rows["body_h"].append(
+                    int(hashlib.md5(body).hexdigest()[:12], 16)
                 )
-            _, headers, body = parse_http_response(block)
-            rows["doc_id"].append(int(doc_id))
-            rows["n_segments"].append(int(n_seg))
-            rows["block_len"].append(len(block))
-            rows["content_len"].append(len(body))
-            rows["body_h"].append(int(hashlib.md5(body).hexdigest()[:12], 16))
-            rows["te"].append(headers.get("transfer-encoding", "identity"))
+                rows["te"].append(
+                    headers.get("transfer-encoding", "identity")
+                )
         yield pd.DataFrame(rows)
 
 
@@ -657,40 +666,20 @@ FROM m
 
 @register("warc_segment_reassembly", oracle=_SEGMENT_SQL, driver=False)
 def warc_segment_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed reassembly of segmented WARC records plus chunked-TE
-    decode: stage 1 parses containers into independent fragment rows;
-    stage 2 is the keyed shuffle — groupBy WARC-Segment-Origin-ID,
-    order fragments by segment number, byte-concat with built-ins
-    (array_sort + aggregate over binary, JVM-side); stage 3 parses the
-    reassembled HTTP message, decoding `Transfer-Encoding: chunked`
+    """Reassembly of segmented WARC records plus chunked-TE decode, in
+    ONE Arrow pass riding the scan: parse containers, group fragments
+    by WARC-Segment-Origin-ID, byte-concat in segment order, parse the
+    reassembled HTTP message decoding `Transfer-Encoding: chunked`
     bodies. The oracle re-derives every byte count and the payload hash
     in closed form from the html fixture, across all four planted wire
-    shapes (plain, segmented, chunked, chunked+segmented). Fragments
-    shuffle once and only once — at 100 TB that shuffle is the floor
-    any reassembler pays when segments land in different files."""
+    shapes (plain, segmented, chunked, chunked+segmented). r11 shipped
+    every fragment's payload through a groupBy exchange (plus two extra
+    JVM<->Python crossings) to reunite rows born in the same container
+    — the r12 shape moves the payload zero times; see _reassemble_rows
+    for the cross-container residual strategy at scale."""
     docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         _html_fixture_col().alias("html"),
         _url_fixture_col().alias("url"),
     )
-    frags = docs.mapInPandas(_fragment_rows, _FRAG_SCHEMA)
-    groups = (
-        frags.groupBy("origin")
-        .agg(
-            F.collect_list(F.struct("seg_no", "frag")).alias("parts"),
-            F.count("*").alias("n_segments"),
-            F.max("declared_total").alias("declared_total"),
-            F.max("doc_id").alias("doc_id"),
-        )
-        .select(
-            "doc_id",
-            "n_segments",
-            "declared_total",
-            F.aggregate(
-                F.transform(F.array_sort("parts"), lambda s: s["frag"]),
-                F.lit(b""),
-                lambda acc, x: F.concat(acc, x),
-            ).alias("block"),
-        )
-    )
-    return groups.mapInPandas(_decode_reassembled, _REASSEMBLED_SCHEMA)
+    return docs.mapInPandas(_reassemble_rows, _REASSEMBLED_SCHEMA)
