@@ -586,24 +586,25 @@ def robots_allowed(
     joined = canon.withColumn("__path", path).join(
         F.broadcast(rule_arr), F.col(domain_col) == F.col("__rd"), "left"
     )
-    matched = F.expr(
-        "filter(__rules, r -> startswith(__path, r.prefix))"
-    )
-    mx = F.expr(
-        "array_max(transform(filter(__rules, r -> startswith(__path, r.prefix)),"
-        " r -> length(r.prefix)))"
+    # Factor the matched-rule array and the max-prefix length into NAMED
+    # columns so each interpreted HOF lambda runs once per row (r12,
+    # guide §1.2 per-task work): the inlined form evaluated
+    # filter(__rules, startswith) five times and the transform+array_max
+    # twice per row — HOFs run outside whole-stage codegen, and
+    # CollapseProject does not re-inline non-trivial aliases used more
+    # than once, so the staged projection is a real 3-5x cut in
+    # per-row lambda work. Same expressions, same results.
+    staged = joined.withColumn(
+        "__m", F.expr("filter(__rules, r -> startswith(__path, r.prefix))")
+    ).withColumn(
+        "__mx", F.expr("array_max(transform(__m, r -> length(r.prefix)))")
     )
     # longest match wins; Allow beats Disallow on a length tie; no
     # matching rule (or no robots entry at all) defaults to allowed
     allowed = F.when(
-        F.col("__rules").isNull() | (F.size(matched) == 0), F.lit(True)
+        F.col("__rules").isNull() | (F.size("__m") == 0), F.lit(True)
     ).otherwise(
-        F.expr(
-            "exists(filter(__rules, r -> startswith(__path, r.prefix)),"
-            " r -> length(r.prefix) = "
-            "array_max(transform(filter(__rules, r -> startswith(__path,"
-            " r.prefix)), x -> length(x.prefix))) AND r.allow)"
-        )
+        F.expr("exists(__m, r -> length(r.prefix) = __mx AND r.allow)")
     )
     # winner = lexicographically-smallest prefix among the longest matches
     # (not element [0] of the filtered array: collect_list order is
@@ -611,17 +612,13 @@ def robots_allowed(
     # prefix with opposite verdicts — array_min is order-free and matches
     # the oracle's list_aggregate('min') exactly)
     win = F.when(
-        F.col("__rules").isNotNull() & (F.size(matched) > 0),
+        F.col("__rules").isNotNull() & (F.size("__m") > 0),
         F.expr(
             "array_min(transform("
-            "filter(filter(__rules, r -> startswith(__path, r.prefix)),"
-            " r -> length(r.prefix) = "
-            "array_max(transform(filter(__rules, r -> startswith(__path,"
-            " r.prefix)), x -> length(x.prefix)))), x -> x.prefix))"
+            "filter(__m, r -> length(r.prefix) = __mx), x -> x.prefix))"
         ),
     )
-    _ = mx  # (kept for readability above; inlined in the expressions)
-    return joined.select(
+    return staged.select(
         *canon.columns,
         allowed.alias("robots_allowed"),
         win.alias("robots_rule"),
@@ -895,28 +892,27 @@ def robots_allowed_rfc9309(
     joined = canon.withColumn("__path", path).join(
         F.broadcast(rule_arr), F.col(domain_col) == F.col("__rd"), "left"
     )
-    matched = F.expr("filter(__rules, r -> __path rlike r.rx)")
+    # Same single-evaluation staging as robots_allowed (r12): the rlike
+    # match — a REGEX per rule per row — ran up to five times per row
+    # inlined; as named columns each interpreted HOF runs once.
+    staged = joined.withColumn(
+        "__m", F.expr("filter(__rules, r -> __path rlike r.rx)")
+    ).withColumn(
+        "__mx", F.expr("array_max(transform(__m, x -> length(x.pat)))")
+    )
     allowed = F.when(
-        F.col("__rules").isNull() | (F.size(matched) == 0), F.lit(True)
+        F.col("__rules").isNull() | (F.size("__m") == 0), F.lit(True)
     ).otherwise(
-        F.expr(
-            "exists(filter(__rules, r -> __path rlike r.rx),"
-            " r -> length(r.pat) = "
-            "array_max(transform(filter(__rules, r -> __path rlike r.rx),"
-            " x -> length(x.pat))) AND r.allow)"
-        )
+        F.expr("exists(__m, r -> length(r.pat) = __mx AND r.allow)")
     )
     win = F.when(
-        F.col("__rules").isNotNull() & (F.size(matched) > 0),
+        F.col("__rules").isNotNull() & (F.size("__m") > 0),
         F.expr(
             "array_min(transform("
-            "filter(filter(__rules, r -> __path rlike r.rx),"
-            " r -> length(r.pat) = "
-            "array_max(transform(filter(__rules, r -> __path rlike r.rx),"
-            " x -> length(x.pat)))), x -> x.pat))"
+            "filter(__m, r -> length(r.pat) = __mx), x -> x.pat))"
         ),
     )
-    return joined.select(
+    return staged.select(
         *canon.columns,
         allowed.alias("robots_allowed"),
         win.alias("robots_rule"),
