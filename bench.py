@@ -1454,7 +1454,23 @@ def main() -> None:
         "reproduces with the exact r4 plan, i.e. ambient JVM drift",
     }
     if detail:
-        detail["headline"] = out
+        # Honest persisted-lane timing (VERDICT r11 item 2): best-of-N
+        # reads the warm reps, so lanes that materialize a memoized
+        # frame inside rep 1 report the InMemory-read figure. rep1_cold
+        # is that first execution — plan already compiled, every cache
+        # cold, materialization included — published PER LANE alongside
+        # best-of-N so a persisted lane's steady-state and cold costs
+        # are separable in the artifact itself. A COPY of `out` so the
+        # one-line contract JSON printed below stays byte-unchanged.
+        detail["headline"] = {
+            **out,
+            "rep1_cold": {
+                name: reps[0] for name, reps in lane_reps.items() if reps
+            },
+            "rep1_cold_total": round(
+                sum(reps[0] for reps in lane_reps.values() if reps), 3
+            ),
+        }
         try:
             (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=2) + "\n")
         except Exception:

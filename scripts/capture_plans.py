@@ -31,7 +31,7 @@ def main() -> None:
         import bench
 
         names = list(bench.HEADLINE)
-    out_dir = REPO / "plans" / "r11"
+    out_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLAN_DIR", "r12")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("cc-mapreducer-spark-plans")
     queries = registry.all_queries()
